@@ -1,0 +1,240 @@
+"""Flow-field integration, direction quantization, and LOS fields.
+
+The reference builds per-chunk 64x64 fields with a serial priority-queue
+Dijkstra (ref: src/navigation/field.c:539-566) and quantizes downhill
+directions to 4-bit codes (ref: field.c:734-828). Priority queues don't
+vectorize, so the TPU formulation is *batched min-plus relaxation*
+(Bellman-Ford over the 8-neighbour stencil): every iteration each tile takes
+the min over its neighbours' integration costs plus the octile step cost.
+One iteration advances every wavefront one tile in all directions, so
+convergence needs exactly `longest geodesic` iterations — and an entire
+batch of chunks relaxes simultaneously as one [K, 64, 64] tensor on the VPU.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import (
+    COST_IMPASSABLE,
+    FIELD_RES,
+    FLOW_DIR_OFFSETS,
+    INF_COST,
+)
+
+SQRT2 = 1.4142135623730951
+
+# Neighbour offsets in FlowDir order (codes 1..8): NW N NE W E SW S SE
+_OFFSETS = FLOW_DIR_OFFSETS[1:]
+_STEP_LEN = tuple(SQRT2 if (dr != 0 and dc != 0) else 1.0 for dr, dc in _OFFSETS)
+
+
+def shift2d(x: jax.Array, dr: int, dc: int, fill) -> jax.Array:
+    """Value of the neighbour at (r+dr, c+dc) for every tile; `fill` outside.
+
+    Operates on the last two dims; any leading batch dims pass through.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, constant_values=fill)
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, 1 + dr, 1 + dr + h, axis=-2),
+        1 + dc, 1 + dc + w, axis=-1,
+    )
+
+
+def _neighbour_allowed_masks(passable: jax.Array) -> list[jax.Array]:
+    """Per-offset masks: can a step arrive from the neighbour at that offset?
+
+    Diagonal moves require both adjacent orthogonal tiles passable — no
+    corner-cutting (matches N_GridNeighbours, ref: src/navigation/nav.c:4881).
+    """
+    masks = []
+    for dr, dc in _OFFSETS:
+        if dr != 0 and dc != 0:
+            masks.append(
+                shift2d(passable, dr, 0, False) & shift2d(passable, 0, dc, False)
+            )
+        else:
+            masks.append(None)  # orthogonal: always allowed
+    return masks
+
+
+def _relax_once(
+    integ: jax.Array,
+    step_cost: jax.Array,
+    passable: jax.Array,
+    allowed: list[jax.Array],
+) -> jax.Array:
+    """One min-plus relaxation over the 8-neighbour octile stencil."""
+    best = integ
+    for (dr, dc), slen, mask in zip(_OFFSETS, _STEP_LEN, allowed):
+        cand = shift2d(integ, dr, dc, INF_COST) + step_cost * slen
+        if mask is not None:
+            cand = jnp.where(mask, cand, INF_COST)
+        best = jnp.minimum(best, cand)
+    return jnp.where(passable, best, INF_COST)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def integrate(
+    cost: jax.Array,
+    seed_mask: jax.Array,
+    *,
+    max_iters: int = 4 * FIELD_RES,
+    check_every: int = 8,
+) -> jax.Array:
+    """Batched integration-field build.
+
+    Args:
+      cost: u8[..., H, W] entry cost per nav tile, COST_IMPASSABLE blocked
+        (ref: src/navigation/nav_data.h:47).
+      seed_mask: bool[..., H, W] target tiles (integration cost 0). The
+        reference's TARGET_PORTAL/TILE/ENEMIES variants (ref: field.h:79-101)
+        all reduce to a seed mask here.
+      max_iters: relaxation bound (4*FIELD_RES covers any serpentine path
+        within a chunk-sized field).
+      check_every: convergence-test stride (each test is a device-wide
+        reduction; amortize it).
+
+    Returns:
+      f32[..., H, W] integration cost, INF_COST where unreachable/blocked.
+    """
+    passable = cost != COST_IMPASSABLE
+    step_cost = jnp.where(passable, cost.astype(jnp.float32), INF_COST)
+    integ0 = jnp.where(seed_mask & passable, 0.0, INF_COST).astype(jnp.float32)
+    allowed = _neighbour_allowed_masks(passable)
+
+    def cond(carry):
+        i, integ, done = carry
+        return (~done) & (i < max_iters)
+
+    def body(carry):
+        i, integ, _ = carry
+        new = integ
+        for _ in range(check_every):
+            new = _relax_once(new, step_cost, passable, allowed)
+        done = jnp.all(new == integ)
+        return i + check_every, new, done
+
+    _, integ, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32), integ0, jnp.array(False))
+    )
+    # Re-seed zeros (seeds on impassable tiles stay INF like the reference,
+    # which rejects blocked targets upstream).
+    return jnp.where(seed_mask & passable, 0.0, integ)
+
+
+@jax.jit
+def flow_dirs(integ: jax.Array, cost: jax.Array) -> jax.Array:
+    """Quantize downhill directions (ref: src/navigation/field.c:734-828).
+
+    Each tile points at its lowest-integration passable neighbour; tiles
+    that are themselves targets (integration 0), blocked, or unreachable
+    get FlowDir.NONE. Returns u8[..., H, W] FlowDir codes.
+    """
+    passable = cost != COST_IMPASSABLE
+    neigh = jnp.stack(
+        [shift2d(integ, dr, dc, INF_COST) for dr, dc in _OFFSETS], axis=-1
+    )
+    # Same corner-cutting rule as integration so descent is always possible.
+    masks = _neighbour_allowed_masks(passable)
+    allowed = jnp.stack(
+        [m if m is not None else jnp.ones(integ.shape, jnp.bool_) for m in masks],
+        axis=-1,
+    )
+    neigh = jnp.where(allowed, neigh, INF_COST)
+
+    best_idx = jnp.argmin(neigh, axis=-1)
+    best_val = jnp.min(neigh, axis=-1)
+    have_dir = passable & (best_val < INF_COST) & (integ > 0.0) & (integ < INF_COST)
+    return jnp.where(have_dir, best_idx.astype(jnp.uint8) + 1, 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def los_field(
+    passable: jax.Array,
+    goal_r: jax.Array,
+    goal_c: jax.Array,
+    *,
+    max_iters: int = 2 * FIELD_RES,
+) -> jax.Array:
+    """Line-of-sight field from a goal tile (ref: src/navigation/field.c:435-537).
+
+    A tile has LOS if it is passable and its neighbour one step *toward* the
+    goal (octile direction) has LOS; diagonal steps additionally require both
+    adjacent orthogonal tiles passable (no corner peeking). Computed by
+    monotone fixed-point iteration, batched over leading dims of `passable`
+    with scalar (or matching-batch) goal coordinates.
+
+    Returns u8[..., H, W], 1 where visible.
+    """
+    h, w = passable.shape[-2], passable.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    goal_r = jnp.asarray(goal_r)[..., None, None]
+    goal_c = jnp.asarray(goal_c)[..., None, None]
+    dr = jnp.sign(goal_r - rows)  # step toward goal: -1/0/+1
+    dc = jnp.sign(goal_c - cols)
+
+    los0 = (rows == goal_r) & (cols == goal_c) & passable
+
+    def upstream(los, sr, sc):
+        """los value of the neighbour at (r+sr, c+sc), where sr/sc are
+        per-tile -1/0/+1 arrays: gather via the 9 static shifts."""
+        out = jnp.zeros_like(los)
+        for odr in (-1, 0, 1):
+            for odc in (-1, 0, 1):
+                if odr == 0 and odc == 0:
+                    continue
+                sel = (sr == odr) & (sc == odc)
+                out = jnp.where(sel, shift2d(los, odr, odc, False), out)
+        return out
+
+    pass_toward_r = upstream(passable, dr, jnp.zeros_like(dc))
+    pass_toward_c = upstream(passable, jnp.zeros_like(dr), dc)
+    diag = (dr != 0) & (dc != 0)
+    corner_ok = jnp.where(diag, pass_toward_r & pass_toward_c, True)
+
+    def cond(carry):
+        i, los, done = carry
+        return (~done) & (i < max_iters)
+
+    def body(carry):
+        i, los, _ = carry
+        new = los
+        for _ in range(8):
+            step = upstream(new, dr, dc) & passable & corner_ok
+            new = new | step
+        return i + 8, new, jnp.all(new == los)
+
+    _, los, _ = jax.lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32), los0, jnp.array(False))
+    )
+    return los.astype(jnp.uint8)
+
+
+def seed_from_point(h: int, w: int, r, c) -> jax.Array:
+    """bool[h, w] seed mask with a single tile set (dynamic indices ok)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (rows == r) & (cols == c)
+
+
+# FlowDir code -> unit world-direction (x=east/cols+, z=south/rows+).
+# Index 0 (NONE) maps to the zero vector.
+_DIR_TABLE = jnp.array(
+    [[float(dc), float(dr)] for dr, dc in FLOW_DIR_OFFSETS], dtype=jnp.float32
+)
+_norm = jnp.linalg.norm(_DIR_TABLE, axis=1, keepdims=True)
+DIR_UNIT_TABLE = jnp.where(_norm > 0, _DIR_TABLE / jnp.maximum(_norm, 1e-9), 0.0)
+
+
+def dir_code_to_vec(codes: jax.Array) -> jax.Array:
+    """Map u8 FlowDir codes to f32 unit vectors [..., 2] (x, z)."""
+    return DIR_UNIT_TABLE[codes.astype(jnp.int32)]

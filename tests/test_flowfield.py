@@ -1,0 +1,160 @@
+"""Flow-field kernels vs a NumPy Dijkstra oracle.
+
+The reference's integration field is exact Dijkstra over the 8-neighbour
+octile stencil (ref: src/navigation/field.c:539-566); the TPU kernel's
+min-plus relaxation must converge to the same fixed point.
+"""
+
+import heapq
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from permafrost_engine_tpu.core.config import COST_IMPASSABLE, FIELD_RES, INF_COST
+from permafrost_engine_tpu.ops import flowfield as ff
+
+SQRT2 = np.sqrt(2.0)
+
+
+def dijkstra_oracle(cost: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Exact Dijkstra with octile costs and no diagonal corner-cutting."""
+    h, w = cost.shape
+    passable = cost != COST_IMPASSABLE
+    dist = np.full((h, w), np.inf)
+    pq = []
+    for r, c in zip(*np.nonzero(seeds & passable)):
+        dist[r, c] = 0.0
+        heapq.heappush(pq, (0.0, r, c))
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for dr, dc in offs:
+            nr, nc = r + dr, c + dc
+            if not (0 <= nr < h and 0 <= nc < w) or not passable[nr, nc]:
+                continue
+            if dr != 0 and dc != 0:
+                if not (passable[r + dr, c] and passable[r, c + dc]):
+                    continue
+            step = float(cost[nr, nc]) * (SQRT2 if dr and dc else 1.0)
+            nd = d + step
+            if nd < dist[nr, nc] - 1e-9:
+                dist[nr, nc] = nd
+                heapq.heappush(pq, (nd, nr, nc))
+    return dist
+
+
+def random_cost(rng, h=FIELD_RES, w=FIELD_RES, p_block=0.2, max_cost=4):
+    cost = rng.integers(1, max_cost + 1, size=(h, w)).astype(np.uint8)
+    block = rng.random((h, w)) < p_block
+    cost[block] = COST_IMPASSABLE
+    return cost
+
+
+def assert_matches_oracle(cost, seeds):
+    integ = np.asarray(ff.integrate(jnp.asarray(cost), jnp.asarray(seeds)))
+    got = np.where(integ >= INF_COST / 2, np.inf, integ)
+    np.testing.assert_allclose(got, dijkstra_oracle(cost, seeds), rtol=1e-5, atol=1e-4)
+
+
+def test_integrate_open_field():
+    h = w = 32
+    cost = np.ones((h, w), np.uint8)
+    seeds = np.zeros((h, w), bool)
+    seeds[0, 0] = True
+    assert_matches_oracle(cost, seeds)
+
+
+def test_integrate_with_walls():
+    rng = np.random.default_rng(0)
+    cost = np.ones((FIELD_RES, FIELD_RES), np.uint8)
+    cost[32, 10:60] = COST_IMPASSABLE  # wall with a gap at the left
+    seeds = np.zeros_like(cost, bool)
+    seeds[60, 40] = True
+    assert_matches_oracle(cost, seeds)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_integrate_random(seed):
+    rng = np.random.default_rng(seed)
+    cost = random_cost(rng)
+    seeds = np.zeros_like(cost, bool)
+    r, c = rng.integers(0, FIELD_RES, 2)
+    cost[r, c] = 1
+    seeds[r, c] = True
+    assert_matches_oracle(cost, seeds)
+
+
+def test_integrate_batched():
+    rng = np.random.default_rng(7)
+    K = 4
+    costs = np.stack([random_cost(rng, 32, 32) for _ in range(K)])
+    seeds = np.zeros_like(costs, bool)
+    for k in range(K):
+        r, c = rng.integers(0, 32, 2)
+        costs[k, r, c] = 1
+        seeds[k, r, c] = True
+    integ = np.asarray(ff.integrate(jnp.asarray(costs), jnp.asarray(seeds)))
+    for k in range(K):
+        got = np.where(integ[k] >= INF_COST / 2, np.inf, integ[k])
+        np.testing.assert_allclose(
+            got, dijkstra_oracle(costs[k], seeds[k]), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_flow_dirs_descend():
+    """Following flow directions from any reachable tile must reach a seed
+    in finitely many steps with strictly decreasing integration cost."""
+    rng = np.random.default_rng(11)
+    cost = random_cost(rng, 32, 32, p_block=0.15)
+    seeds = np.zeros_like(cost, bool)
+    cost[5, 5] = 1
+    seeds[5, 5] = True
+    integ = ff.integrate(jnp.asarray(cost), jnp.asarray(seeds))
+    dirs = np.asarray(ff.flow_dirs(integ, jnp.asarray(cost)))
+    integ = np.asarray(integ)
+    from permafrost_engine_tpu.core.config import FLOW_DIR_OFFSETS
+
+    reachable = (integ < INF_COST / 2) & (integ > 0)
+    for r, c in zip(*np.nonzero(reachable)):
+        code = dirs[r, c]
+        assert code != 0, f"reachable tile ({r},{c}) has no flow dir"
+        dr, dc = FLOW_DIR_OFFSETS[code]
+        nr, nc = r + dr, c + dc
+        assert integ[nr, nc] < integ[r, c]
+
+    # seeds and unreachable tiles have no direction
+    assert dirs[5, 5] == 0
+    unreachable = integ >= INF_COST / 2
+    assert (dirs[unreachable] == 0).all()
+
+
+def test_los_open_field():
+    h = w = 32
+    passable = np.ones((h, w), bool)
+    los = np.asarray(ff.los_field(jnp.asarray(passable), 16, 16))
+    assert los.all()
+
+
+def test_los_wall_shadow():
+    h = w = 32
+    passable = np.ones((h, w), bool)
+    passable[16, 8:24] = False  # horizontal wall
+    los = np.asarray(ff.los_field(jnp.asarray(passable), 4, 16))
+    # goal above the wall: directly below the wall centre is shadowed
+    assert los[4, 16] == 1
+    assert los[10, 16] == 1  # above wall, visible
+    assert los[20, 16] == 0  # below wall centre, shadowed
+    assert los[16, 12] == 0  # the wall itself
+
+
+def test_dir_code_to_vec():
+    vecs = np.asarray(ff.dir_code_to_vec(jnp.arange(9, dtype=jnp.uint8)))
+    assert np.allclose(vecs[0], 0)
+    norms = np.linalg.norm(vecs[1:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+    # N (code 2) points -z, E (code 5) points +x
+    np.testing.assert_allclose(vecs[2], [0, -1], atol=1e-6)
+    np.testing.assert_allclose(vecs[5], [1, 0], atol=1e-6)
