@@ -1,0 +1,85 @@
+"""North-star benchmark: sim frames/sec at a 10k-unit battle.
+
+Scenario (BASELINE config #5 scale): two 5000-unit armies at war on a
+4x4-chunk map, ordered into each other — movement (flow fields + boids +
+ClearPath), combat, projectiles (20% ranged), and fog-of-war all active at
+reference cadences (move 20 Hz, combat 10 Hz, projectiles 30 Hz).
+
+Prints ONE JSON line: frames/sec of the full jitted loop vs the 60 ticks/s
+target from BASELINE.json.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from permafrost_engine_tpu.core.config import DiplomacyState, EngineConfig
+from permafrost_engine_tpu.game.engine import Engine
+
+
+def build_battle(n_per_side: int = 5000) -> Engine:
+    cfg = EngineConfig()  # 16384 ents, 4x4 chunks (1024x1024 world units)
+    eng = Engine(cfg)
+    eng.add_faction(0)
+    eng.add_faction(1)
+    eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+
+    rng = np.random.default_rng(0)
+
+    def army(x0: float) -> np.ndarray:
+        # block formation: 25 files deep (x), n/25 ranks tall (z), 4u spacing
+        files = 25
+        fx = (np.arange(n_per_side) % files) * 4.0
+        fz = (np.arange(n_per_side) // files) * 3.0
+        x = x0 + fx + (rng.random(n_per_side) - 0.5)
+        z = 212.0 + fz + (rng.random(n_per_side) - 0.5)
+        return np.stack([x, z], 1).astype(np.float32)
+
+    ranged = (rng.random(n_per_side) < 0.2)
+    a = eng.spawn_batch(army(200.0), faction=0, max_speed=20.0,
+                        is_ranged=ranged, attack_range=np.where(ranged, 40.0, 5.0),
+                        vision_range=80.0, hp=200.0)
+    b = eng.spawn_batch(army(820.0), faction=1, max_speed=20.0,
+                        is_ranged=ranged, attack_range=np.where(ranged, 40.0, 5.0),
+                        vision_range=80.0, hp=200.0)
+    eng.move(a, (820.0, 512.0))
+    eng.move(b, (200.0, 512.0))
+    return eng
+
+
+def main():
+    eng = build_battle()
+    # warmup: compile + first window
+    eng.step_scan(60)
+
+    windows = 5
+    t0 = time.perf_counter()
+    for _ in range(windows):
+        eng.step_scan(60)
+    import jax
+    jax.block_until_ready(eng.state.ents.pos)
+    dt = time.perf_counter() - t0
+
+    frames = windows * 60
+    fps = frames / dt
+    alive = int(np.asarray(eng.state.ents.alive).sum())
+    print(json.dumps({
+        "metric": "sim_frames_per_sec_10k_battle",
+        "value": round(fps, 2),
+        "unit": "frames/s (60Hz frames, 10k units)",
+        "vs_baseline": round(fps / 60.0, 3),
+        "alive_at_end": alive,
+    }))
+
+
+if __name__ == "__main__":
+    main()

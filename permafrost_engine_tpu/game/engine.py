@@ -1,0 +1,263 @@
+"""Host engine facade: entity registry, command issue, tick driving.
+
+This is the analogue of the reference's main-thread game layer: scripts
+talk to it (spawn, move, attack, query), it patches the device state
+between ticks (the command-queue discipline, ref: src/game/movement.c:
+371-395) and runs the jitted tick. UIDs map to arena slots host-side,
+replacing the reference's uid-keyed khash tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import (
+    EngineConfig,
+    EntityFlags,
+    MoveState,
+    NAV_TILE_SIZE,
+    footprint_for_radius,
+    nav_layer,
+    NavDomain,
+)
+from permafrost_engine_tpu.game.step import make_tick, make_tick_scan
+from permafrost_engine_tpu.nav.service import NavService
+from permafrost_engine_tpu.state.schema import GameState, init_state
+
+
+class Engine:
+    def __init__(self, cfg: EngineConfig | None = None, *, seed: int = 0,
+                 cost_base: np.ndarray | None = None):
+        self.cfg = cfg or EngineConfig()
+        self.state: GameState = init_state(self.cfg, seed=seed)
+        if cost_base is not None:
+            self.set_cost_base(cost_base)
+        else:
+            cost_base = np.ones(
+                (self.cfg.num_layers, self.cfg.field_h, self.cfg.field_w),
+                np.uint8)
+        self.nav = NavService(self.cfg, cost_base)
+        self._tick_fn = make_tick(self.cfg)
+        self._scan_fn = None
+        self._next_uid = 1
+        self._free_slots = list(range(self.cfg.max_ents - 1, -1, -1))
+        self.uid_to_slot: dict[int, int] = {}
+        self._free_flocks = list(range(self.cfg.max_flocks - 1, -1, -1))
+        self.events: list[tuple[str, dict]] = []
+
+    # -- map -------------------------------------------------------------------
+
+    def set_cost_base(self, cost_base: np.ndarray) -> None:
+        """Install static per-layer nav costs (u8[L, H, W])."""
+        assert cost_base.shape == (
+            self.cfg.num_layers, self.cfg.field_h, self.cfg.field_w)
+        self.state = self.state.replace(
+            nav=self.state.nav.replace(cost_base=jnp.asarray(cost_base)))
+        if hasattr(self, "nav"):
+            self.nav.cost_base = cost_base
+            self.nav._graphs.clear()
+
+    # -- spawning ---------------------------------------------------------------
+
+    def spawn_batch(
+        self,
+        pos: np.ndarray,                # f32[M,2]
+        faction: np.ndarray | int = 0,
+        *,
+        radius: float | np.ndarray = 1.0,
+        sel_radius: float | np.ndarray | None = None,
+        max_speed: float | np.ndarray = 10.0,
+        hp: float | np.ndarray = 100.0,
+        flags: int = (EntityFlags.COLLISION | EntityFlags.MOVABLE
+                      | EntityFlags.SELECTABLE | EntityFlags.COMBATABLE),
+        domain: NavDomain = NavDomain.GROUND,
+        vision_range: float | np.ndarray = 60.0,
+        attack_range: float | np.ndarray = 10.0,
+        base_dmg: float | np.ndarray = 10.0,
+        armour_pc: float | np.ndarray = 0.0,
+        attack_period: int | np.ndarray = 10,
+        is_ranged: bool | np.ndarray = False,
+        stance: int | np.ndarray = 0,
+    ) -> list[int]:
+        """Spawn M entities in one device update; returns their UIDs."""
+        m = pos.shape[0]
+        if len(self._free_slots) < m:
+            raise RuntimeError("entity arena full")
+        slots = np.array([self._free_slots.pop() for _ in range(m)], np.int32)
+        uids = np.arange(self._next_uid, self._next_uid + m, dtype=np.int32)
+        self._next_uid += m
+        for u, s in zip(uids, slots):
+            self.uid_to_slot[int(u)] = int(s)
+
+        def bc(v, dtype=np.float32):
+            return np.broadcast_to(np.asarray(v, dtype), (m,))
+
+        radius_arr = bc(radius)
+        layers = np.array(
+            [nav_layer(domain, footprint_for_radius(float(r))) for r in radius_arr],
+            np.int32)
+
+        e = self.state.ents
+        sl = jnp.asarray(slots)
+        e = e.replace(
+            alive=e.alive.at[sl].set(True),
+            uid=e.uid.at[sl].set(jnp.asarray(uids)),
+            flags=e.flags.at[sl].set(jnp.uint32(int(flags))),
+            faction=e.faction.at[sl].set(jnp.asarray(bc(faction, np.int32))),
+            layer=e.layer.at[sl].set(jnp.asarray(layers)),
+            pos=e.pos.at[sl].set(jnp.asarray(pos.astype(np.float32))),
+            prev_pos=e.prev_pos.at[sl].set(jnp.asarray(pos.astype(np.float32))),
+            radius=e.radius.at[sl].set(jnp.asarray(radius_arr)),
+            sel_radius=e.sel_radius.at[sl].set(
+                jnp.asarray(bc(sel_radius if sel_radius is not None else radius))),
+            max_speed=e.max_speed.at[sl].set(jnp.asarray(bc(max_speed))),
+            hp=e.hp.at[sl].set(jnp.asarray(bc(hp))),
+            max_hp=e.max_hp.at[sl].set(jnp.asarray(bc(hp))),
+            movestate=e.movestate.at[sl].set(MoveState.ARRIVED),
+            flock=e.flock.at[sl].set(-1),
+            vision_range=e.vision_range.at[sl].set(jnp.asarray(bc(vision_range))),
+            attack_range=e.attack_range.at[sl].set(jnp.asarray(bc(attack_range))),
+            base_dmg=e.base_dmg.at[sl].set(jnp.asarray(bc(base_dmg))),
+            armour_pc=e.armour_pc.at[sl].set(jnp.asarray(bc(armour_pc))),
+            attack_period=e.attack_period.at[sl].set(
+                jnp.asarray(bc(attack_period, np.int32))),
+            is_ranged=e.is_ranged.at[sl].set(jnp.asarray(bc(is_ranged, bool))),
+            stance=e.stance.at[sl].set(jnp.asarray(bc(stance, np.int32))),
+            combatstate=e.combatstate.at[sl].set(0),
+            target=e.target.at[sl].set(-1),
+        )
+        self.state = self.state.replace(ents=e)
+        return [int(u) for u in uids]
+
+    def despawn(self, uid: int) -> None:
+        slot = self.uid_to_slot.pop(uid)
+        e = self.state.ents
+        self.state = self.state.replace(
+            ents=e.replace(alive=e.alive.at[slot].set(False)))
+        self._free_slots.append(slot)
+
+    # -- commands ----------------------------------------------------------------
+
+    def move(self, uids: list[int], goal_xz: tuple[float, float],
+             domain: NavDomain = NavDomain.GROUND) -> bool:
+        """Order units to a destination: make a flock, plan the path, install
+        flow fields (ref: G_Move_SetDest -> make_flocks -> N_RequestPath,
+        movement.c:4717, 930)."""
+        if not uids:
+            return False
+        slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        if not self._free_flocks:
+            raise RuntimeError("flock table full")
+        fid = self._free_flocks.pop()
+
+        # representative layer: largest footprint in the group would be
+        # per-layer flocks in the reference (split_into_layers,
+        # movement.c:771); single-layer here, refined later.
+        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
+        start = tuple(np.asarray(self.state.ents.pos)[slots].mean(axis=0))
+
+        self.state, ok = self.nav.request_path(
+            self.state, fid, start, goal_xz, layer)
+
+        goal = jnp.asarray(np.asarray(goal_xz, np.float32))
+        e = self.state.ents
+        sl = jnp.asarray(slots)
+        e = e.replace(
+            dest=e.dest.at[sl].set(goal),
+            flock=e.flock.at[sl].set(fid if ok else -1),
+            movestate=e.movestate.at[sl].set(MoveState.MOVING),
+        )
+        fl = self.state.flocks
+        fl = fl.replace(
+            active=fl.active.at[fid].set(True),
+            dest=fl.dest.at[fid].set(goal),
+            layer=fl.layer.at[fid].set(layer),
+        )
+        self.state = self.state.replace(ents=e, flocks=fl)
+        return ok
+
+    def stop(self, uids: list[int]) -> None:
+        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        e = self.state.ents
+        self.state = self.state.replace(ents=e.replace(
+            movestate=e.movestate.at[slots].set(MoveState.ARRIVED),
+            vel=e.vel.at[slots].set(0.0),
+            flock=e.flock.at[slots].set(-1),
+        ))
+
+    # -- factions / diplomacy ------------------------------------------------------
+
+    def add_faction(self, fac_id: int, controllable: bool = True) -> None:
+        ft = self.state.factions
+        self.state = self.state.replace(factions=ft.replace(
+            active=ft.active.at[fac_id].set(True),
+            controllable=ft.controllable.at[fac_id].set(controllable),
+        ))
+
+    def set_diplomacy(self, f1: int, f2: int, dstate: int) -> None:
+        ft = self.state.factions
+        d = ft.diplomacy.at[f1, f2].set(dstate).at[f2, f1].set(dstate)
+        self.state = self.state.replace(factions=ft.replace(diplomacy=d))
+
+    def set_stance(self, uids: list[int], stance: int) -> None:
+        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        e = self.state.ents
+        self.state = self.state.replace(
+            ents=e.replace(stance=e.stance.at[slots].set(int(stance))))
+
+    # -- stepping ----------------------------------------------------------------
+
+    def step(self, n_frames: int = 1) -> None:
+        """Advance n 60 Hz frames; collect host events from deltas."""
+        for _ in range(n_frames):
+            self.state, deltas = self._tick_fn(self.state)
+            self._drain(deltas)
+
+    def step_scan(self, n_frames: int) -> None:
+        """Advance n frames in one device dispatch (lax.scan); events are
+        merged over the window (uid granularity is preserved)."""
+        if self._scan_fn is None:
+            self._scan_fn = make_tick_scan(self.cfg)
+        self.state, deltas = self._scan_fn(self.state, n_frames)
+        self._drain(deltas)
+
+    def _drain(self, deltas) -> None:
+        uid_arr = None
+
+        def uids_where(mask):
+            nonlocal uid_arr
+            if uid_arr is None:
+                uid_arr = np.asarray(self.state.ents.uid)
+            return uid_arr[mask]
+
+        arrived = np.asarray(deltas.arrived)
+        if arrived.any():
+            for u in uids_where(arrived):
+                self.events.append(("motion_end", {"uid": int(u)}))
+        died = np.asarray(deltas.died)
+        if died.any():
+            for u in uids_where(died):
+                self.events.append(("entity_death", {"uid": int(u)}))
+        attacked = np.asarray(deltas.attack_started)
+        if attacked.any():
+            for u in uids_where(attacked):
+                self.events.append(("attack_start", {"uid": int(u)}))
+        expired = np.asarray(deltas.corpse_expired)
+        if expired.any():
+            # corpse slots freed on device; reclaim them host-side
+            for u in uids_where(expired):
+                u = int(u)
+                slot = self.uid_to_slot.pop(u, None)
+                if slot is not None:
+                    self._free_slots.append(slot)
+                self.events.append(("entity_removed", {"uid": u}))
+
+    # -- queries -----------------------------------------------------------------
+
+    def pos_of(self, uid: int) -> np.ndarray:
+        return np.asarray(self.state.ents.pos)[self.uid_to_slot[uid]]
+
+    def movestate_of(self, uid: int) -> MoveState:
+        return MoveState(int(np.asarray(self.state.ents.movestate)[self.uid_to_slot[uid]]))

@@ -1,0 +1,242 @@
+"""The jitted simulation tick.
+
+The reference's frame loop is event-driven at decimated rates: a 60 Hz
+timer derives 30/20/10/5/1 Hz events consumed by movement, combat and
+projectile handlers (ref: src/game/timer_events.c:107-122,
+movement.c:4415, combat.c:1836). Here the whole thing is ONE pure jitted
+function over GameState: `tick` increments the 60 Hz counter and
+`lax.cond`-gates each subsystem on its divisor, reproducing the cadence
+semantics with zero host round-trips.
+
+Movement substep = the reference's move_do_tick pipeline
+(ref: movement.c:4312-4413) fused into array ops:
+  spatial grid build -> knn -> flow-field sample -> boids vpref ->
+  ClearPath solve -> integration/state machine -> blocker restamp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import (
+    ARRIVE_SLOWING_RADIUS,
+    EngineConfig,
+    EntityFlags,
+    FRAME_HZ,
+    MAX_NEIGHBOURS,
+    MoveState,
+    NAV_TILE_SIZE,
+)
+from permafrost_engine_tpu.ops import boids, clearpath, grid
+from permafrost_engine_tpu.ops import combat as combat_ops
+from permafrost_engine_tpu.ops import fog as fog_ops
+from permafrost_engine_tpu.ops import integrate as integ_ops
+from permafrost_engine_tpu.ops import projectile as proj_ops
+from permafrost_engine_tpu.ops import velocity as vel_ops
+from permafrost_engine_tpu.state.schema import GameState, TickDeltas, empty_deltas
+
+
+def _restamp_blockers(cfg: EngineConfig, ents, nav):
+    """Dense blocker rebuild: stationary collidable ground entities stamp
+    their nav tile in every layer (ref: N_BlockersIncref, nav.c:4663 — the
+    reference increments/decrements; a full restamp is equivalent each
+    movement tick and trivially parallel)."""
+    h, w = cfg.field_h, cfg.field_w
+    stationary = (
+        ents.alive
+        & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)
+        & ((ents.flags & jnp.uint32(EntityFlags.AIR)) == 0)
+        & (ents.movestate == MoveState.ARRIVED)
+    )
+    c = jnp.clip((ents.pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
+    r = jnp.clip((ents.pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
+    flat = jnp.where(stationary, r * w + c, h * w)
+    counts = jnp.zeros((h * w,), jnp.int32).at[flat].add(1, mode="drop")
+    blockers = jnp.broadcast_to(
+        counts.reshape(1, h, w), (cfg.num_layers, h, w))
+    return nav.replace(blockers=blockers)
+
+
+def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
+    ents = state.ents
+    n = cfg.max_ents
+
+    moving_mask = ents.alive & (
+        (ents.movestate == MoveState.MOVING)
+        | (ents.movestate == MoveState.TURNING)
+        | (ents.movestate == MoveState.SEEK_ENEMIES)
+        | (ents.movestate == MoveState.ARRIVING_TO_CELL)
+        | (ents.movestate == MoveState.SURROUND_ENTITY)
+    )
+
+    # ---- spatial index + neighbours (ref: movement.c:2768-2830) ------------
+    collidable = ents.alive & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)
+    sgrid = grid.build_grid(
+        ents.pos, collidable,
+        cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
+        cap=cfg.spatial_cell_cap,
+    )
+    slots = jnp.arange(n, dtype=jnp.int32)
+    neigh_idx, neigh_dist, neigh_valid = grid.knn_query(
+        sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
+
+    # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
+    flow_dir, has_field = vel_ops.flow_velocity(
+        ents.pos, ents.flock, state.flocks.field_slot, state.fields.flow,
+        chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
+    dist_dest = jnp.linalg.norm(ents.dest - ents.pos, axis=-1)
+    use_arrive = ~has_field | (dist_dest < 4 * ARRIVE_SLOWING_RADIUS)
+
+    max_speed_tick = ents.max_speed / float(cfg.move_hz)
+    vpref = boids.preferred_velocity(
+        ents.pos, ents.vel, ents.flock, ents.dest, flow_dir, use_arrive,
+        max_speed_tick, neigh_idx, neigh_valid, moving_mask)
+
+    # ---- ClearPath solve (ref: clearpath.c:694) ------------------------------
+    ni = jnp.clip(neigh_idx, 0, n - 1)
+    neigh_static = (
+        ((ents.flags[ni] & jnp.uint32(EntityFlags.MOVABLE)) == 0)
+        | (ents.movestate[ni] == MoveState.ARRIVED)
+    )
+    new_vel = clearpath.new_velocities(
+        ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
+        neigh_idx, neigh_valid, neigh_static, moving_mask)
+
+    # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
+    garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0
+    # group-arrival propagation: an adjacent same-flock neighbour already
+    # ARRIVED lets this entity settle too (see ops/integrate.py)
+    neigh_same_flock = (
+        neigh_valid
+        & (ents.flock[ni] == ents.flock[:, None])
+        & (ents.flock[:, None] >= 0)
+    )
+    neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
+    flock_arrived = jnp.any(
+        neigh_same_flock & neigh_arrived & (neigh_dist < 10.0), axis=1)
+    upd = integ_ops.movement_update(
+        alive=ents.alive,
+        moving_mask=moving_mask,
+        pos=ents.pos,
+        new_vel=new_vel,
+        dest=ents.dest,
+        movestate=ents.movestate,
+        facing=ents.facing,
+        vel_hist=ents.vel_hist,
+        vel_hist_idx=ents.vel_hist_idx,
+        wait_ticks=ents.wait_ticks,
+        layer=ents.layer,
+        cost_base=state.nav.cost_base,
+        blockers=state.nav.blockers,
+        garrisoned=garrisoned,
+        flock_arrived=flock_arrived,
+    )
+    arrived = upd.pop("arrived")
+    new_ents = ents.replace(prev_pos=ents.pos, **upd)
+    new_nav = _restamp_blockers(cfg, new_ents, state.nav)
+
+    return (
+        state.replace(ents=new_ents, nav=new_nav),
+        deltas.replace(arrived=deltas.arrived | arrived),
+    )
+
+
+def combat_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
+    state, deltas, attack_now = combat_ops.combat_substep(cfg, state, deltas)
+    # ranged attackers loose a projectile at their target's current position
+    ents = state.ents
+    shooter = attack_now & ents.is_ranged
+    ti = jnp.clip(ents.target, 0, cfg.max_ents - 1)
+    proj = proj_ops.spawn_projectiles(
+        cfg, state.projectiles, shooter, ents.pos, ents.pos[ti],
+        ents.faction, ents.base_dmg)
+    return state.replace(projectiles=proj), deltas
+
+
+def fog_substep(cfg: EngineConfig, state: GameState):
+    ents = state.ents
+    new_fog = fog_ops.update_fog(
+        state.fog.state, state.fog.enabled,
+        ents.pos, ents.alive & (ents.hp > 0.0), ents.faction,
+        ents.vision_range,
+        tiles_h=cfg.tiles_h, tiles_w=cfg.tiles_w,
+        max_factions=cfg.max_factions)
+    return state.replace(fog=state.fog.replace(state=new_fog))
+
+
+def make_tick(cfg: EngineConfig):
+    """Build the jitted 60 Hz tick: (state) -> (state, deltas).
+
+    Subsystem cadences reproduce the reference's decimated event rates
+    (movement 20 Hz, combat 10 Hz, projectiles 30 Hz, corpses 1 Hz —
+    ref: timer_events.c:107-122, movement.h:45-50, combat.h:48-53,
+    projectile.c:560)."""
+    move_period = FRAME_HZ // cfg.move_hz
+    combat_period = FRAME_HZ // cfg.combat_hz
+    proj_period = FRAME_HZ // 30
+    fog_period = move_period
+    corpse_period = FRAME_HZ  # 1 Hz
+
+    def gate(pred, fn, state, deltas):
+        return jax.lax.cond(
+            pred, lambda args: fn(cfg, *args), lambda args: args,
+            (state, deltas))
+
+    @jax.jit
+    def tick(state: GameState):
+        deltas = empty_deltas(cfg)
+        t = state.tick + 1
+        state = state.replace(tick=t)
+
+        state, deltas = gate(t % move_period == 0,
+                             movement_substep, state, deltas)
+        state, deltas = gate(t % combat_period == 0,
+                             combat_substep, state, deltas)
+        state, deltas = gate(t % proj_period == 0,
+                             proj_ops.projectile_substep, state, deltas)
+
+        def run_corpse(args):
+            s, d = args
+            s, d, expired = combat_ops.corpse_substep(cfg, s, d)
+            return s, d.replace(corpse_expired=d.corpse_expired | expired)
+
+        state, deltas = jax.lax.cond(
+            t % corpse_period == 0, run_corpse, lambda args: args,
+            (state, deltas))
+
+        state = jax.lax.cond(
+            t % fog_period == 0,
+            lambda s: fog_substep(cfg, s), lambda s: s, state)
+
+        return state, deltas
+
+    return tick
+
+
+def make_tick_scan(cfg: EngineConfig):
+    """Batched frame stepper: run `n` 60 Hz frames in ONE device dispatch
+    via lax.scan, returning the final state and deltas merged across the
+    window. This is the production driving mode — the host only syncs with
+    the device once per window, the TPU analogue of the reference's
+    sim/render pipeline overlap (ref: src/main.c:816-889)."""
+    tick = make_tick(cfg)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def step_n(state: GameState, n: int):
+        def body(s, _):
+            s, d = tick(s)
+            return s, d
+
+        state, ds = jax.lax.scan(body, state, None, length=n)
+
+        def merge(x):
+            if x.dtype == jnp.bool_:
+                return jnp.any(x, axis=0)
+            return jnp.max(x, axis=0)  # proj_hit: -1 default, max = any hit
+
+        return state, jax.tree_util.tree_map(merge, ds)
+
+    return step_n

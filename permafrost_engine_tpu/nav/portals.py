@@ -1,0 +1,201 @@
+"""Portal graph over chunk borders + A* (host side).
+
+The reference builds <=64 portals per chunk on chunk borders, links portals
+within a chunk by actual travel cost, and answers path requests with A*
+over the portal graph (ref: src/navigation/nav.c:563-655, a_star.c:429).
+Path requests are event-driven (a few per player command), so this stays on
+host as the reference does — but the expensive part, all-pairs intra-chunk
+portal distances, is computed *on device* by seeding the batched flow-field
+integrator at every portal span at once.
+
+Chunks are FIELD_RES x FIELD_RES nav tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+
+import jax.numpy as jnp
+import numpy as np
+
+from permafrost_engine_tpu.core.config import COST_IMPASSABLE, FIELD_RES
+from permafrost_engine_tpu.ops import flowfield as ff
+
+SQRT2 = np.sqrt(2.0)
+
+
+@dataclasses.dataclass
+class Portal:
+    pid: int
+    chunk: tuple[int, int]        # (cr, cc)
+    side: str                     # 'N' | 'S' | 'E' | 'W'
+    lo: int                       # run start along the edge (local coord)
+    hi: int                       # run end (inclusive)
+    paired: int = -1              # pid of the mirror portal across the edge
+
+    def span_tiles(self) -> np.ndarray:
+        """Local (r, c) nav tiles of the span, [K, 2]."""
+        ks = np.arange(self.lo, self.hi + 1)
+        if self.side == "N":
+            return np.stack([np.zeros_like(ks), ks], 1)
+        if self.side == "S":
+            return np.stack([np.full_like(ks, FIELD_RES - 1), ks], 1)
+        if self.side == "W":
+            return np.stack([ks, np.zeros_like(ks)], 1)
+        return np.stack([ks, np.full_like(ks, FIELD_RES - 1)], 1)
+
+    def center_global(self) -> tuple[float, float]:
+        """Global nav-tile (r, c) of the span centre."""
+        mid = (self.lo + self.hi) / 2.0
+        cr, cc = self.chunk
+        if self.side == "N":
+            return cr * FIELD_RES, cc * FIELD_RES + mid
+        if self.side == "S":
+            return cr * FIELD_RES + FIELD_RES - 1, cc * FIELD_RES + mid
+        if self.side == "W":
+            return cr * FIELD_RES + mid, cc * FIELD_RES
+        return cr * FIELD_RES + mid, cc * FIELD_RES + FIELD_RES - 1
+
+
+@dataclasses.dataclass
+class PortalGraph:
+    portals: list[Portal]
+    # adjacency: pid -> list of (pid, cost); includes cross-edge pairs
+    # (cost ~1 step) and intra-chunk links (integration cost)
+    adj: dict[int, list[tuple[int, float]]]
+    by_chunk: dict[tuple[int, int], list[int]]
+
+
+def _edge_runs(passable_a: np.ndarray, passable_b: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous runs where both sides of a chunk edge are passable."""
+    open_both = passable_a & passable_b
+    runs = []
+    start = None
+    for i, ok in enumerate(open_both):
+        if ok and start is None:
+            start = i
+        elif not ok and start is not None:
+            runs.append((start, i - 1))
+            start = None
+    if start is not None:
+        runs.append((start, len(open_both) - 1))
+    return runs
+
+
+def build_portal_graph(
+    cost_layer: np.ndarray,  # u8[H, W] one nav layer's effective cost
+    chunks_r: int,
+    chunks_c: int,
+) -> PortalGraph:
+    passable = cost_layer != COST_IMPASSABLE
+    portals: list[Portal] = []
+    by_chunk: dict[tuple[int, int], list[int]] = {}
+
+    def add(chunk, side, lo, hi) -> Portal:
+        p = Portal(len(portals), chunk, side, lo, hi)
+        portals.append(p)
+        by_chunk.setdefault(chunk, []).append(p.pid)
+        return p
+
+    # horizontal boundaries: chunk (r, c) south edge <-> (r+1, c) north edge
+    for r in range(chunks_r - 1):
+        for c in range(chunks_c):
+            row_s = (r + 1) * FIELD_RES - 1
+            cols = slice(c * FIELD_RES, (c + 1) * FIELD_RES)
+            for lo, hi in _edge_runs(passable[row_s, cols], passable[row_s + 1, cols]):
+                a = add((r, c), "S", lo, hi)
+                b = add((r + 1, c), "N", lo, hi)
+                a.paired, b.paired = b.pid, a.pid
+    # vertical boundaries: chunk (r, c) east edge <-> (r, c+1) west edge
+    for r in range(chunks_r):
+        for c in range(chunks_c - 1):
+            col_e = (c + 1) * FIELD_RES - 1
+            rows = slice(r * FIELD_RES, (r + 1) * FIELD_RES)
+            for lo, hi in _edge_runs(passable[rows, col_e], passable[rows, col_e + 1]):
+                a = add((r, c), "E", lo, hi)
+                b = add((r, c + 1), "W", lo, hi)
+                a.paired, b.paired = b.pid, a.pid
+
+    adj: dict[int, list[tuple[int, float]]] = {p.pid: [] for p in portals}
+    for p in portals:
+        if p.paired >= 0:
+            adj[p.pid].append((p.paired, 1.0))
+
+    # ---- intra-chunk all-pairs costs via one batched device integration ----
+    if portals:
+        k = len(portals)
+        costs = np.empty((k, FIELD_RES, FIELD_RES), np.uint8)
+        seeds = np.zeros((k, FIELD_RES, FIELD_RES), bool)
+        for p in portals:
+            cr, cc = p.chunk
+            costs[p.pid] = cost_layer[
+                cr * FIELD_RES:(cr + 1) * FIELD_RES,
+                cc * FIELD_RES:(cc + 1) * FIELD_RES,
+            ]
+            t = p.span_tiles()
+            seeds[p.pid, t[:, 0], t[:, 1]] = True
+        integ = np.asarray(ff.integrate(jnp.asarray(costs), jnp.asarray(seeds)))
+        for p in portals:
+            for qid in by_chunk[p.chunk]:
+                if qid == p.pid:
+                    continue
+                q = portals[qid]
+                t = q.span_tiles()
+                d = integ[p.pid, t[:, 0], t[:, 1]].min()
+                if d < ff.INF_COST / 2:
+                    adj[p.pid].append((qid, float(d)))
+
+    return PortalGraph(portals=portals, adj=adj, by_chunk=by_chunk)
+
+
+def _octile(a: tuple[float, float], b: tuple[float, float]) -> float:
+    dr, dc = abs(a[0] - b[0]), abs(a[1] - b[1])
+    return max(dr, dc) + (SQRT2 - 1.0) * min(dr, dc)
+
+
+def astar_portals(
+    graph: PortalGraph,
+    start_costs: dict[int, float],   # pid -> cost from start tile
+    goal_costs: dict[int, float],    # pid -> cost from goal tile (its chunk)
+    goal_rc: tuple[float, float],    # global nav-tile coords of the goal
+) -> list[int] | None:
+    """A* from a virtual start node to a virtual goal node
+    (ref: src/navigation/a_star.c:429). Returns the portal pid sequence,
+    or None if unreachable. Empty list = same-chunk path (caller checks
+    reachability within the chunk)."""
+    if not start_costs:
+        return None
+    best: dict[int, float] = {}
+    came: dict[int, int | None] = {}
+    pq: list[tuple[float, float, int]] = []
+    for pid, c in start_costs.items():
+        best[pid] = c
+        came[pid] = None
+        h = _octile(graph.portals[pid].center_global(), goal_rc)
+        heapq.heappush(pq, (c + h, c, pid))
+
+    goal_best = np.inf
+    goal_from: int | None = None
+    while pq:
+        f, g, pid = heapq.heappop(pq)
+        if f >= goal_best:
+            break
+        if g > best.get(pid, np.inf):
+            continue
+        if pid in goal_costs and g + goal_costs[pid] < goal_best:
+            goal_best = g + goal_costs[pid]
+            goal_from = pid
+        for qid, w in graph.adj[pid]:
+            ng = g + w
+            if ng < best.get(qid, np.inf):
+                best[qid] = ng
+                came[qid] = pid
+                h = _octile(graph.portals[qid].center_global(), goal_rc)
+                heapq.heappush(pq, (ng + h, ng, qid))
+    if goal_from is None:
+        return None
+    path = [goal_from]
+    while came[path[-1]] is not None:
+        path.append(came[path[-1]])
+    return list(reversed(path))

@@ -1,0 +1,139 @@
+"""Boids steering forces over the entity arena.
+
+Force model and constants follow the reference (ref: src/game/movement.c:
+418-437, force builders at movement.c:1524-2023, mirrored in
+shaders/compute/movement.glsl:58-120):
+
+  separation 0.6 within r=30 | arrive 0.5, slowing radius 10
+  cohesion 0.15 within r=50  | alignment 0.15 within r=10
+  MAX_FORCE 0.75 (per 20Hz tick; scaled by tick rate)
+
+All forces are computed for the whole arena at once from a shared
+[N, K] neighbour set (the grid's knn output) — the reference's per-entity
+fiber loop (move_velocity_task) becomes pure array ops on the VPU.
+
+Velocities here are *per-movement-tick displacements*, matching the
+reference's units (ref: movement.c:3464, SURVEY Appendix C).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import (
+    ALIGNMENT_FORCE,
+    ALIGNMENT_RADIUS,
+    ARRIVE_FORCE,
+    ARRIVE_SLOWING_RADIUS,
+    COHESION_FORCE,
+    COHESION_RADIUS,
+    MAX_FORCE,
+    SEPARATION_FORCE,
+    SEPARATION_RADIUS,
+)
+
+_EPS = 1e-6
+
+
+def truncate(v: jax.Array, max_len: jax.Array) -> jax.Array:
+    """Clamp vector magnitudes to max_len ([..., 2] over [...])."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    max_len = jnp.asarray(max_len)[..., None]
+    scale = jnp.where(n > max_len, max_len / jnp.maximum(n, _EPS), 1.0)
+    return v * scale
+
+
+def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-neighbour values; idx [N, K] with -1 invalid (clamped)."""
+    return x[jnp.clip(idx, 0, x.shape[0] - 1)]
+
+
+def arrive_force(pos, dest, vel, max_speed_tick):
+    """Seek with deceleration inside the slowing radius
+    (ref: movement.c arrive_force_point)."""
+    to_dest = dest - pos
+    dist = jnp.linalg.norm(to_dest, axis=-1, keepdims=True)
+    speed = max_speed_tick[..., None] * jnp.minimum(dist / ARRIVE_SLOWING_RADIUS, 1.0)
+    desired = to_dest / jnp.maximum(dist, _EPS) * speed
+    return truncate(desired - vel, MAX_FORCE) * ARRIVE_FORCE
+
+
+def flow_follow_force(flow_dir, vel, max_speed_tick):
+    """Steer toward the flow-field direction at full speed."""
+    desired = flow_dir * max_speed_tick[..., None]
+    return truncate(desired - vel, MAX_FORCE)
+
+
+def separation_force(pos, neigh_idx, neigh_valid, neigh_pos):
+    """Push away from nearby entities, inverse-square falloff
+    (ref: movement.c separation_force)."""
+    diff = pos[:, None, :] - neigh_pos                    # [N, K, 2]
+    d = jnp.linalg.norm(diff, axis=-1)
+    in_range = neigh_valid & (d < SEPARATION_RADIUS)
+    w = jnp.where(in_range, 1.0 / jnp.maximum(d * d, 0.25), 0.0)
+    force = jnp.sum(diff * w[..., None], axis=1)
+    return truncate(force, MAX_FORCE) * SEPARATION_FORCE
+
+
+def cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos, neigh_flock):
+    """Steer toward the centroid of same-flock neighbours within radius."""
+    d = jnp.linalg.norm(neigh_pos - pos[:, None, :], axis=-1)
+    mate = neigh_valid & (neigh_flock == flock[:, None]) & (flock[:, None] >= 0)
+    in_range = mate & (d < COHESION_RADIUS)
+    cnt = jnp.sum(in_range, axis=1)
+    centroid = jnp.sum(jnp.where(in_range[..., None], neigh_pos, 0.0), axis=1)
+    centroid = centroid / jnp.maximum(cnt, 1)[..., None]
+    force = jnp.where((cnt > 0)[..., None], centroid - pos, 0.0)
+    return truncate(force, MAX_FORCE) * COHESION_FORCE
+
+
+def alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos, neigh_vel,
+                    neigh_flock, pos):
+    """Match average velocity of same-flock neighbours within radius."""
+    d = jnp.linalg.norm(neigh_pos - pos[:, None, :], axis=-1)
+    mate = neigh_valid & (neigh_flock == flock[:, None]) & (flock[:, None] >= 0)
+    in_range = mate & (d < ALIGNMENT_RADIUS)
+    cnt = jnp.sum(in_range, axis=1)
+    avg = jnp.sum(jnp.where(in_range[..., None], neigh_vel, 0.0), axis=1)
+    avg = avg / jnp.maximum(cnt, 1)[..., None]
+    force = jnp.where((cnt > 0)[..., None], avg - vel, 0.0)
+    return truncate(force, MAX_FORCE) * ALIGNMENT_FORCE
+
+
+def preferred_velocity(
+    pos: jax.Array,          # f32[N,2]
+    vel: jax.Array,          # f32[N,2] per-tick displacement
+    flock: jax.Array,        # i32[N]
+    dest: jax.Array,         # f32[N,2]
+    flow_dir: jax.Array,     # f32[N,2] unit flow direction (0 if none)
+    use_arrive: jax.Array,   # bool[N] near-dest / no-field -> arrive steering
+    max_speed_tick: jax.Array,  # f32[N] speed cap per movement tick
+    neigh_idx: jax.Array,    # i32[N,K]
+    neigh_valid: jax.Array,  # bool[N,K]
+    moving: jax.Array,       # bool[N] entities actively moving
+) -> jax.Array:
+    """Combined steering -> preferred velocity for the ClearPath solve.
+
+    Mirrors the reference's per-state total-force assembly
+    (ref: movement.c:3414-3452): flow/arrive seek + separation +
+    flock cohesion + flock alignment, truncated to MAX_FORCE, integrated
+    onto the current velocity, then truncated to per-tick max speed.
+    """
+    neigh_pos = _gather(pos, neigh_idx)
+    neigh_vel = _gather(vel, neigh_idx)
+    neigh_flock = _gather(flock, neigh_idx)
+
+    seek = jnp.where(
+        use_arrive[..., None],
+        arrive_force(pos, dest, vel, max_speed_tick),
+        flow_follow_force(flow_dir, vel, max_speed_tick),
+    )
+    sep = separation_force(pos, neigh_idx, neigh_valid, neigh_pos)
+    coh = cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos, neigh_flock)
+    ali = alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos,
+                          neigh_vel, neigh_flock, pos)
+
+    total = truncate(seek + sep + coh + ali, MAX_FORCE)
+    vpref = truncate(vel + total, max_speed_tick)
+    return jnp.where(moving[..., None], vpref, 0.0)

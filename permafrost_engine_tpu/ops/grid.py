@@ -1,0 +1,193 @@
+"""Spatial indexing: cell binning + bounded k-nearest-neighbour queries.
+
+The reference's spatial index is a SIMD-accelerated bitmap grid over 16-unit
+cells with packed ranges and overflow chains, repacked per frame
+(ref: src/lib/public/bitmap_grid.h:36-120). The TPU-native equivalent is a
+dense rebuild every query tick: sort entities by cell id, scatter slots into
+fixed-capacity cell buckets, then answer "nearest <=K entities of X within
+radius" by gathering a static window of cells around each queryer and
+running a vectorized top-k. No pointers, no chains — everything is one
+sort + one scatter + gathers, all batched over the whole arena.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import EngineConfig, SPATIAL_CELL_SIZE
+
+
+@flax.struct.dataclass
+class SpatialGrid:
+    """Cell buckets of entity slots; -1 marks empty bucket entries."""
+
+    buckets: jax.Array     # i32[cells_r * cells_c, cap] entity slots or -1
+    cell_of: jax.Array     # i32[N] flat cell id per entity (dead: num_cells)
+    cells_r: int = flax.struct.field(pytree_node=False)
+    cells_c: int = flax.struct.field(pytree_node=False)
+
+
+def cell_coords(pos: jax.Array, cells_r: int, cells_c: int) -> tuple[jax.Array, jax.Array]:
+    """Clamped (row, col) cell coordinates for world positions [..., 2]=(x,z)."""
+    c = jnp.clip((pos[..., 0] / SPATIAL_CELL_SIZE).astype(jnp.int32), 0, cells_c - 1)
+    r = jnp.clip((pos[..., 1] / SPATIAL_CELL_SIZE).astype(jnp.int32), 0, cells_r - 1)
+    return r, c
+
+
+@functools.partial(jax.jit, static_argnames=("cells_r", "cells_c", "cap"))
+def build_grid(
+    pos: jax.Array,
+    alive: jax.Array,
+    *,
+    cells_r: int,
+    cells_c: int,
+    cap: int,
+) -> SpatialGrid:
+    """Bin alive entities into fixed-capacity cell buckets.
+
+    Overflowing entities (more than `cap` in one cell) are dropped from the
+    index — the analogue of the reference's bounded query outputs, which
+    drop the farthest candidates on overflow (ref: src/game/clearpath.c:390).
+    """
+    n = pos.shape[0]
+    num_cells = cells_r * cells_c
+    r, c = cell_coords(pos, cells_r, cells_c)
+    cell = jnp.where(alive, r * cells_c + c, num_cells)
+
+    order = jnp.argsort(cell, stable=True)
+    sorted_cell = cell[order]
+    # rank within each cell = position - index of first occurrence
+    first_occ = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first_occ.astype(jnp.int32)
+
+    flat = jnp.full((num_cells * cap,), -1, jnp.int32)
+    slot_idx = sorted_cell * cap + rank
+    valid = (sorted_cell < num_cells) & (rank < cap)
+    slot_idx = jnp.where(valid, slot_idx, num_cells * cap)  # dropped
+    flat = flat.at[slot_idx].set(order.astype(jnp.int32), mode="drop")
+
+    return SpatialGrid(
+        buckets=flat.reshape(num_cells, cap),
+        cell_of=cell.astype(jnp.int32),
+        cells_r=cells_r,
+        cells_c=cells_c,
+    )
+
+
+def _window_offsets(window: int) -> jax.Array:
+    """Static (window x window) neighbourhood offsets, row-major, i32[W*W, 2]."""
+    half = window // 2
+    offs = [(dr, dc) for dr in range(-half, half + 1) for dc in range(-half, half + 1)]
+    return jnp.array(offs, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def knn_query(
+    grid: SpatialGrid,
+    pos: jax.Array,
+    query_pos: jax.Array,
+    query_slot: jax.Array,
+    *,
+    k: int,
+    window: int = 5,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """K nearest indexed entities around each query point.
+
+    Args:
+      grid: built spatial index over `pos`.
+      pos: f32[N, 2] entity positions the grid indexes.
+      query_pos: f32[Q, 2] query points.
+      query_slot: i32[Q] arena slot of each queryer (excluded from its own
+        results), or -1 for point queries.
+      k: max neighbours (the reference caps ClearPath at 32, movement.c:437).
+      window: cells-per-side gathered around the query cell. window=5 over
+        16-unit cells covers every neighbour within 32 world units.
+
+    Returns:
+      (idx i32[Q, k], dist f32[Q, k], valid bool[Q, k]) sorted by distance.
+    """
+    cells_r, cells_c = grid.cells_r, grid.cells_c
+    cap = grid.buckets.shape[1]
+    qr, qc = cell_coords(query_pos, cells_r, cells_c)
+    offs = _window_offsets(window)                     # [W2, 2]
+    nr = qr[:, None] + offs[None, :, 0]                # [Q, W2]
+    nc = qc[:, None] + offs[None, :, 1]
+    in_bounds = (nr >= 0) & (nr < cells_r) & (nc >= 0) & (nc < cells_c)
+    ncell = jnp.where(in_bounds, nr * cells_c + nc, 0)
+
+    cand = grid.buckets[ncell]                         # [Q, W2, cap]
+    cand = jnp.where(in_bounds[..., None], cand, -1)
+    cand = cand.reshape(cand.shape[0], -1)             # [Q, W2*cap]
+
+    cpos = pos[jnp.clip(cand, 0, pos.shape[0] - 1)]    # [Q, C, 2]
+    d2 = jnp.sum((cpos - query_pos[:, None, :]) ** 2, axis=-1)
+    invalid = (cand < 0) | (cand == query_slot[:, None])
+    d2 = jnp.where(invalid, jnp.inf, d2)
+
+    neg_d2, top_i = jax.lax.top_k(-d2, k)              # [Q, k]
+    idx = jnp.take_along_axis(cand, top_i, axis=1)
+    dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+    valid = jnp.isfinite(neg_d2)
+    idx = jnp.where(valid, idx, -1)
+    return idx, dist, valid
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def nearest_match(
+    query_pos: jax.Array,
+    query_mask: jax.Array,
+    target_pos: jax.Array,
+    target_mask: jax.Array,
+    pair_ok: jax.Array,
+    *,
+    block: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact nearest target per queryer with an arbitrary pair predicate.
+
+    Used for combat target acquisition (nearest enemy in vision range,
+    ref: src/game/combat.c target acquisition via spatial query) where the
+    radius is too large for windowed grid queries. Runs as a scan over
+    target blocks so peak memory is [Q, block] instead of [Q, N].
+
+    Args:
+      pair_ok: bool[Q, num_blocks?]-free predicate — supplied as a function
+        of gathered blocks is awkward under scan, so we take bool[Q, N]
+        row-factorized instead: pair_ok[q, t] = q_feat[q] matches t_feat[t].
+        To stay O(Q + N), pass factions: here pair_ok is bool[Q, N] only
+        conceptually — the arg is a tuple (q_code i32[Q], ok_matrix bool[C, C],
+        t_code i32[N]) evaluated blockwise.
+
+    Returns:
+      (idx i32[Q] nearest valid target or -1, dist f32[Q]).
+    """
+    q_code, ok_matrix, t_code = pair_ok
+    n = target_pos.shape[0]
+    num_blocks = -(-n // block)
+    pad = num_blocks * block - n
+    tpos = jnp.pad(target_pos, ((0, pad), (0, 0)))
+    tmask = jnp.pad(target_mask, (0, pad))
+    tcode = jnp.pad(t_code, (0, pad))
+    tpos = tpos.reshape(num_blocks, block, 2)
+    tmask = tmask.reshape(num_blocks, block)
+    tcode = tcode.reshape(num_blocks, block)
+    tidx = jnp.arange(num_blocks * block, dtype=jnp.int32).reshape(num_blocks, block)
+
+    def body(carry, blk):
+        best_d2, best_i = carry
+        bpos, bmask, bcode, bidx = blk
+        d2 = jnp.sum((query_pos[:, None, :] - bpos[None, :, :]) ** 2, axis=-1)
+        ok = bmask[None, :] & ok_matrix[q_code[:, None], bcode[None, :]]
+        d2 = jnp.where(ok, d2, jnp.inf)
+        bd2 = jnp.min(d2, axis=1)
+        bi = bidx[jnp.argmin(d2, axis=1)]
+        better = bd2 < best_d2
+        return (jnp.where(better, bd2, best_d2), jnp.where(better, bi, best_i)), None
+
+    init = (jnp.full(query_pos.shape[0], jnp.inf), jnp.full(query_pos.shape[0], -1, jnp.int32))
+    (best_d2, best_i), _ = jax.lax.scan(body, init, (tpos, tmask, tcode, tidx))
+    best_i = jnp.where(query_mask & jnp.isfinite(best_d2), best_i, -1)
+    return best_i, jnp.sqrt(jnp.where(jnp.isfinite(best_d2), best_d2, jnp.inf))

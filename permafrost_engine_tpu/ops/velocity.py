@@ -1,0 +1,79 @@
+"""Per-entity desired-velocity sampling from the flow-field slab.
+
+Equivalent of the reference's N_DesiredPointSeekVelocity with bilinear
+flow-dir interpolation across chunk borders (ref: src/navigation/nav.c:
+3401-3468): each entity samples the 4 nav tiles around its position,
+resolves each tile's chunk through its flock's chunk->slab-slot table,
+decodes the quantized FlowDir, and blends the 4 unit vectors bilinearly.
+Chunk crossings need no special casing — the slot table *is* the stitching.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.core.config import FIELD_RES, NAV_TILE_SIZE
+from permafrost_engine_tpu.ops.flowfield import dir_code_to_vec
+
+
+@functools.partial(jax.jit, static_argnames=("chunks_r", "chunks_c"))
+def flow_velocity(
+    pos: jax.Array,          # f32[N,2] world (x,z)
+    flock: jax.Array,        # i32[N] flock id or -1
+    field_slot: jax.Array,   # i32[F, num_chunks] flock chunk->slab slot
+    flow_slab: jax.Array,    # u8[S, FIELD_RES, FIELD_RES]
+    *,
+    chunks_r: int,
+    chunks_c: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Sample flow direction per entity.
+
+    Returns:
+      dir: f32[N,2] blended unit direction (zero where no field data).
+      has_field: bool[N] any sampled corner had a built field with a dir.
+    """
+    n = pos.shape[0]
+    field_h = chunks_r * FIELD_RES
+    field_w = chunks_c * FIELD_RES
+
+    # continuous tile coords; tile centers at (i + 0.5) * NAV_TILE_SIZE
+    fx = pos[:, 0] / NAV_TILE_SIZE - 0.5
+    fz = pos[:, 1] / NAV_TILE_SIZE - 0.5
+    c0 = jnp.floor(fx).astype(jnp.int32)
+    r0 = jnp.floor(fz).astype(jnp.int32)
+    wx = fx - c0
+    wz = fz - r0
+
+    fl = jnp.maximum(flock, 0)
+    no_flock = flock < 0
+
+    def sample(r, c):
+        rc = jnp.clip(r, 0, field_h - 1)
+        cc = jnp.clip(c, 0, field_w - 1)
+        chunk = (rc // FIELD_RES) * chunks_c + (cc // FIELD_RES)
+        slot = field_slot[fl, chunk]                  # [N]
+        lr = rc % FIELD_RES
+        lc = cc % FIELD_RES
+        code = flow_slab[jnp.maximum(slot, 0), lr, lc]
+        has = (slot >= 0) & ~no_flock
+        vec = dir_code_to_vec(jnp.where(has, code, 0))
+        return vec, has & (code > 0)
+
+    v00, h00 = sample(r0, c0)
+    v01, h01 = sample(r0, c0 + 1)
+    v10, h10 = sample(r0 + 1, c0)
+    v11, h11 = sample(r0 + 1, c0 + 1)
+
+    w00 = ((1 - wz) * (1 - wx))[:, None]
+    w01 = ((1 - wz) * wx)[:, None]
+    w10 = (wz * (1 - wx))[:, None]
+    w11 = (wz * wx)[:, None]
+
+    blend = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    norm = jnp.linalg.norm(blend, axis=-1, keepdims=True)
+    direction = jnp.where(norm > 1e-6, blend / jnp.maximum(norm, 1e-6), 0.0)
+    has_field = h00 | h01 | h10 | h11
+    return jnp.where(has_field[:, None], direction, 0.0), has_field

@@ -186,6 +186,7 @@ class TickDeltas:
     died: jax.Array          # bool[N] hp crossed 0 this tick
     attack_started: jax.Array  # bool[N] entered ATTACK_ANIM this tick
     proj_hit: jax.Array      # i32[P] entity slot hit this tick, or -1
+    corpse_expired: jax.Array  # bool[N] corpse removed this tick (slot free)
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +315,7 @@ def empty_deltas(cfg: EngineConfig) -> TickDeltas:
         died=_z(cfg.max_ents, jnp.bool_),
         attack_started=_z(cfg.max_ents, jnp.bool_),
         proj_hit=jnp.full((cfg.max_projectiles,), -1, jnp.int32),
+        corpse_expired=_z(cfg.max_ents, jnp.bool_),
     )
 
 

@@ -1,0 +1,109 @@
+"""Combat, projectiles, and fog-of-war end-to-end (BASELINE config #4)."""
+
+import numpy as np
+import pytest
+
+from permafrost_engine_tpu.core.config import (
+    CombatStance,
+    DiplomacyState,
+    EngineConfig,
+    FogState,
+    UNITS_PER_TILE,
+)
+from permafrost_engine_tpu.game.engine import Engine
+
+
+def small_cfg():
+    return EngineConfig(
+        max_ents=32,
+        chunks_r=1,
+        chunks_c=1,
+        num_layers=1,
+        max_flocks=4,
+        max_projectiles=16,
+        field_slab_slots=8,
+        los_slab_slots=8,
+    )
+
+
+def two_faction_engine():
+    eng = Engine(small_cfg())
+    eng.add_faction(0)
+    eng.add_faction(1)
+    eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+    return eng
+
+
+def test_melee_kill_and_corpse_removal():
+    eng = two_faction_engine()
+    # strong unit vs harmless unit, adjacent
+    a = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                        base_dmg=20.0, hp=100.0, attack_period=1)
+    b = eng.spawn_batch(np.array([[104.0, 100.0]], np.float32), faction=1,
+                        base_dmg=0.0, hp=40.0)
+    eng.step(240)  # 4 seconds
+    kinds = [e[0] for e in eng.events]
+    assert "attack_start" in kinds
+    assert ("entity_death", {"uid": b[0]}) in eng.events
+    # attacker survives
+    assert ("entity_death", {"uid": a[0]}) not in eng.events
+    # corpse expires (~3s at 1 Hz) and the slot is reclaimed
+    assert ("entity_removed", {"uid": b[0]}) in eng.events
+    assert b[0] not in eng.uid_to_slot
+
+
+def test_aggressive_chase():
+    eng = two_faction_engine()
+    a = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                        max_speed=40.0, vision_range=100.0, attack_range=5.0)
+    eng.spawn_batch(np.array([[160.0, 100.0]], np.float32), faction=1,
+                    base_dmg=0.0, stance=int(CombatStance.NO_ENGAGEMENT))
+    p0 = eng.pos_of(a[0]).copy()
+    eng.step(60)
+    p1 = eng.pos_of(a[0])
+    assert p1[0] > p0[0] + 10, "aggressive unit did not chase visible enemy"
+
+
+def test_no_engagement_never_attacks():
+    eng = two_faction_engine()
+    eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                    stance=int(CombatStance.NO_ENGAGEMENT))
+    b = eng.spawn_batch(np.array([[104.0, 100.0]], np.float32), faction=1,
+                        stance=int(CombatStance.NO_ENGAGEMENT))
+    eng.step(120)
+    hp = np.asarray(eng.state.ents.hp)[eng.uid_to_slot[b[0]]]
+    assert hp == 100.0
+    assert not any(e[0] == "attack_start" for e in eng.events)
+
+
+def test_ranged_projectile_hit():
+    eng = two_faction_engine()
+    eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                    is_ranged=True, attack_range=60.0, base_dmg=25.0,
+                    attack_period=100, stance=int(CombatStance.HOLD_POSITION))
+    b = eng.spawn_batch(np.array([[140.0, 100.0]], np.float32), faction=1,
+                        base_dmg=0.0, stance=int(CombatStance.NO_ENGAGEMENT))
+    eng.step(120)
+    hp = np.asarray(eng.state.ents.hp)[eng.uid_to_slot[b[0]]]
+    assert hp < 100.0, "projectile never landed"
+    assert hp >= 100.0 - 2 * 25.0  # at most a couple of volleys
+
+
+def test_fog_explored_memory():
+    eng = two_faction_engine()
+    u = eng.spawn_batch(np.array([[64.0, 64.0]], np.float32), faction=0,
+                        vision_range=40.0, max_speed=100.0)
+    eng.step(6)  # one fog update
+    fog = np.asarray(eng.state.fog.state)[0]
+    tr, tc = int(64 / UNITS_PER_TILE), int(64 / UNITS_PER_TILE)
+    assert fog[tr, tc] == FogState.VISIBLE
+    far = fog[eng.cfg.tiles_h - 1, eng.cfg.tiles_w - 1]
+    assert far == FogState.UNEXPLORED
+    # move away: old position falls into IN_FOG (explored memory)
+    eng.move(u, (200.0, 200.0))
+    eng.step(300)
+    fog = np.asarray(eng.state.fog.state)[0]
+    assert fog[tr, tc] == FogState.IN_FOG
+    # enemy faction still hasn't explored anything
+    fog1 = np.asarray(eng.state.fog.state)[1]
+    assert (fog1 == FogState.UNEXPLORED).all()
