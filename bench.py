@@ -58,18 +58,15 @@ def build_battle(n_per_side: int = 5000) -> Engine:
 
 def main():
     eng = build_battle()
-    # warmup: compile + first window
-    eng.step_scan(60)
+    # warmup: compile + first second
+    eng.step(60)
 
-    windows = 5
+    frames = 300
     t0 = time.perf_counter()
-    for _ in range(windows):
-        eng.step_scan(60)
-    import jax
+    eng.step(frames)
     jax.block_until_ready(eng.state.ents.pos)
     dt = time.perf_counter() - t0
 
-    frames = windows * 60
     fps = frames / dt
     alive = int(np.asarray(eng.state.ents.alive).sum())
     print(json.dumps({

@@ -1,0 +1,384 @@
+"""Economy: resources, harvesters, storage sites, buildings, builders,
+garrison, population, and idle-worker automation.
+
+Mirrors the reference's systems (ref: src/game/harvester.c, storage_site.c,
+resource.c, building.c, builder.c, garrison.c, population.c,
+automation.c:163-301). These run at low decimated rates in the reference
+(20 Hz garrison, 1-10 Hz economy FSMs) over at most a few hundred workers,
+so they live host-side as plain component tables keyed by uid, issuing
+move orders through the Engine and reacting to its arrival events. The
+device arena stays the source of truth for position/flags/liveness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import IntEnum
+
+import numpy as np
+
+from permafrost_engine_tpu.core.config import EntityFlags
+from permafrost_engine_tpu.core.events import EventType
+
+
+class HarvesterState(IntEnum):
+    IDLE = 0
+    TO_RESOURCE = 1
+    HARVESTING = 2
+    TO_STORAGE = 3
+
+
+class GatherStrategy(IntEnum):
+    """ref: public/game.h harvester strategies."""
+    NEAREST = 0
+    EXCESS = 1
+    GATHERING = 2
+
+
+class BuildingState(IntEnum):
+    """Lifecycle: mark -> found -> supply -> complete (ref: building.c)."""
+    MARKED = 0
+    FOUNDED = 1
+    SUPPLIED = 2
+    COMPLETED = 3
+
+
+@dataclasses.dataclass
+class ResourceComp:
+    name: str
+    amount: int
+    initial: int
+    replenishable: bool = False
+    replenish_amount: int = 0
+
+
+@dataclasses.dataclass
+class HarvesterComp:
+    state: HarvesterState = HarvesterState.IDLE
+    gather_speeds: dict = dataclasses.field(default_factory=dict)   # name -> per-tick
+    max_carry: dict = dataclasses.field(default_factory=dict)       # name -> cap
+    carried: dict = dataclasses.field(default_factory=dict)         # name -> amt
+    target_resource: int = -1
+    target_storage: int = -1
+    strategy: GatherStrategy = GatherStrategy.NEAREST
+    drop_off_only: bool = False
+    automated: bool = True
+
+
+@dataclasses.dataclass
+class StorageComp:
+    capacity: dict = dataclasses.field(default_factory=dict)  # name -> cap
+    stored: dict = dataclasses.field(default_factory=dict)    # name -> amt
+    desired: dict = dataclasses.field(default_factory=dict)   # name -> stockpile
+    do_not_take: set = dataclasses.field(default_factory=set)
+
+
+@dataclasses.dataclass
+class BuildingComp:
+    state: BuildingState = BuildingState.MARKED
+    required: dict = dataclasses.field(default_factory=dict)  # name -> amt
+    supplied: dict = dataclasses.field(default_factory=dict)
+    progress: float = 0.0        # 0..1 build completion
+    rally_point: tuple | None = None
+    vision_when_done: float = 60.0
+
+
+@dataclasses.dataclass
+class BuilderComp:
+    build_speed: float = 0.05    # progress per economy tick
+    target_building: int = -1
+    building: bool = False
+
+
+@dataclasses.dataclass
+class GarrisonComp:
+    capacity: int = 0
+    held: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class PopulationComp:
+    cost: int = 1                # population consumed by this entity
+    provides: int = 0            # population cap provided (houses)
+
+
+_NEAR = 6.0  # interaction proximity in world units
+
+
+class Economy:
+    """One instance per Engine; `tick()` is called at the economy rate."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.resources: dict[int, ResourceComp] = {}
+        self.harvesters: dict[int, HarvesterComp] = {}
+        self.storages: dict[int, StorageComp] = {}
+        self.buildings: dict[int, BuildingComp] = {}
+        self.builders: dict[int, BuilderComp] = {}
+        self.garrisons: dict[int, GarrisonComp] = {}
+        self.population: dict[int, PopulationComp] = {}
+        self.resource_icons: dict[str, str] = {}
+
+    # -- queries (back the pf.* economy surface) -------------------------------
+
+    def resource_names(self) -> list[str]:
+        return sorted({r.name for r in self.resources.values()})
+
+    def stored_of(self, faction: int, name: str) -> int:
+        e = self.engine
+        fac = np.asarray(e.state.ents.faction)
+        total = 0
+        for uid, s in self.storages.items():
+            slot = e.uid_to_slot.get(uid)
+            if slot is not None and fac[slot] == faction:
+                total += s.stored.get(name, 0)
+        return total
+
+    def capacity_of(self, faction: int, name: str) -> int:
+        e = self.engine
+        fac = np.asarray(e.state.ents.faction)
+        total = 0
+        for uid, s in self.storages.items():
+            slot = e.uid_to_slot.get(uid)
+            if slot is not None and fac[slot] == faction:
+                total += s.capacity.get(name, 0)
+        return total
+
+    def population_of(self, faction: int) -> int:
+        e = self.engine
+        fac = np.asarray(e.state.ents.faction)
+        alive = np.asarray(e.state.ents.alive)
+        return sum(
+            p.cost for uid, p in self.population.items()
+            if (s := e.uid_to_slot.get(uid)) is not None
+            and alive[s] and fac[s] == faction)
+
+    def population_limit_of(self, faction: int) -> int:
+        e = self.engine
+        fac = np.asarray(e.state.ents.faction)
+        alive = np.asarray(e.state.ents.alive)
+        return sum(
+            p.provides for uid, p in self.population.items()
+            if (s := e.uid_to_slot.get(uid)) is not None
+            and alive[s] and fac[s] == faction)
+
+    # -- commands -------------------------------------------------------------
+
+    def gather(self, uid: int, resource_uid: int) -> None:
+        h = self.harvesters[uid]
+        h.state = HarvesterState.TO_RESOURCE
+        h.target_resource = resource_uid
+        self.engine.move([uid], tuple(self.engine.pos_of(resource_uid)))
+
+    def drop_off(self, uid: int, storage_uid: int) -> None:
+        h = self.harvesters[uid]
+        h.state = HarvesterState.TO_STORAGE
+        h.target_storage = storage_uid
+        self.engine.move([uid], tuple(self.engine.pos_of(storage_uid)))
+
+    def build(self, uid: int, building_uid: int) -> None:
+        b = self.builders[uid]
+        b.target_building = building_uid
+        b.building = False
+        self.engine.move([uid], tuple(self.engine.pos_of(building_uid)))
+
+    def found_building(self, building_uid: int) -> None:
+        b = self.buildings[building_uid]
+        if b.state == BuildingState.MARKED:
+            b.state = BuildingState.FOUNDED
+            self.engine.events.append(("building_founded", {"uid": building_uid}))
+            self.engine.bus.notify(EventType.BUILDING_FOUNDED, building_uid)
+
+    def supply_building(self, building_uid: int, name: str, amount: int) -> int:
+        """Deliver resources toward construction; returns amount accepted."""
+        b = self.buildings[building_uid]
+        need = b.required.get(name, 0) - b.supplied.get(name, 0)
+        take = max(0, min(need, amount))
+        b.supplied[name] = b.supplied.get(name, 0) + take
+        if all(b.supplied.get(k, 0) >= v for k, v in b.required.items()):
+            if b.state == BuildingState.FOUNDED:
+                b.state = BuildingState.SUPPLIED
+        return take
+
+    def garrison(self, uid: int, holder_uid: int) -> bool:
+        g = self.garrisons[holder_uid]
+        if len(g.held) >= g.capacity:
+            return False
+        d = np.linalg.norm(self.engine.pos_of(uid) - self.engine.pos_of(holder_uid))
+        if d > _NEAR * 2:
+            self.engine.move([uid], tuple(self.engine.pos_of(holder_uid)))
+            return False
+        g.held.append(uid)
+        self.engine.set_flags([uid], set_mask=int(EntityFlags.GARRISONED)
+                              | int(EntityFlags.INVISIBLE))
+        self.engine.bus.notify(EventType.GARRISON_ENTERED,
+                               {"uid": uid, "holder": holder_uid})
+        return True
+
+    def evict(self, holder_uid: int, uid: int | None = None) -> list[int]:
+        g = self.garrisons[holder_uid]
+        out = [uid] if uid is not None else list(g.held)
+        freed = []
+        hp = self.engine.pos_of(holder_uid)
+        for i, u in enumerate(out):
+            if u not in g.held:
+                continue
+            g.held.remove(u)
+            self.engine.set_flags([u], clear_mask=int(EntityFlags.GARRISONED)
+                                  | int(EntityFlags.INVISIBLE))
+            self.engine.teleport(u, (float(hp[0]) + 3.0 + 2.0 * i, float(hp[1]) + 3.0))
+            self.engine.bus.notify(EventType.GARRISON_EXITED,
+                                   {"uid": u, "holder": holder_uid})
+            freed.append(u)
+        return freed
+
+    # -- the economy tick --------------------------------------------------------
+
+    def tick(self) -> None:
+        e = self.engine
+        self._tick_harvesters()
+        self._tick_builders()
+        self._tick_automation()
+        self._tick_replenish()
+
+    def _near(self, uid_a: int, uid_b: int) -> bool:
+        try:
+            pa, pb = self.engine.pos_of(uid_a), self.engine.pos_of(uid_b)
+        except KeyError:
+            return False
+        ra = float(np.asarray(self.engine.state.ents.sel_radius)[
+            self.engine.uid_to_slot[uid_a]])
+        rb = float(np.asarray(self.engine.state.ents.sel_radius)[
+            self.engine.uid_to_slot[uid_b]])
+        return float(np.linalg.norm(pa - pb)) <= ra + rb + _NEAR
+
+    def _nearest_storage(self, uid: int, name: str) -> int:
+        """Nearest same-faction storage with room for `name`."""
+        e = self.engine
+        fac = np.asarray(e.state.ents.faction)
+        my_fac = fac[e.uid_to_slot[uid]]
+        best, best_d = -1, np.inf
+        for suid, s in self.storages.items():
+            slot = e.uid_to_slot.get(suid)
+            if slot is None or fac[slot] != my_fac:
+                continue
+            if s.stored.get(name, 0) >= s.capacity.get(name, 0):
+                continue
+            d = float(np.linalg.norm(e.pos_of(uid) - e.pos_of(suid)))
+            if d < best_d:
+                best, best_d = suid, d
+        return best
+
+    def _tick_harvesters(self) -> None:
+        e = self.engine
+        for uid, h in self.harvesters.items():
+            if uid not in e.uid_to_slot:
+                continue
+            if h.state == HarvesterState.TO_RESOURCE:
+                res = self.resources.get(h.target_resource)
+                if res is None or res.amount <= 0:
+                    h.state = HarvesterState.IDLE
+                    continue
+                if self._near(uid, h.target_resource):
+                    e.stop([uid])
+                    h.state = HarvesterState.HARVESTING
+            elif h.state == HarvesterState.HARVESTING:
+                res = self.resources.get(h.target_resource)
+                if res is None or res.amount <= 0:
+                    self._head_to_storage_or_idle(uid, h)
+                    continue
+                name = res.name
+                speed = h.gather_speeds.get(name, 1)
+                cap = h.max_carry.get(name, 10)
+                take = int(min(speed, res.amount, cap - h.carried.get(name, 0)))
+                res.amount -= take
+                h.carried[name] = h.carried.get(name, 0) + take
+                if res.amount <= 0:
+                    e.bus.notify(EventType.RESOURCE_EXHAUSTED, h.target_resource)
+                    if not res.replenishable:
+                        despawn = self.resources.pop(h.target_resource, None)
+                if h.carried.get(name, 0) >= cap:
+                    self._head_to_storage_or_idle(uid, h)
+            elif h.state == HarvesterState.TO_STORAGE:
+                s = self.storages.get(h.target_storage)
+                if s is None:
+                    h.state = HarvesterState.IDLE
+                    continue
+                if self._near(uid, h.target_storage):
+                    e.stop([uid])
+                    for name, amt in list(h.carried.items()):
+                        room = s.capacity.get(name, 0) - s.stored.get(name, 0)
+                        put = max(0, min(room, amt))
+                        s.stored[name] = s.stored.get(name, 0) + put
+                        h.carried[name] = amt - put
+                    h.carried = {k: v for k, v in h.carried.items() if v > 0}
+                    # back to the resource if it still exists
+                    if h.target_resource in self.resources:
+                        self.gather(uid, h.target_resource)
+                    else:
+                        h.state = HarvesterState.IDLE
+
+    def _head_to_storage_or_idle(self, uid: int, h: HarvesterComp) -> None:
+        carried_names = [k for k, v in h.carried.items() if v > 0]
+        if carried_names:
+            suid = self._nearest_storage(uid, carried_names[0])
+            if suid >= 0:
+                self.drop_off(uid, suid)
+                return
+        h.state = HarvesterState.IDLE
+
+    def _tick_builders(self) -> None:
+        e = self.engine
+        for uid, b in self.builders.items():
+            if b.target_building < 0 or uid not in e.uid_to_slot:
+                continue
+            bc = self.buildings.get(b.target_building)
+            if bc is None or bc.state == BuildingState.COMPLETED:
+                b.target_building = -1
+                b.building = False
+                continue
+            if not b.building:
+                if self._near(uid, b.target_building):
+                    e.stop([uid])
+                    b.building = True
+            if b.building and bc.state == BuildingState.SUPPLIED:
+                bc.progress = min(1.0, bc.progress + b.build_speed)
+                # hp grows with progress (ref: building.c)
+                slot = e.uid_to_slot[b.target_building]
+                import jax.numpy as jnp
+                ents = e.state.ents
+                mh = float(np.asarray(ents.max_hp)[slot])
+                e.state = e.state.replace(ents=ents.replace(
+                    hp=ents.hp.at[slot].set(mh * bc.progress)))
+                if bc.progress >= 1.0:
+                    bc.state = BuildingState.COMPLETED
+                    e.bus.notify(EventType.BUILDING_COMPLETED, b.target_building)
+                    b.target_building = -1
+                    b.building = False
+
+    def _tick_automation(self) -> None:
+        """Idle automated harvesters pick the nearest non-empty resource
+        (cost-ranked job assignment, ref: automation.c:163-301)."""
+        e = self.engine
+        for uid, h in self.harvesters.items():
+            if h.state != HarvesterState.IDLE or not h.automated:
+                continue
+            if uid not in e.uid_to_slot or not self.resources:
+                continue
+            names_ok = set(h.gather_speeds) | set(h.max_carry)
+            best, best_d = -1, np.inf
+            for ruid, res in self.resources.items():
+                if ruid not in e.uid_to_slot or res.amount <= 0:
+                    continue
+                if names_ok and res.name not in names_ok:
+                    continue
+                d = float(np.linalg.norm(e.pos_of(uid) - e.pos_of(ruid)))
+                if d < best_d:
+                    best, best_d = ruid, d
+            if best >= 0:
+                self.gather(uid, best)
+
+    def _tick_replenish(self) -> None:
+        for res in self.resources.values():
+            if res.replenishable and res.amount < res.initial:
+                res.amount = min(res.initial, res.amount + res.replenish_amount)

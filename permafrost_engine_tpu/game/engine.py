@@ -22,6 +22,10 @@ from permafrost_engine_tpu.core.config import (
     nav_layer,
     NavDomain,
 )
+from permafrost_engine_tpu.core.events import EventBus, EventType
+from permafrost_engine_tpu.core.perf import Perf
+from permafrost_engine_tpu.core.sched import Scheduler
+from permafrost_engine_tpu.core.settings import Settings
 from permafrost_engine_tpu.game.step import make_tick, make_tick_scan
 from permafrost_engine_tpu.nav.service import NavService
 from permafrost_engine_tpu.state.schema import GameState, init_state
@@ -46,6 +50,24 @@ class Engine:
         self.uid_to_slot: dict[int, int] = {}
         self._free_flocks = list(range(self.cfg.max_flocks - 1, -1, -1))
         self.events: list[tuple[str, dict]] = []
+
+        # host subsystems (imported late to avoid cycles)
+        from permafrost_engine_tpu.game.economy import Economy
+        from permafrost_engine_tpu.game.region import RegionSystem
+        from permafrost_engine_tpu.game.selection import SelectionSystem
+
+        self.bus = EventBus()
+        self.sched = Scheduler(self.bus)
+        self.perf = Perf()
+        self.settings = Settings()
+        self.economy = Economy(self)
+        self.regions = RegionSystem(self.bus)
+        self.selection = SelectionSystem(self.bus)
+        self.sim_state = 0  # SimState.RUNNING
+        self.economy_period = 12   # frames between economy ticks (~5 Hz)
+        self._frame = 0
+        self._pending_deltas = None
+        self.drain_period = 6      # frames between event fetches (~100 ms)
 
     # -- map -------------------------------------------------------------------
 
@@ -149,6 +171,8 @@ class Engine:
             return False
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         if not self._free_flocks:
+            self._reclaim_flocks()
+        if not self._free_flocks:
             raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
 
@@ -168,6 +192,7 @@ class Engine:
             dest=e.dest.at[sl].set(goal),
             flock=e.flock.at[sl].set(fid if ok else -1),
             movestate=e.movestate.at[sl].set(MoveState.MOVING),
+            has_formation_cell=e.has_formation_cell.at[sl].set(False),
         )
         fl = self.state.flocks
         fl = fl.replace(
@@ -177,6 +202,78 @@ class Engine:
         )
         self.state = self.state.replace(ents=e, flocks=fl)
         return ok
+
+    def move_in_formation(self, uids: list[int], goal_xz: tuple[float, float],
+                          ftype=None) -> bool:
+        """Move order with formation cells: lay out terrain-checked cells at
+        the goal, solve the unit->cell assignment on device, and give every
+        unit its own cell destination while sharing one flock's flow fields
+        (ref: G_Formation_Arrange + move_in_formation, formation.c)."""
+        from permafrost_engine_tpu.game.formation import (
+            FormationType, assign_cells, layout_cells)
+
+        if ftype is None:
+            ftype = FormationType.RANK
+        if not uids:
+            return False
+        slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        pos = np.asarray(self.state.ents.pos)[slots]
+        radius = np.asarray(self.state.ents.radius)[slots]
+        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
+        goal = np.asarray(goal_xz, np.float32)
+        centroid = pos.mean(axis=0)
+        direction = goal - centroid
+        if np.linalg.norm(direction) < 1e-3:
+            direction = np.array([1.0, 0.0], np.float32)
+
+        # cells must sit farther apart than the arrival threshold, or units
+        # occupying neighbouring cells wall each other off their own cells
+        from permafrost_engine_tpu.core.config import ARRIVAL_THRESHOLD
+        spacing = max(float(radius.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
+        cells = layout_cells(
+            len(uids), goal, direction, ftype,
+            spacing=spacing,
+            cost_layer=self.nav.cost_base[layer])
+        if len(cells) == 0:
+            return False
+        assign = assign_cells(pos, cells)
+        my_cells = cells[np.clip(assign, 0, len(cells) - 1)]
+
+        # shared flock + fields toward the goal
+        ok = self.move(uids, tuple(goal))
+        e = self.state.ents
+        sl = jnp.asarray(slots)
+        cj = jnp.asarray(my_cells)
+        e = e.replace(
+            dest=e.dest.at[sl].set(cj),
+            formation_cell=e.formation_cell.at[sl].set(cj),
+            has_formation_cell=e.has_formation_cell.at[sl].set(True),
+        )
+        self.state = self.state.replace(ents=e)
+        return ok
+
+    def _reclaim_flocks(self) -> None:
+        """Free flocks no living entity references (the reference deletes
+        empty flocks each movement tick, movement.c make_flocks)."""
+        e = self.state.ents
+        fl = jnp.where(e.alive, e.flock, -1)
+        counts = jnp.zeros((self.cfg.max_flocks,), jnp.int32).at[
+            jnp.where(fl >= 0, fl, self.cfg.max_flocks)].add(1, mode="drop")
+        active = np.asarray(self.state.flocks.active)
+        counts = np.asarray(counts)
+        freed = [f for f in range(self.cfg.max_flocks)
+                 if active[f] and counts[f] == 0]
+        if not freed:
+            return
+        fa = self.state.flocks.active.at[jnp.asarray(freed)].set(False)
+        self.state = self.state.replace(
+            flocks=self.state.flocks.replace(active=fa))
+        for f in freed:
+            self.nav.slot_mirror[f, :] = -1
+            self._free_flocks.append(f)
+        fs = jnp.asarray(self.nav.slot_mirror, jnp.int32)
+        self.state = self.state.replace(
+            flocks=self.state.flocks.replace(field_slot=fs))
 
     def stop(self, uids: list[int]) -> None:
         slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
@@ -210,20 +307,76 @@ class Engine:
     # -- stepping ----------------------------------------------------------------
 
     def step(self, n_frames: int = 1) -> None:
-        """Advance n 60 Hz frames; collect host events from deltas."""
+        """Advance n 60 Hz frames; collect host events from deltas and run
+        host systems (economy, regions, tasks) at their decimated rates —
+        the analogue of the reference's frame loop (ref: src/main.c:816)."""
+        from permafrost_engine_tpu.core.config import SimState
+
+        from permafrost_engine_tpu.game.step import merge_deltas
+
+        paused = self.sim_state == SimState.PAUSED_FULL
         for _ in range(n_frames):
-            self.state, deltas = self._tick_fn(self.state)
-            self._drain(deltas)
+            self.perf.begin_tick()
+            self._frame += 1
+            if not paused:
+                with self.perf.scope("device_tick"):
+                    self.state, deltas = self._tick_fn(self.state)
+                # accumulate deltas ON DEVICE; the host fetches the merged
+                # events every `drain_period` frames. Host<->device syncs
+                # are the latency killer through remote transport; events
+                # arriving a few frames late matches the reference's
+                # deferred patch discipline (movement.c:245-262).
+                with self.perf.scope("drain_deltas"):
+                    self._pending_deltas = (
+                        deltas if self._pending_deltas is None
+                        else merge_deltas(self._pending_deltas, deltas))
+                    if self._frame % self.drain_period == 0:
+                        self.flush_deltas()
+            with self.perf.scope("host_systems"):
+                self._host_systems_tick()
+        # one sync at the end of the call: callers observe all their frames
+        self.flush_deltas()
+        self.bus.service_queue(self.sim_state)
+
+    def flush_deltas(self) -> None:
+        """Synchronously drain any pending tick deltas (tests, shutdown)."""
+        if self._pending_deltas is not None:
+            self._drain(self._pending_deltas)
+            self._pending_deltas = None
 
     def step_scan(self, n_frames: int) -> None:
         """Advance n frames in one device dispatch (lax.scan); events are
-        merged over the window (uid granularity is preserved)."""
+        merged over the window (uid granularity is preserved). Host systems
+        run once per window."""
+        from permafrost_engine_tpu.core.config import SimState
+
+        if self.sim_state == SimState.PAUSED_FULL:
+            return
         if self._scan_fn is None:
             self._scan_fn = make_tick_scan(self.cfg)
         self.state, deltas = self._scan_fn(self.state, n_frames)
         self._drain(deltas)
+        self._frame += n_frames
+        self._host_systems_tick(force=True)
+
+    def _host_systems_tick(self, force: bool = False) -> None:
+        if self.sched.tasks:
+            self.sched.tick()
+        eco = self.economy
+        eco_live = (eco.harvesters or eco.builders or eco.resources
+                    or self.regions.regions)
+        if eco_live and (force or self._frame % self.economy_period == 0):
+            self.economy.tick()
+            if self.regions.regions:
+                uid = np.asarray(self.state.ents.uid)
+                pos = np.asarray(self.state.ents.pos)
+                alive = np.asarray(self.state.ents.alive)
+                self.regions.update(uid, pos, alive)
+        self.bus.service_queue(self.sim_state)
 
     def _drain(self, deltas) -> None:
+        # one host transfer for the whole delta pytree
+        d = jax.device_get(deltas)
         uid_arr = None
 
         def uids_where(mask):
@@ -232,27 +385,52 @@ class Engine:
                 uid_arr = np.asarray(self.state.ents.uid)
             return uid_arr[mask]
 
-        arrived = np.asarray(deltas.arrived)
-        if arrived.any():
-            for u in uids_where(arrived):
-                self.events.append(("motion_end", {"uid": int(u)}))
-        died = np.asarray(deltas.died)
-        if died.any():
-            for u in uids_where(died):
-                self.events.append(("entity_death", {"uid": int(u)}))
-        attacked = np.asarray(deltas.attack_started)
-        if attacked.any():
-            for u in uids_where(attacked):
-                self.events.append(("attack_start", {"uid": int(u)}))
-        expired = np.asarray(deltas.corpse_expired)
-        if expired.any():
+        def emit(kind, etype, u):
+            self.events.append((kind, {"uid": int(u)}))
+            self.bus.notify(etype, {"uid": int(u)})
+            self.bus.notify(etype, {"uid": int(u)}, uid=int(u))
+            self.sched.post_event(etype, {"uid": int(u)})
+
+        if d.arrived.any():
+            for u in uids_where(d.arrived):
+                emit("motion_end", EventType.MOTION_END, u)
+        if d.died.any():
+            for u in uids_where(d.died):
+                emit("entity_death", EventType.ENTITY_DEATH, u)
+        if d.attack_started.any():
+            for u in uids_where(d.attack_started):
+                emit("attack_start", EventType.ATTACK_START, u)
+        if d.corpse_expired.any():
             # corpse slots freed on device; reclaim them host-side
-            for u in uids_where(expired):
+            for u in uids_where(d.corpse_expired):
                 u = int(u)
                 slot = self.uid_to_slot.pop(u, None)
                 if slot is not None:
                     self._free_slots.append(slot)
                 self.events.append(("entity_removed", {"uid": u}))
+                self.bus.notify(EventType.ENTITY_REMOVED, {"uid": u})
+                self.bus.unsubscribe_entity(u)
+            self.selection.prune_dead(set(self.uid_to_slot))
+
+    # -- entity helpers ------------------------------------------------------------
+
+    def set_flags(self, uids: list[int], set_mask: int = 0,
+                  clear_mask: int = 0) -> None:
+        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        e = self.state.ents
+        f = e.flags[slots]
+        f = (f | jnp.uint32(set_mask)) & ~jnp.uint32(clear_mask)
+        self.state = self.state.replace(ents=e.replace(
+            flags=e.flags.at[slots].set(f)))
+
+    def teleport(self, uid: int, pos_xz: tuple[float, float]) -> None:
+        slot = self.uid_to_slot[uid]
+        p = jnp.asarray(np.asarray(pos_xz, np.float32))
+        e = self.state.ents
+        self.state = self.state.replace(ents=e.replace(
+            pos=e.pos.at[slot].set(p),
+            prev_pos=e.prev_pos.at[slot].set(p),
+        ))
 
     # -- queries -----------------------------------------------------------------
 

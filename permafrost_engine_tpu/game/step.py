@@ -80,7 +80,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         cap=cfg.spatial_cell_cap,
     )
     slots = jnp.arange(n, dtype=jnp.int32)
-    neigh_idx, neigh_dist, neigh_valid = grid.knn_query(
+    neigh_idx, neigh_dist, neigh_valid, neigh_pos = grid.knn_query(
         sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
 
     # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
@@ -93,7 +93,8 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     max_speed_tick = ents.max_speed / float(cfg.move_hz)
     vpref = boids.preferred_velocity(
         ents.pos, ents.vel, ents.flock, ents.dest, flow_dir, use_arrive,
-        max_speed_tick, neigh_idx, neigh_valid, moving_mask)
+        max_speed_tick, neigh_idx, neigh_valid, moving_mask,
+        neigh_pos=neigh_pos)
 
     # ---- ClearPath solve (ref: clearpath.c:694) ------------------------------
     ni = jnp.clip(neigh_idx, 0, n - 1)
@@ -103,7 +104,8 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     )
     new_vel = clearpath.new_velocities(
         ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
-        neigh_idx, neigh_valid, neigh_static, moving_mask)
+        neigh_idx, neigh_valid, neigh_static, moving_mask,
+        neigh_pos=neigh_pos)
 
     # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
     garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0
@@ -117,6 +119,8 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
     flock_arrived = jnp.any(
         neigh_same_flock & neigh_arrived & (neigh_dist < 10.0), axis=1)
+    # formation members have exact cell destinations: no propagation
+    flock_arrived = flock_arrived & ~ents.has_formation_cell
     upd = integ_ops.movement_update(
         alive=ents.alive,
         moving_mask=moving_mask,
@@ -128,6 +132,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         vel_hist=ents.vel_hist,
         vel_hist_idx=ents.vel_hist_idx,
         wait_ticks=ents.wait_ticks,
+        stuck_ticks=ents.stuck_ticks,
         layer=ents.layer,
         cost_base=state.nav.cost_base,
         blockers=state.nav.blockers,
@@ -177,7 +182,7 @@ def make_tick(cfg: EngineConfig):
     move_period = FRAME_HZ // cfg.move_hz
     combat_period = FRAME_HZ // cfg.combat_hz
     proj_period = FRAME_HZ // 30
-    fog_period = move_period
+    fog_period = 10  # 6 Hz — the reference flushes vision lazily/batched
     corpse_period = FRAME_HZ  # 1 Hz
 
     def gate(pred, fn, state, deltas):
@@ -214,6 +219,16 @@ def make_tick(cfg: EngineConfig):
         return state, deltas
 
     return tick
+
+
+@jax.jit
+def merge_deltas(a: TickDeltas, b: TickDeltas) -> TickDeltas:
+    """OR/max-fold two tick deltas (device-side event accumulation)."""
+    def m(x, y):
+        if x.dtype == jnp.bool_:
+            return x | y
+        return jnp.maximum(x, y)
+    return jax.tree_util.tree_map(m, a, b)
 
 
 def make_tick_scan(cfg: EngineConfig):

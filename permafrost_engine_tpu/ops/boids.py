@@ -112,6 +112,7 @@ def preferred_velocity(
     neigh_idx: jax.Array,    # i32[N,K]
     neigh_valid: jax.Array,  # bool[N,K]
     moving: jax.Array,       # bool[N] entities actively moving
+    neigh_pos: jax.Array | None = None,  # f32[N,K,2] from knn (avoids a gather)
 ) -> jax.Array:
     """Combined steering -> preferred velocity for the ClearPath solve.
 
@@ -120,7 +121,8 @@ def preferred_velocity(
     flock cohesion + flock alignment, truncated to MAX_FORCE, integrated
     onto the current velocity, then truncated to per-tick max speed.
     """
-    neigh_pos = _gather(pos, neigh_idx)
+    if neigh_pos is None:
+        neigh_pos = _gather(pos, neigh_idx)
     neigh_vel = _gather(vel, neigh_idx)
     neigh_flock = _gather(flock, neigh_idx)
 

@@ -42,6 +42,7 @@ def new_velocities(
     neigh_valid: jax.Array,  # bool[N,K]
     neigh_static: jax.Array,  # bool[N,K] neighbour is a non-moving obstacle
     active: jax.Array,     # bool[N] entities that should avoid (moving)
+    neigh_pos: jax.Array | None = None,  # f32[N,K,2] from knn (avoids a gather)
 ) -> jax.Array:
     """Feasible velocity nearest vpref per entity (G_ClearPath_NewVelocity,
     ref: src/game/clearpath.c:694).
@@ -50,7 +51,7 @@ def new_velocities(
     """
     n, k = neigh_idx.shape
     ni = jnp.clip(neigh_idx, 0, n - 1)
-    npos = pos[ni]                                  # [N,K,2]
+    npos = pos[ni] if neigh_pos is None else neigh_pos  # [N,K,2]
     nvel = jnp.where(neigh_static[..., None], 0.0, vel[ni])
     nrad = radius[ni]
 
@@ -92,7 +93,17 @@ def new_velocities(
 
     scales = jnp.array([1.0, 0.75, 0.5, 0.25, 0.0], jnp.float32)
     base = vpref[:, None, :] * scales[None, :, None]          # [N,5,2]
-    cand = jnp.concatenate([base, proj_l, proj_r], axis=1)    # [N,5+2K,2]
+    # rotated-vdes fan: threads gaps between tangent cones (the reference
+    # gets this from cone-edge intersection candidates, clearpath.c:321)
+    angs = jnp.deg2rad(jnp.array(
+        [15.0, -15.0, 30.0, -30.0, 45.0, -45.0, 70.0, -70.0, 90.0, -90.0]))
+    ca, sa = jnp.cos(angs), jnp.sin(angs)                     # [A]
+    vx, vz = vpref[:, 0:1], vpref[:, 1:2]                     # [N,1]
+    rot = jnp.stack(
+        [vx * ca[None, :] - vz * sa[None, :],
+         vx * sa[None, :] + vz * ca[None, :]], axis=-1)       # [N,A,2]
+    rot = jnp.concatenate([rot, rot * 0.5], axis=1)           # [N,2A,2]
+    cand = jnp.concatenate([base, rot, proj_l, proj_r], axis=1)  # [N,5+2A+2K,2]
 
     # clamp candidate speeds
     cspeed = jnp.linalg.norm(cand, axis=-1)

@@ -23,9 +23,16 @@ from permafrost_engine_tpu.core.config import EngineConfig, SPATIAL_CELL_SIZE
 
 @flax.struct.dataclass
 class SpatialGrid:
-    """Cell buckets of entity slots; -1 marks empty bucket entries."""
+    """Cell buckets of entity slots; -1 marks empty bucket entries.
+
+    `bucket_xy` carries the indexed entities' positions in bucket layout so
+    queries fetch candidate coordinates with *row* gathers (one [cap, 2]
+    row per cell) instead of per-element arena gathers — element gathers
+    run ~1 element/cycle on TPU and dominated the knn cost at 16k entities.
+    """
 
     buckets: jax.Array     # i32[cells_r * cells_c, cap] entity slots or -1
+    bucket_xy: jax.Array   # f32[cells_r * cells_c, cap, 2] positions
     cell_of: jax.Array     # i32[N] flat cell id per entity (dead: num_cells)
     cells_r: int = flax.struct.field(pytree_node=False)
     cells_c: int = flax.struct.field(pytree_node=False)
@@ -69,9 +76,12 @@ def build_grid(
     valid = (sorted_cell < num_cells) & (rank < cap)
     slot_idx = jnp.where(valid, slot_idx, num_cells * cap)  # dropped
     flat = flat.at[slot_idx].set(order.astype(jnp.int32), mode="drop")
+    flat_xy = jnp.full((num_cells * cap, 2), 1e30, jnp.float32)
+    flat_xy = flat_xy.at[slot_idx].set(pos[order], mode="drop")
 
     return SpatialGrid(
         buckets=flat.reshape(num_cells, cap),
+        bucket_xy=flat_xy.reshape(num_cells, cap, 2),
         cell_of=cell.astype(jnp.int32),
         cells_r=cells_r,
         cells_c=cells_c,
@@ -108,7 +118,8 @@ def knn_query(
         16-unit cells covers every neighbour within 32 world units.
 
     Returns:
-      (idx i32[Q, k], dist f32[Q, k], valid bool[Q, k]) sorted by distance.
+      (idx i32[Q, k], dist f32[Q, k], valid bool[Q, k], neigh_pos f32[Q, k, 2])
+      sorted by distance.
     """
     cells_r, cells_c = grid.cells_r, grid.cells_c
     cap = grid.buckets.shape[1]
@@ -119,21 +130,27 @@ def knn_query(
     in_bounds = (nr >= 0) & (nr < cells_r) & (nc >= 0) & (nc < cells_c)
     ncell = jnp.where(in_bounds, nr * cells_c + nc, 0)
 
-    cand = grid.buckets[ncell]                         # [Q, W2, cap]
+    cand = grid.buckets[ncell]                         # [Q, W2, cap] row-gather
     cand = jnp.where(in_bounds[..., None], cand, -1)
     cand = cand.reshape(cand.shape[0], -1)             # [Q, W2*cap]
+    cpos = grid.bucket_xy[ncell]                       # [Q, W2, cap, 2] row-gather
+    cpos = cpos.reshape(cand.shape[0], -1, 2)
 
-    cpos = pos[jnp.clip(cand, 0, pos.shape[0] - 1)]    # [Q, C, 2]
     d2 = jnp.sum((cpos - query_pos[:, None, :]) ** 2, axis=-1)
     invalid = (cand < 0) | (cand == query_slot[:, None])
     d2 = jnp.where(invalid, jnp.inf, d2)
 
-    neg_d2, top_i = jax.lax.top_k(-d2, k)              # [Q, k]
+    # approx_max_k: TPU-optimized partial reduction (exact top_k does a
+    # full per-row sort). Missing a marginal 33rd-nearest neighbour is
+    # within the reference's own truncation semantics (clearpath.c:390).
+    neg_d2, top_i = jax.lax.approx_max_k(
+        -d2, k, recall_target=0.95, aggregate_to_topk=True)
     idx = jnp.take_along_axis(cand, top_i, axis=1)
+    neigh_pos = jnp.take_along_axis(cpos, top_i[..., None], axis=1)
     dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
     valid = jnp.isfinite(neg_d2)
     idx = jnp.where(valid, idx, -1)
-    return idx, dist, valid
+    return idx, dist, valid, neigh_pos
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -154,33 +171,42 @@ def nearest_match(
     target blocks so peak memory is [Q, block] instead of [Q, N].
 
     Args:
-      pair_ok: bool[Q, num_blocks?]-free predicate — supplied as a function
-        of gathered blocks is awkward under scan, so we take bool[Q, N]
-        row-factorized instead: pair_ok[q, t] = q_feat[q] matches t_feat[t].
-        To stay O(Q + N), pass factions: here pair_ok is bool[Q, N] only
-        conceptually — the arg is a tuple (q_code i32[Q], ok_matrix bool[C, C],
-        t_code i32[N]) evaluated blockwise.
+      pair_ok: (q_code i32[Q], ok_matrix bool[C, C], t_code i32[N]) —
+        pair_ok[q, t] = ok_matrix[q_code[q], t_code[t]]. Internally the
+        matrix rows are packed into u32 bitmasks so the per-pair test is an
+        elementwise shift, NOT a [Q, block] general gather (which the TPU
+        executes element-serially — measured 2.8 s/tick at 16k entities).
 
     Returns:
       (idx i32[Q] nearest valid target or -1, dist f32[Q]).
     """
     q_code, ok_matrix, t_code = pair_ok
+    c = ok_matrix.shape[0]
+    assert c <= 32, "pair-code matrix packed into u32 bits"
+    # row_bits[f] has bit g set iff ok_matrix[f, g]
+    row_bits = jnp.sum(
+        ok_matrix.astype(jnp.uint32) << jnp.arange(c, dtype=jnp.uint32)[None, :],
+        axis=1)
+    t_bits = row_bits[jnp.clip(t_code, 0, c - 1)]      # small gather: [N]<-[C]
+    q_shift = jnp.clip(q_code, 0, c - 1).astype(jnp.uint32)
+
     n = target_pos.shape[0]
     num_blocks = -(-n // block)
     pad = num_blocks * block - n
     tpos = jnp.pad(target_pos, ((0, pad), (0, 0)))
     tmask = jnp.pad(target_mask, (0, pad))
-    tcode = jnp.pad(t_code, (0, pad))
+    tbits = jnp.pad(t_bits, (0, pad))
     tpos = tpos.reshape(num_blocks, block, 2)
     tmask = tmask.reshape(num_blocks, block)
-    tcode = tcode.reshape(num_blocks, block)
+    tbits = tbits.reshape(num_blocks, block)
     tidx = jnp.arange(num_blocks * block, dtype=jnp.int32).reshape(num_blocks, block)
 
     def body(carry, blk):
         best_d2, best_i = carry
-        bpos, bmask, bcode, bidx = blk
+        bpos, bmask, bbits, bidx = blk
         d2 = jnp.sum((query_pos[:, None, :] - bpos[None, :, :]) ** 2, axis=-1)
-        ok = bmask[None, :] & ok_matrix[q_code[:, None], bcode[None, :]]
+        ok = bmask[None, :] & (
+            ((bbits[None, :] >> q_shift[:, None]) & 1) == 1)
         d2 = jnp.where(ok, d2, jnp.inf)
         bd2 = jnp.min(d2, axis=1)
         bi = bidx[jnp.argmin(d2, axis=1)]
@@ -188,6 +214,6 @@ def nearest_match(
         return (jnp.where(better, bd2, best_d2), jnp.where(better, bi, best_i)), None
 
     init = (jnp.full(query_pos.shape[0], jnp.inf), jnp.full(query_pos.shape[0], -1, jnp.int32))
-    (best_d2, best_i), _ = jax.lax.scan(body, init, (tpos, tmask, tcode, tidx))
+    (best_d2, best_i), _ = jax.lax.scan(body, init, (tpos, tmask, tbits, tidx))
     best_i = jnp.where(query_mask & jnp.isfinite(best_d2), best_i, -1)
     return best_i, jnp.sqrt(jnp.where(jnp.isfinite(best_d2), best_d2, jnp.inf))

@@ -92,6 +92,7 @@ def movement_update(
     vel_hist: jax.Array,
     vel_hist_idx: jax.Array,
     wait_ticks: jax.Array,
+    stuck_ticks: jax.Array,
     layer: jax.Array,
     cost_base: jax.Array,
     blockers: jax.Array,
@@ -128,9 +129,18 @@ def movement_update(
     new_pos = jnp.where((advance & ok)[:, None], cand_pos, pos)
     eff_vel = new_pos - pos
 
+    # ---- stuck/wedge counter (ref: src/game/arrival.h stuck counters) -------
+    progressing = jnp.linalg.norm(eff_vel, axis=-1) > 0.05
+    new_stuck = jnp.where(
+        was_moving & ~progressing, stuck_ticks + 1,
+        jnp.where(progressing, 0, stuck_ticks))
+
     # ---- arrival -----------------------------------------------------------
     dist_dest = jnp.linalg.norm(dest - new_pos, axis=-1)
     arrived_now = was_moving & (dist_dest < ARRIVAL_THRESHOLD)
+    # wedged near the goal for ~1s of move ticks: settle where we stand
+    arrived_now = arrived_now | (
+        was_moving & (new_stuck > 20) & (dist_dest < 5 * ARRIVAL_THRESHOLD))
     # group arrival: stop when an adjacent flockmate has already arrived and
     # we're inside the gathering radius — the propagation that lets a crowd
     # settle around an occupied goal (ref: src/game/arrival.h ring fill;
@@ -173,5 +183,6 @@ def movement_update(
         vel_hist=vh,
         vel_hist_idx=new_idx,
         wait_ticks=new_wait,
+        stuck_ticks=jnp.where(arrived_now, 0, new_stuck),
         arrived=arrived_now & (st != MoveState.ARRIVED),
     )

@@ -1,0 +1,119 @@
+"""Skeletal pose-palette computation as batched matmuls.
+
+The reference computes per-entity joint pose matrices on CPU each tick
+(ref: src/anim/anim.c A_Update) and packs every entity's palette into one
+shared texture for GPU skinning (ref: src/anim/anim_texture.c:93-145).
+On TPU both halves are one batched computation over [N, J, 4, 4] arrays:
+
+  * local joint transforms come from keyframe interpolation (lerp + slerp
+    on device)
+  * globals = parent-chain products, computed level-by-level over the
+    skeleton hierarchy (depth <= ~10 for humanoid rigs, so a handful of
+    batched [N*J, 4, 4] matmuls on the MXU)
+  * the skinning palette = global @ inverse_bind — one more batched matmul
+
+The palette array IS the reference's anim texture: downstream consumers
+(render/draw emission) read it directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_JOINTS = 96  # ref: src/entity.h:50
+
+
+def trs_to_mat(trans: jax.Array, rot_quat: jax.Array, scale: jax.Array) -> jax.Array:
+    """Compose TRS -> 4x4 matrices, batched over leading dims.
+
+    trans [..., 3], rot_quat [..., 4] (x, y, z, w), scale [..., 3].
+    """
+    x, y, z, w = (rot_quat[..., 0], rot_quat[..., 1],
+                  rot_quat[..., 2], rot_quat[..., 3])
+    n = x * x + y * y + z * z + w * w
+    s = jnp.where(n > 0, 2.0 / jnp.maximum(n, 1e-12), 0.0)
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+
+    r = jnp.stack([
+        jnp.stack([1 - (yy + zz), xy - wz, xz + wy], -1),
+        jnp.stack([xy + wz, 1 - (xx + zz), yz - wx], -1),
+        jnp.stack([xz - wy, yz + wx, 1 - (xx + yy)], -1),
+    ], -2)                                              # [..., 3, 3]
+    r = r * scale[..., None, :]
+    m = jnp.zeros((*r.shape[:-2], 4, 4), r.dtype)
+    m = m.at[..., :3, :3].set(r)
+    m = m.at[..., :3, 3].set(trans)
+    m = m.at[..., 3, 3].set(1.0)
+    return m
+
+
+def quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
+    """Batched slerp; t broadcastable over leading dims."""
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)
+    dot = jnp.abs(dot)
+    # fall back to lerp when nearly parallel
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    w0 = jnp.where(sin_t > 1e-5, jnp.sin((1 - t) * theta) / sin_t, 1 - t)
+    w1 = jnp.where(sin_t > 1e-5, jnp.sin(t * theta) / sin_t, t)
+    out = w0 * q0 + w1 * q1
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+def hierarchy_levels(parents: np.ndarray) -> list[np.ndarray]:
+    """Group joint indices by depth; parents[j] < j or -1 for roots."""
+    depth = np.zeros(len(parents), np.int32)
+    for j, p in enumerate(parents):
+        depth[j] = 0 if p < 0 else depth[p] + 1
+    return [np.nonzero(depth == d)[0] for d in range(depth.max() + 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def pose_palette(
+    local: jax.Array,        # f32[N, J, 4, 4] local joint transforms
+    inv_bind: jax.Array,     # f32[J, 4, 4] or [N, J, 4, 4]
+    parents: jax.Array,      # i32[J] (-1 for roots; used with levels)
+    levels: tuple,           # tuple of tuples of joint ids by depth (static)
+) -> jax.Array:
+    """Global pose palette [N, J, 4, 4]: parent-chain products then
+    inverse-bind multiply — the anim-texture contents."""
+    glob = local
+    for lvl in levels[1:]:
+        ids = jnp.asarray(lvl, jnp.int32)
+        par = parents[ids]
+        prod = jnp.einsum(
+            "njab,njbc->njac", glob[:, par], local[:, ids],
+            preferred_element_type=jnp.float32)
+        glob = glob.at[:, ids].set(prod)
+    if inv_bind.ndim == 3:
+        inv_bind = inv_bind[None]
+    return jnp.einsum("njab,njbc->njac", glob, inv_bind,
+                      preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def sample_clip(
+    keyframes_t: jax.Array,   # f32[F] keyframe times
+    trans: jax.Array,         # f32[F, J, 3]
+    rots: jax.Array,          # f32[F, J, 4]
+    scales: jax.Array,        # f32[F, J, 3]
+    t: jax.Array,             # f32[N] sample times (wrapped by caller)
+) -> jax.Array:
+    """Interpolate a clip at N times -> local matrices [N, J, 4, 4]."""
+    f = keyframes_t.shape[0]
+    i1 = jnp.clip(jnp.searchsorted(keyframes_t, t, side="right"), 1, f - 1)
+    i0 = i1 - 1
+    t0, t1 = keyframes_t[i0], keyframes_t[i1]
+    w = ((t - t0) / jnp.maximum(t1 - t0, 1e-6))[:, None, None]
+    tr = trans[i0] * (1 - w) + trans[i1] * w
+    sc = scales[i0] * (1 - w) + scales[i1] * w
+    q = quat_slerp(rots[i0], rots[i1], w[..., None] * jnp.ones((1, 1, 1)))
+    q = q[..., 0, :] if q.ndim == 5 else q
+    return trs_to_mat(tr, q, sc)

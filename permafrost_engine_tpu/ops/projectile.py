@@ -92,6 +92,14 @@ def projectile_substep(cfg: EngineConfig, state, deltas):
     targetable = ents.alive & (ents.hp > 0.0) & (
         (ents.flags & jnp.uint32(EntityFlags.COMBATABLE)) != 0)
     war = state.factions.diplomacy == DiplomacyState.WAR
+    # pack war rows into u32 bitmasks: per-pair test is an elementwise
+    # shift, not a [P, block] general gather (see ops/grid.nearest_match)
+    f = war.shape[0]
+    war_bits = jnp.sum(
+        war.astype(jnp.uint32) << jnp.arange(f, dtype=jnp.uint32)[None, :],
+        axis=1)
+    ent_bits = war_bits[jnp.clip(ents.faction, 0, f - 1)]
+    proj_shift = jnp.clip(proj.faction, 0, f - 1).astype(jnp.uint32)
     pxz = jnp.stack([new_pos[:, 0], new_pos[:, 2]], 1)
 
     block = min(1024, n)
@@ -103,13 +111,13 @@ def projectile_substep(cfg: EngineConfig, state, deltas):
         bpos = jax.lax.dynamic_slice_in_dim(ents.pos, s, block)
         brad = jax.lax.dynamic_slice_in_dim(ents.sel_radius, s, block)
         bmask = jax.lax.dynamic_slice_in_dim(targetable, s, block)
-        bfac = jax.lax.dynamic_slice_in_dim(ents.faction, s, block)
+        bbits = jax.lax.dynamic_slice_in_dim(ent_bits, s, block)
         bh = jax.lax.dynamic_slice_in_dim(ents.height, s, block)
         d2 = jnp.sum((pxz[:, None, :] - bpos[None, :, :]) ** 2, axis=-1)
         hit_r = brad[None, :] + 0.5
         ok = (
             bmask[None, :]
-            & war[proj.faction[:, None], bfac[None, :]]
+            & (((bbits[None, :] >> proj_shift[:, None]) & 1) == 1)
             & (d2 <= hit_r * hit_r)
             & (jnp.abs(new_pos[:, 1:2] - bh[None, :]) < HIT_HEIGHT_TOL)
         )

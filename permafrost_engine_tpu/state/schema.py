@@ -62,6 +62,7 @@ class EntityArena:
     vel_hist: jax.Array       # f32[N,H,2] velocity history ring
     vel_hist_idx: jax.Array   # i32[N] ring write cursor
     wait_ticks: jax.Array     # i32[N] remaining WAITING ticks
+    stuck_ticks: jax.Array    # i32[N] consecutive no-progress move ticks
     formation_cell: jax.Array  # f32[N,2] assigned formation cell position
     has_formation_cell: jax.Array  # bool[N]
 
@@ -220,6 +221,7 @@ def init_arena(cfg: EngineConfig) -> EntityArena:
         vel_hist=_z((n, VEL_HIST_LEN, 2), jnp.float32),
         vel_hist_idx=_z(n, jnp.int32),
         wait_ticks=_z(n, jnp.int32),
+        stuck_ticks=_z(n, jnp.int32),
         formation_cell=_z((n, 2), jnp.float32),
         has_formation_cell=_z(n, jnp.bool_),
         hp=jnp.full((n,), 100.0, jnp.float32),

@@ -93,7 +93,7 @@ def test_fog_explored_memory():
     eng = two_faction_engine()
     u = eng.spawn_batch(np.array([[64.0, 64.0]], np.float32), faction=0,
                         vision_range=40.0, max_speed=100.0)
-    eng.step(6)  # one fog update
+    eng.step(12)  # cover at least one fog update (6 Hz cadence)
     fog = np.asarray(eng.state.fog.state)[0]
     tr, tc = int(64 / UNITS_PER_TILE), int(64 / UNITS_PER_TILE)
     assert fog[tr, tc] == FogState.VISIBLE

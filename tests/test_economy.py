@@ -1,0 +1,152 @@
+"""Economy: harvest cycle, building lifecycle, garrison, population, regions."""
+
+import numpy as np
+
+from permafrost_engine_tpu.core.config import EntityFlags
+from permafrost_engine_tpu.core.events import EventType
+from permafrost_engine_tpu.game.economy import (
+    BuilderComp,
+    BuildingComp,
+    BuildingState,
+    GarrisonComp,
+    HarvesterComp,
+    HarvesterState,
+    PopulationComp,
+    ResourceComp,
+    StorageComp,
+)
+from permafrost_engine_tpu.game.engine import Engine
+from tests.test_engine_move import small_cfg
+
+
+def eng_with(*, harvester_at=None, resource_at=None, storage_at=None):
+    eng = Engine(small_cfg())
+    eng.economy_period = 3
+    out = [eng]
+    if harvester_at is not None:
+        h = eng.spawn_batch(np.array([harvester_at], np.float32),
+                            max_speed=120.0)[0]
+        eng.economy.harvesters[h] = HarvesterComp(
+            gather_speeds={"Wood": 5}, max_carry={"Wood": 10})
+        out.append(h)
+    if resource_at is not None:
+        r = eng.spawn_batch(np.array([resource_at], np.float32),
+                            flags=int(EntityFlags.RESOURCE))[0]
+        eng.economy.resources[r] = ResourceComp("Wood", 30, 30)
+        out.append(r)
+    if storage_at is not None:
+        s = eng.spawn_batch(np.array([storage_at], np.float32),
+                            flags=int(EntityFlags.STORAGE_SITE))[0]
+        eng.economy.storages[s] = StorageComp(capacity={"Wood": 100})
+        out.append(s)
+    return out
+
+
+def test_full_harvest_cycle():
+    eng, h, r, s = eng_with(
+        harvester_at=(100.0, 100.0), resource_at=(140.0, 100.0),
+        storage_at=(100.0, 140.0))
+    eng.economy.gather(h, r)
+    for _ in range(100):
+        eng.step(6)
+        if eng.economy.storages[s].stored.get("Wood", 0) >= 20:
+            break
+    stored = eng.economy.storages[s].stored.get("Wood", 0)
+    assert stored >= 20, f"only {stored} delivered"
+    assert eng.economy.stored_of(0, "Wood") == stored
+    assert eng.economy.capacity_of(0, "Wood") == 100
+
+
+def test_automation_assigns_idle_harvester():
+    eng, h, r, s = eng_with(
+        harvester_at=(100.0, 100.0), resource_at=(130.0, 100.0),
+        storage_at=(100.0, 130.0))
+    # no explicit gather order: automation should pick up the job
+    for _ in range(60):
+        eng.step(6)
+        if eng.economy.harvesters[h].state != HarvesterState.IDLE:
+            break
+    assert eng.economy.harvesters[h].state != HarvesterState.IDLE
+
+
+def test_building_lifecycle():
+    eng = Engine(small_cfg())
+    eng.economy_period = 3
+    b = eng.spawn_batch(np.array([[120.0, 120.0]], np.float32),
+                        flags=int(EntityFlags.BUILDING), hp=400.0)[0]
+    eng.economy.buildings[b] = BuildingComp(required={"Wood": 20})
+    w = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32),
+                        max_speed=120.0)[0]
+    eng.economy.builders[w] = BuilderComp(build_speed=0.25)
+
+    eng.economy.found_building(b)
+    assert eng.economy.buildings[b].state == BuildingState.FOUNDED
+    accepted = eng.economy.supply_building(b, "Wood", 50)
+    assert accepted == 20
+    assert eng.economy.buildings[b].state == BuildingState.SUPPLIED
+
+    eng.economy.build(w, b)
+    completed = []
+    eng.bus.subscribe(EventType.BUILDING_COMPLETED, completed.append)
+    for _ in range(80):
+        eng.step(6)
+        if eng.economy.buildings[b].state == BuildingState.COMPLETED:
+            break
+    assert eng.economy.buildings[b].state == BuildingState.COMPLETED
+    assert completed == [b]
+    # hp ramped to max with progress
+    hp = float(np.asarray(eng.state.ents.hp)[eng.uid_to_slot[b]])
+    assert hp == 400.0
+
+
+def test_garrison_and_evict():
+    eng = Engine(small_cfg())
+    eng.economy_period = 3
+    holder = eng.spawn_batch(np.array([[150.0, 150.0]], np.float32),
+                             flags=int(EntityFlags.GARRISONABLE))[0]
+    eng.economy.garrisons[holder] = GarrisonComp(capacity=2)
+    u = eng.spawn_batch(np.array([[149.0, 149.0]], np.float32))[0]
+    assert eng.economy.garrison(u, holder)
+    assert eng.economy.garrisons[holder].held == [u]
+    flags = int(np.asarray(eng.state.ents.flags)[eng.uid_to_slot[u]])
+    assert flags & int(EntityFlags.GARRISONED)
+    eng.step(30)  # garrisoned unit must not drift
+    freed = eng.economy.evict(holder)
+    assert freed == [u]
+    flags = int(np.asarray(eng.state.ents.flags)[eng.uid_to_slot[u]])
+    assert not (flags & int(EntityFlags.GARRISONED))
+
+
+def test_population_counts():
+    eng = Engine(small_cfg())
+    u1 = eng.spawn_batch(np.array([[10.0, 10.0]], np.float32), faction=2)[0]
+    u2 = eng.spawn_batch(np.array([[12.0, 10.0]], np.float32), faction=2)[0]
+    house = eng.spawn_batch(np.array([[20.0, 20.0]], np.float32), faction=2)[0]
+    eng.economy.population[u1] = PopulationComp(cost=1)
+    eng.economy.population[u2] = PopulationComp(cost=2)
+    eng.economy.population[house] = PopulationComp(cost=0, provides=10)
+    assert eng.economy.population_of(2) == 3
+    assert eng.economy.population_limit_of(2) == 10
+    assert eng.economy.population_of(1) == 0
+
+
+def test_region_enter_exit_events():
+    eng = Engine(small_cfg())
+    eng.economy_period = 3
+    eng.regions.add_circle("zone", (200.0, 200.0), 25.0)
+    u = eng.spawn_batch(np.array([[100.0, 200.0]], np.float32),
+                        max_speed=120.0)[0]
+    got = []
+    eng.bus.subscribe(EventType.REGION_ENTERED, got.append)
+    eng.bus.subscribe(EventType.REGION_EXITED,
+                      lambda a: got.append(("exit", a)))
+    eng.move([u], (200.0, 200.0))
+    for _ in range(60):
+        eng.step(6)
+        if got:
+            break
+    assert got and got[0] == {"region": "zone", "uid": u}
+    assert eng.regions.ents_in("zone") == [u]
+    eng.move([u], (100.0, 200.0))
+    eng.step(240)
+    assert ("exit", {"region": "zone", "uid": u}) in got

@@ -1,0 +1,73 @@
+"""Formation movement: cell layout, assignment, units settle on cells."""
+
+import numpy as np
+
+from permafrost_engine_tpu.core.config import (
+    COST_IMPASSABLE,
+    MoveState,
+    NAV_TILE_SIZE,
+)
+from permafrost_engine_tpu.game.engine import Engine
+from permafrost_engine_tpu.game.formation import (
+    FormationType,
+    assign_cells,
+    layout_cells,
+)
+from tests.test_engine_move import small_cfg
+
+
+def test_layout_rank_vs_column_shape():
+    cost = np.ones((128, 128), np.uint8)
+    goal = np.array([256.0, 256.0])
+    d = np.array([1.0, 0.0])
+    rank = layout_cells(16, goal, d, FormationType.RANK, 4.0, cost)
+    col = layout_cells(16, goal, d, FormationType.COLUMN, 4.0, cost)
+    assert len(rank) >= 16 and len(col) >= 16
+    # rank is wide across the perpendicular (z here), column is deep along x
+    assert np.ptp(rank[:, 1]) > np.ptp(col[:, 1])
+    assert np.ptp(col[:, 0]) > np.ptp(rank[:, 0])
+
+
+def test_layout_avoids_blocked_tiles():
+    cost = np.ones((128, 128), np.uint8)
+    cost[60:68, :] = COST_IMPASSABLE
+    goal = np.array([256.0, 62 * NAV_TILE_SIZE])  # goal row blocked
+    cells = layout_cells(8, goal, np.array([0.0, 1.0]), FormationType.RANK,
+                         4.0, cost)
+    for p in cells:
+        r, c = int(p[1] // NAV_TILE_SIZE), int(p[0] // NAV_TILE_SIZE)
+        assert cost[r, c] != COST_IMPASSABLE
+
+
+def test_assign_cells_permutation():
+    rng = np.random.default_rng(0)
+    units = rng.random((12, 2)).astype(np.float32) * 50
+    cells = rng.random((15, 2)).astype(np.float32) * 50
+    a = assign_cells(units, cells)
+    assert (a >= 0).all()
+    assert len(set(a.tolist())) == 12
+
+
+def test_formation_move_settles_on_cells():
+    cfg = small_cfg()
+    eng = Engine(cfg)
+    rng = np.random.default_rng(1)
+    pos = (rng.random((9, 2)) * 40 + 80).astype(np.float32)
+    uids = eng.spawn_batch(pos, max_speed=80.0)
+    ok = eng.move_in_formation(uids, (300.0, 300.0), FormationType.RANK)
+    assert ok
+    for _ in range(120):
+        eng.step(6)
+        if all(eng.movestate_of(u) == MoveState.ARRIVED for u in uids):
+            break
+    cells = np.asarray(eng.state.ents.formation_cell)
+    dists = []
+    for u in uids:
+        s = eng.uid_to_slot[u]
+        assert eng.movestate_of(u) == MoveState.ARRIVED, f"unit {u} stuck"
+        dists.append(np.linalg.norm(eng.pos_of(u) - cells[s]))
+    dists = np.asarray(dists)
+    # most units on their exact cells; wedge-settled stragglers nearby
+    # (the stuck-counter fallback, ref: arrival.h wedge counters)
+    assert (dists < 6.0).sum() >= len(uids) - 2, dists
+    assert (dists < 26.0).all(), dists

@@ -36,7 +36,7 @@ def test_knn_matches_bruteforce():
                         cells_r=cells, cells_c=cells, cap=64)
     k, window = 8, 5
     slots = np.arange(pos.shape[0], dtype=np.int32)
-    idx, dist, valid = g.knn_query(
+    idx, dist, valid, _npos = g.knn_query(
         grid, jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(slots),
         k=k, window=window)
     idx, dist, valid = np.asarray(idx), np.asarray(dist), np.asarray(valid)
@@ -65,7 +65,7 @@ def test_knn_dead_entities_never_returned():
     pos, alive, cells = make_world(rng, n=100, n_dead=50)
     grid = g.build_grid(jnp.asarray(pos), jnp.asarray(alive),
                         cells_r=cells, cells_c=cells, cap=32)
-    idx, dist, valid = g.knn_query(
+    idx, dist, valid, _npos = g.knn_query(
         grid, jnp.asarray(pos), jnp.asarray(pos),
         jnp.asarray(np.arange(100, dtype=np.int32)), k=8)
     idx, valid = np.asarray(idx), np.asarray(valid)
