@@ -56,6 +56,9 @@ class Engine:
         from permafrost_engine_tpu.game.region import RegionSystem
         from permafrost_engine_tpu.game.selection import SelectionSystem
 
+        from permafrost_engine_tpu.core.audio import AudioSystem
+        from permafrost_engine_tpu.render.anim_system import AnimSystem
+
         self.bus = EventBus()
         self.sched = Scheduler(self.bus)
         self.perf = Perf()
@@ -63,6 +66,10 @@ class Engine:
         self.economy = Economy(self)
         self.regions = RegionSystem(self.bus)
         self.selection = SelectionSystem(self.bus)
+        self.audio = AudioSystem()
+        self.anim = AnimSystem(self)
+        self.map_data = None
+        self.heights = np.zeros((self.cfg.field_h, self.cfg.field_w), np.float32)
         self.sim_state = 0  # SimState.RUNNING
         self.economy_period = 12   # frames between economy ticks (~5 Hz)
         self._frame = 0
@@ -80,6 +87,29 @@ class Engine:
         if hasattr(self, "nav"):
             self.nav.cost_base = cost_base
             self.nav._graphs.clear()
+
+    def load_map_data(self, map_data) -> None:
+        """Install a parsed PFMAP: compile nav costs + heights
+        (ref: AL_MapFromPFMapStream + N_NewCtxForMapData)."""
+        from permafrost_engine_tpu.assets.pfmap import compile_nav_costs
+
+        if (map_data.chunks_r, map_data.chunks_c) != (
+                self.cfg.chunks_r, self.cfg.chunks_c):
+            raise ValueError(
+                f"map is {map_data.chunks_r}x{map_data.chunks_c} chunks; "
+                f"engine config is {self.cfg.chunks_r}x{self.cfg.chunks_c}")
+        cost, heights = compile_nav_costs(map_data)
+        # configs may materialise fewer nav layers (tests: ground 1x1 only)
+        cost = cost[:self.cfg.num_layers]
+        self.map_data = map_data
+        self.heights = heights
+        self.set_cost_base(cost)
+
+    def height_at(self, xz) -> float:
+        from permafrost_engine_tpu.core.config import NAV_TILE_SIZE
+        r = int(np.clip(xz[1] // NAV_TILE_SIZE, 0, self.cfg.field_h - 1))
+        c = int(np.clip(xz[0] // NAV_TILE_SIZE, 0, self.cfg.field_w - 1))
+        return float(self.heights[r, c])
 
     # -- spawning ---------------------------------------------------------------
 
@@ -365,6 +395,10 @@ class Engine:
         eco = self.economy
         eco_live = (eco.harvesters or eco.builders or eco.resources
                     or self.regions.regions)
+        if force or self._frame % self.economy_period == 0:
+            if self.anim.states:
+                self.anim.tick(self.economy_period / 60.0)
+            self.audio.tick(self.economy_period)
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

@@ -70,7 +70,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         | (ents.movestate == MoveState.SEEK_ENEMIES)
         | (ents.movestate == MoveState.ARRIVING_TO_CELL)
         | (ents.movestate == MoveState.SURROUND_ENTITY)
-    )
+    ) & ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) != 0)
 
     # ---- spatial index + neighbours (ref: movement.c:2768-2830) ------------
     collidable = ents.alive & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)

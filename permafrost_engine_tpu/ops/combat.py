@@ -67,8 +67,11 @@ def combat_substep(cfg: EngineConfig, state, deltas):
     reach = ents.attack_range + ents.sel_radius[ti]
     in_range = (t >= 0) & (tdist <= reach)
 
-    # HOLD_POSITION units never chase (public/game.h stances)
-    chase = (t >= 0) & ~in_range & (ents.stance == CombatStance.AGGRESSIVE)
+    # HOLD_POSITION units never chase; neither can immobile entities
+    # like towers (public/game.h stances)
+    movable = (ents.flags & jnp.uint32(EntityFlags.MOVABLE)) != 0
+    chase = (t >= 0) & ~in_range & (
+        ents.stance == CombatStance.AGGRESSIVE) & movable
 
     # ---- FSM -----------------------------------------------------------------
     cs = ents.combatstate

@@ -88,14 +88,12 @@ def pose_palette(
     for lvl in levels[1:]:
         ids = jnp.asarray(lvl, jnp.int32)
         par = parents[ids]
-        prod = jnp.einsum(
-            "njab,njbc->njac", glob[:, par], local[:, ids],
-            preferred_element_type=jnp.float32)
+        prod = jnp.matmul(glob[:, par], local[:, ids],
+                          preferred_element_type=jnp.float32)
         glob = glob.at[:, ids].set(prod)
     if inv_bind.ndim == 3:
         inv_bind = inv_bind[None]
-    return jnp.einsum("njab,njbc->njac", glob, inv_bind,
-                      preferred_element_type=jnp.float32)
+    return jnp.matmul(glob, inv_bind, preferred_element_type=jnp.float32)
 
 
 @jax.jit
@@ -111,9 +109,8 @@ def sample_clip(
     i1 = jnp.clip(jnp.searchsorted(keyframes_t, t, side="right"), 1, f - 1)
     i0 = i1 - 1
     t0, t1 = keyframes_t[i0], keyframes_t[i1]
-    w = ((t - t0) / jnp.maximum(t1 - t0, 1e-6))[:, None, None]
+    w = ((t - t0) / jnp.maximum(t1 - t0, 1e-6))[:, None, None]  # [N,1,1]
     tr = trans[i0] * (1 - w) + trans[i1] * w
     sc = scales[i0] * (1 - w) + scales[i1] * w
-    q = quat_slerp(rots[i0], rots[i1], w[..., None] * jnp.ones((1, 1, 1)))
-    q = q[..., 0, :] if q.ndim == 5 else q
+    q = quat_slerp(rots[i0], rots[i1], w)                       # [N,J,4]
     return trs_to_mat(tr, q, sc)

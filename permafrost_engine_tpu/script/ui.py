@@ -1,0 +1,161 @@
+"""Script-facing UI: windows, widgets, styles (headless immediate-mode).
+
+The reference embeds nuklear and mirrors its full widget/style surface to
+Python (ref: src/script/py_ui.c, py_ui_style.c; layout in src/ui.c:163-267).
+This engine is headless-first: windows keep the same API (subclass Window,
+override update(), call widget methods) and the widget calls record a
+draw-list each frame instead of rasterizing. A terminal/debug renderer can
+print it; a GUI front-end can consume it. Virtual-resolution layout and
+resize masks follow the reference's semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+# resize mask bits (ref: ui.h virtual-resolution anchoring)
+ANCHOR_X_LEFT = 1 << 0
+ANCHOR_X_RIGHT = 1 << 1
+ANCHOR_X_CENTER = 1 << 2
+ANCHOR_Y_TOP = 1 << 3
+ANCHOR_Y_BOT = 1 << 4
+ANCHOR_Y_CENTER = 1 << 5
+ANCHOR_DEFAULT = ANCHOR_X_LEFT | ANCHOR_Y_TOP
+
+WINDOW_BORDER = 1 << 0
+WINDOW_MOVABLE = 1 << 1
+WINDOW_SCALABLE = 1 << 2
+WINDOW_CLOSABLE = 1 << 3
+WINDOW_MINIMIZABLE = 1 << 4
+WINDOW_NO_SCROLLBAR = 1 << 5
+WINDOW_TITLE = 1 << 6
+
+
+@dataclasses.dataclass
+class Style:
+    """Flat style bag (the reference mirrors every nuklear style knob;
+    scripts may set arbitrary attributes)."""
+    props: dict = dataclasses.field(default_factory=dict)
+
+    def __getattr__(self, k):
+        try:
+            return self.__dict__["props"][k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def __setattr__(self, k, v):
+        if k == "props":
+            super().__setattr__(k, v)
+        else:
+            self.props[k] = v
+
+
+class Window:
+    """Subclass and override update(); widgets record into the draw list."""
+
+    def __init__(self, name: str, rect, flags: int = WINDOW_TITLE,
+                 resize_mask: int = ANCHOR_DEFAULT):
+        self.name = name
+        self.rect = list(rect)          # (x, y, w, h) in virtual resolution
+        self.flags = flags
+        self.resize_mask = resize_mask
+        self.shown = False
+        self.style = Style()
+        self.draw_list: list[tuple] = []
+        self._row: tuple | None = None
+        self._widget_state: dict[str, Any] = {}
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def show(self) -> None:
+        self.shown = True
+        _ctx().ui_windows[self.name] = self
+
+    def hide(self) -> None:
+        self.shown = False
+        _ctx().ui_windows.pop(self.name, None)
+
+    def update(self) -> None:
+        """Override: issue widget calls each frame."""
+
+    def _render(self) -> list[tuple]:
+        self.draw_list = []
+        self.update()
+        return self.draw_list
+
+    # -- layout -------------------------------------------------------------------
+
+    def layout_row_static(self, height: int, width: int, cols: int) -> None:
+        self._row = ("static", height, width, cols)
+        self.draw_list.append(("row", self._row))
+
+    def layout_row_dynamic(self, height: int, cols: int) -> None:
+        self._row = ("dynamic", height, cols)
+        self.draw_list.append(("row", self._row))
+
+    # -- widgets -------------------------------------------------------------------
+
+    def label_colored(self, text: str, r: int, g: int, b: int) -> None:
+        self.draw_list.append(("label", text, (r, g, b)))
+
+    def label(self, text: str) -> None:
+        self.draw_list.append(("label", text, None))
+
+    def button_label(self, label: str) -> bool:
+        self.draw_list.append(("button", label))
+        clicked = self._widget_state.pop(("click", label), False)
+        return clicked
+
+    def simulate_click(self, label: str) -> None:
+        """Test/driver hook: press a button before the next update."""
+        self._widget_state[("click", label)] = True
+
+    def checkbox(self, label: str, value: bool) -> bool:
+        self.draw_list.append(("checkbox", label, value))
+        return self._widget_state.get(("check", label), value)
+
+    def option_label(self, label: str, active: bool) -> bool:
+        self.draw_list.append(("option", label, active))
+        return self._widget_state.get(("option", label), active)
+
+    def slider_float(self, minv: float, value: float, maxv: float,
+                     step: float) -> float:
+        self.draw_list.append(("slider", minv, value, maxv, step))
+        return self._widget_state.get(("slider", len(self.draw_list)), value)
+
+    def progress(self, cur: int, maxv: int, modifiable: bool = False) -> int:
+        self.draw_list.append(("progress", cur, maxv))
+        return cur
+
+    def text_edit(self, key: str, initial: str = "") -> str:
+        val = self._widget_state.setdefault(("text", key), initial)
+        self.draw_list.append(("text_edit", key, val))
+        return val
+
+    def image(self, path: str) -> None:
+        self.draw_list.append(("image", path))
+
+    def group(self, name: str) -> None:
+        self.draw_list.append(("group", name))
+
+    def spacer(self, cols: int = 1) -> None:
+        self.draw_list.append(("spacer", cols))
+
+
+class UISystem:
+    """Per-frame window rendering + draw-list export."""
+
+    def __init__(self):
+        self.virtual_resolution = (1920, 1080)
+        self.active_font = "default"
+        self.fonts = {"default"}
+        self.text_edit_focus = False
+
+    def render_all(self, windows: dict[str, Window]) -> dict[str, list]:
+        return {name: w._render() for name, w in windows.items() if w.shown}
+
+
+def _ctx():
+    from permafrost_engine_tpu.script import pf
+    return pf.context()
