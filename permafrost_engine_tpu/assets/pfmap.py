@@ -60,7 +60,15 @@ class PFMapError(ValueError):
 
 
 def parse_pfmap(text: str) -> MapData:
-    lines = iter(text.splitlines())
+    all_lines = text.splitlines()
+    cursor = [0]
+
+    def lines():
+        while cursor[0] < len(all_lines):
+            ln = all_lines[cursor[0]]
+            cursor[0] += 1
+            yield ln
+    lines = lines()
 
     def next_line():
         for ln in lines:
@@ -107,37 +115,49 @@ def parse_pfmap(text: str) -> MapData:
     cover = np.zeros((th, tw), np.uint8)
     edge_blend = np.zeros((th, tw, 4), np.uint8)
 
-    toks: list[str] = []
-
-    def next_tile() -> str:
-        while not toks:
-            toks.extend(next_line().split())
-        t = toks.pop(0)
-        if len(t) != 24:
-            raise PFMapError(f"tile record must be 24 chars, got {t!r}")
-        return t
-
-    # chunks in row-major order; tiles row-major within a chunk
+    # chunks in row-major order; tiles row-major within a chunk. Linear
+    # file index -> global (r, c):
     total = num_rows * num_cols * TILES_PER_CHUNK * TILES_PER_CHUNK
-    for i in range(total):
-        chunk = i // (TILES_PER_CHUNK * TILES_PER_CHUNK)
-        within = i % (TILES_PER_CHUNK * TILES_PER_CHUNK)
-        cr, cc = chunk // num_cols, chunk % num_cols
-        r = cr * TILES_PER_CHUNK + within // TILES_PER_CHUNK
-        c = cc * TILES_PER_CHUNK + within % TILES_PER_CHUNK
+    idx = np.arange(total)
+    chunk = idx // (TILES_PER_CHUNK * TILES_PER_CHUNK)
+    within = idx % (TILES_PER_CHUNK * TILES_PER_CHUNK)
+    rr = (chunk // num_cols) * TILES_PER_CHUNK + within // TILES_PER_CHUNK
+    cc_ = (chunk % num_cols) * TILES_PER_CHUNK + within % TILES_PER_CHUNK
 
-        t = next_tile()
-        tile_type[r, c] = int(t[0], 16)
-        sign = -1 if t[1] == "-" else 1
-        base_height[r, c] = sign * int(t[2:4])
-        ramp_height[r, c] = int(t[4:6])
-        top_mat[r, c] = int(t[6:9])
-        side_mat[r, c] = int(t[9:12])
-        pathable[r, c] = t[12] == "1"
-        blend_normals[r, c] = t[14] == "1"
-        no_bump[r, c] = t[15] == "1"
-        cover[r, c] = int(t[16])
-        edge_blend[r, c] = [int(ch) for ch in t[17:21]]
+    rest = "\n".join(all_lines[cursor[0]:])
+    from permafrost_engine_tpu.utils import native
+    nat = native.parse_tiles(rest, total)
+    if nat is not None:
+        tile_type[rr, cc_] = nat["tile_type"]
+        base_height[rr, cc_] = nat["base_height"]
+        ramp_height[rr, cc_] = nat["ramp_height"]
+        top_mat[rr, cc_] = nat["top_mat"]
+        side_mat[rr, cc_] = nat["side_mat"]
+        pathable[rr, cc_] = nat["pathable"]
+        blend_normals[rr, cc_] = nat["blend_normals"]
+        no_bump[rr, cc_] = nat["no_bump"]
+        cover[rr, cc_] = nat["cover"]
+        edge_blend[rr, cc_] = nat["edge_blend"]
+    else:
+        toks = rest.split()
+        if len(toks) < total:
+            raise PFMapError(f"expected {total} tiles, found {len(toks)}")
+        for i in range(total):
+            t = toks[i]
+            if len(t) != 24:
+                raise PFMapError(f"tile record must be 24 chars, got {t!r}")
+            r, c = rr[i], cc_[i]
+            tile_type[r, c] = int(t[0], 16)
+            sign = -1 if t[1] == "-" else 1
+            base_height[r, c] = sign * int(t[2:4])
+            ramp_height[r, c] = int(t[4:6])
+            top_mat[r, c] = int(t[6:9])
+            side_mat[r, c] = int(t[9:12])
+            pathable[r, c] = t[12] == "1"
+            blend_normals[r, c] = t[14] == "1"
+            no_bump[r, c] = t[15] == "1"
+            cover[r, c] = int(t[16])
+            edge_blend[r, c] = [int(ch) for ch in t[17:21]]
 
     return MapData(
         chunks_r=num_rows, chunks_c=num_cols, materials=materials,

@@ -243,6 +243,7 @@ class EngineConfig:
     max_factions: int = MAX_FACTIONS
     field_slab_slots: int = 256      # device-resident flow-field LRU slab
     los_slab_slots: int = 256        # device-resident LOS-field slab
+    global_field_slots: int = 8      # whole-map fields (enemy-seek/surround)
     spatial_cell_cap: int = 16       # entities per spatial-grid cell bucket
     move_hz: int = 20
     combat_hz: int = 10

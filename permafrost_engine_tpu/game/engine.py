@@ -75,6 +75,8 @@ class Engine:
         self._frame = 0
         self._pending_deltas = None
         self.drain_period = 6      # frames between event fetches (~100 ms)
+        self._seek_flocks: dict[int, tuple] = {}
+        self.seek_refresh_period = 30  # frames between seek-field rebuilds
 
     # -- map -------------------------------------------------------------------
 
@@ -282,6 +284,52 @@ class Engine:
         self.state = self.state.replace(ents=e)
         return ok
 
+    def seek_enemies(self, uids: list[int]) -> bool:
+        """Order units to hunt the nearest enemies via a whole-map
+        enemy-seek field (ref: G_Move_SetSeekEnemies; field TARGET_ENEMIES).
+        The field refreshes periodically while the flock lives."""
+        if not uids:
+            return False
+        slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        if not self._free_flocks:
+            self._reclaim_flocks()
+        fid = self._free_flocks.pop()
+        faction = int(np.asarray(self.state.ents.faction)[slots[0]])
+        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
+        gslot = fid % self.cfg.global_field_slots
+        self.state = self.nav.build_enemy_seek_field(
+            self.state, fid, faction, layer, gslot)
+        self._seek_flocks[fid] = (faction, layer, gslot)
+
+        e = self.state.ents
+        sl = jnp.asarray(slots)
+        far = jnp.asarray([self.cfg.world_w * 2, self.cfg.world_h * 2],
+                          jnp.float32)
+        e = e.replace(
+            flock=e.flock.at[sl].set(fid),
+            movestate=e.movestate.at[sl].set(MoveState.SEEK_ENEMIES),
+            dest=e.dest.at[sl].set(far),   # never "arrive": combat stops them
+            has_formation_cell=e.has_formation_cell.at[sl].set(False),
+        )
+        fl = self.state.flocks
+        fl = fl.replace(
+            active=fl.active.at[fid].set(True),
+            layer=fl.layer.at[fid].set(layer),
+        )
+        self.state = self.state.replace(ents=e, flocks=fl)
+        return True
+
+    def refresh_seek_fields(self) -> None:
+        """Rebuild live enemy-seek fields (enemies move; the reference
+        invalidates + rebuilds them via async field tasks each move tick)."""
+        active = np.asarray(self.state.flocks.active)
+        for fid, (faction, layer, gslot) in list(self._seek_flocks.items()):
+            if not active[fid]:
+                del self._seek_flocks[fid]
+                continue
+            self.state = self.nav.build_enemy_seek_field(
+                self.state, fid, faction, layer, gslot)
+
     def _reclaim_flocks(self) -> None:
         """Free flocks no living entity references (the reference deletes
         empty flocks each movement tick, movement.c make_flocks)."""
@@ -295,11 +343,14 @@ class Engine:
                  if active[f] and counts[f] == 0]
         if not freed:
             return
-        fa = self.state.flocks.active.at[jnp.asarray(freed)].set(False)
+        fr = jnp.asarray(freed)
+        fa = self.state.flocks.active.at[fr].set(False)
+        gs = self.state.flocks.global_slot.at[fr].set(-1)
         self.state = self.state.replace(
-            flocks=self.state.flocks.replace(active=fa))
+            flocks=self.state.flocks.replace(active=fa, global_slot=gs))
         for f in freed:
             self.nav.slot_mirror[f, :] = -1
+            self._seek_flocks.pop(f, None)
             self._free_flocks.append(f)
         fs = jnp.asarray(self.nav.slot_mirror, jnp.int32)
         self.state = self.state.replace(
@@ -399,6 +450,8 @@ class Engine:
             if self.anim.states:
                 self.anim.tick(self.economy_period / 60.0)
             self.audio.tick(self.economy_period)
+        if self._seek_flocks and self._frame % self.seek_refresh_period == 0:
+            self.refresh_seek_fields()
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

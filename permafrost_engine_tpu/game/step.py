@@ -86,6 +86,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
     flow_dir, has_field = vel_ops.flow_velocity(
         ents.pos, ents.flock, state.flocks.field_slot, state.fields.flow,
+        state.flocks.global_slot, state.fields.global_flow,
         chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
     dist_dest = jnp.linalg.norm(ents.dest - ents.pos, axis=-1)
     use_arrive = ~has_field | (dist_dest < 4 * ARRIVE_SLOWING_RADIUS)

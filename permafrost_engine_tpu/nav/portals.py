@@ -65,6 +65,26 @@ class PortalGraph:
     # (cost ~1 step) and intra-chunk links (integration cost)
     adj: dict[int, list[tuple[int, float]]]
     by_chunk: dict[tuple[int, int], list[int]]
+    _csr: tuple | None = None
+
+    def csr(self):
+        """CSR adjacency + node coords for the native A* backend."""
+        if self._csr is None:
+            n = len(self.portals)
+            off = np.zeros(n + 1, np.int64)
+            dst, cost = [], []
+            for pid in range(n):
+                for q, w in self.adj[pid]:
+                    dst.append(q)
+                    cost.append(w)
+                off[pid + 1] = len(dst)
+            coords = np.array([p.center_global() for p in self.portals]
+                              or np.zeros((0, 2)), np.float32)
+            self._csr = (off, np.asarray(dst, np.int64),
+                         np.asarray(cost, np.float32),
+                         coords[:, 0].copy() if n else np.zeros(0, np.float32),
+                         coords[:, 1].copy() if n else np.zeros(0, np.float32))
+        return self._csr
 
 
 def _edge_runs(passable_a: np.ndarray, passable_b: np.ndarray) -> list[tuple[int, int]]:
@@ -162,8 +182,32 @@ def astar_portals(
 ) -> list[int] | None:
     """A* from a virtual start node to a virtual goal node
     (ref: src/navigation/a_star.c:429). Returns the portal pid sequence,
-    or None if unreachable. Empty list = same-chunk path (caller checks
-    reachability within the chunk)."""
+    or None if unreachable. Dispatches to the native C++ backend
+    (native/pf_native.cpp) when available."""
+    if start_costs and goal_costs:
+        from permafrost_engine_tpu.utils import native
+        off, dst, cost, nr, nc = graph.csr()
+        res = native.astar_csr(
+            off, dst, cost, nr, nc,
+            np.asarray(list(start_costs), np.int64),
+            np.asarray(list(start_costs.values()), np.float32),
+            np.asarray(list(goal_costs), np.int64),
+            np.asarray(list(goal_costs.values()), np.float32),
+            goal_rc)
+        if res == "unreachable":
+            return None
+        if res is not None:
+            return res
+    return _astar_portals_py(graph, start_costs, goal_costs, goal_rc)
+
+
+def _astar_portals_py(
+    graph: PortalGraph,
+    start_costs: dict[int, float],
+    goal_costs: dict[int, float],
+    goal_rc: tuple[float, float],
+) -> list[int] | None:
+    """Pure-Python A* fallback."""
     if not start_costs:
         return None
     best: dict[int, float] = {}

@@ -275,6 +275,62 @@ class NavService:
                 jnp.asarray(self.slot_mirror[flock_id], jnp.int32))
         return state.replace(flocks=state.flocks.replace(field_slot=fs))
 
+    # -- whole-map fields (enemy-seek / surround) --------------------------------
+
+    def build_enemy_seek_field(
+        self, state: GameState, flock_id: int, faction: int, layer: int,
+        slot: int,
+    ) -> GameState:
+        """Whole-map field flowing toward every enemy of `faction`
+        (ref: field.c enemy-seek frontier builders, field.c:1209-1678).
+        Host-chosen `slot` indexes the global slab; the caller owns slot
+        assignment/refresh cadence."""
+        import jax.numpy as jnp
+        from permafrost_engine_tpu.core.config import DiplomacyState
+
+        ents = state.ents
+        war = state.factions.diplomacy == DiplomacyState.WAR
+        enemy = ents.alive & (ents.hp > 0) & war[faction][
+            jnp.clip(ents.faction, 0, war.shape[0] - 1)]
+        h, w = self.cfg.field_h, self.cfg.field_w
+        c = jnp.clip((ents.pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
+        r = jnp.clip((ents.pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
+        flat = jnp.where(enemy, r * w + c, h * w)
+        seeds = jnp.zeros((h * w,), jnp.bool_).at[flat].set(
+            True, mode="drop").reshape(h, w)
+        return self._install_global(state, flock_id, layer, slot, seeds)
+
+    def build_surround_field(
+        self, state: GameState, flock_id: int, target_slotidx: int,
+        layer: int, slot: int,
+    ) -> GameState:
+        """Whole-map field toward one entity (TARGET_ENTITY, field.h:79)."""
+        import jax.numpy as jnp
+
+        ents = state.ents
+        h, w = self.cfg.field_h, self.cfg.field_w
+        p = ents.pos[target_slotidx]
+        r = jnp.clip((p[1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
+        c = jnp.clip((p[0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+        seeds = (rows == r) & (cols == c)
+        return self._install_global(state, flock_id, layer, slot, seeds)
+
+    def _install_global(self, state, flock_id, layer, slot, seeds) -> GameState:
+        import jax.numpy as jnp
+
+        # seek fields ignore blockers: enemies stand on blocked tiles
+        cost = state.nav.cost_base[layer]
+        integ = ff.integrate(cost, seeds,
+                             max_iters=4 * max(self.cfg.field_h, self.cfg.field_w))
+        dirs = ff.flow_dirs(integ, cost)
+        gf = state.fields.global_flow.at[slot].set(dirs)
+        gs = state.flocks.global_slot.at[flock_id].set(slot)
+        return state.replace(
+            fields=state.fields.replace(global_flow=gf),
+            flocks=state.flocks.replace(global_slot=gs))
+
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.slot_mirror[flock_id, :] = -1
         fs = state.flocks.field_slot.at[flock_id].set(

@@ -25,11 +25,17 @@ def flow_velocity(
     flock: jax.Array,        # i32[N] flock id or -1
     field_slot: jax.Array,   # i32[F, num_chunks] flock chunk->slab slot
     flow_slab: jax.Array,    # u8[S, FIELD_RES, FIELD_RES]
+    global_slot: jax.Array | None = None,   # i32[F] whole-map field slot
+    global_flow: jax.Array | None = None,   # u8[G, H, W]
     *,
     chunks_r: int,
     chunks_c: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample flow direction per entity.
+
+    A flock with a whole-map field (enemy-seek/surround, the reference's
+    TARGET_ENEMIES/TARGET_ENTITY fields) samples it directly; otherwise the
+    per-chunk slab is resolved through the flock's chunk->slot table.
 
     Returns:
       dir: f32[N,2] blended unit direction (zero where no field data).
@@ -49,6 +55,12 @@ def flow_velocity(
 
     fl = jnp.maximum(flock, 0)
     no_flock = flock < 0
+    if global_slot is not None:
+        gslot = global_slot[fl]
+        use_global = (gslot >= 0) & ~no_flock
+    else:
+        gslot = jnp.full((n,), -1, jnp.int32)
+        use_global = jnp.zeros((n,), jnp.bool_)
 
     def sample(r, c):
         rc = jnp.clip(r, 0, field_h - 1)
@@ -59,6 +71,10 @@ def flow_velocity(
         lc = cc % FIELD_RES
         code = flow_slab[jnp.maximum(slot, 0), lr, lc]
         has = (slot >= 0) & ~no_flock
+        if global_flow is not None:
+            gcode = global_flow[jnp.maximum(gslot, 0), rc, cc]
+            code = jnp.where(use_global, gcode, code)
+            has = has | use_global
         vec = dir_code_to_vec(jnp.where(has, code, 0))
         return vec, has & (code > 0)
 

@@ -166,6 +166,10 @@ class MovableEntity(Entity):
     def stop(self) -> None:
         self._eng.stop([self.uid])
 
+    def seek_enemies(self) -> bool:
+        """Hunt nearest enemies via a whole-map enemy-seek field."""
+        return self._eng.seek_enemies([self.uid])
+
     @property
     def speed(self) -> float:
         return float(np.asarray(self._eng.state.ents.max_speed)[self._slot])

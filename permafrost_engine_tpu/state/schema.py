@@ -98,6 +98,8 @@ class FlockTable:
     target_ent: jax.Array    # i32[F] surround/seek target slot or -1
     field_slot: jax.Array    # i32[F, num_chunks] flow slab slot per chunk
     los_slot: jax.Array      # i32[F, num_chunks] LOS slab slot per chunk
+    global_slot: jax.Array   # i32[F] whole-map field slot (enemy-seek /
+                             # surround, ref: field.h TARGET_ENEMIES/ENTITY)
 
 
 @flax.struct.dataclass
@@ -112,6 +114,7 @@ class FieldSlab:
 
     flow: jax.Array          # u8[S, FIELD_RES, FIELD_RES] FlowDir codes
     los: jax.Array           # u8[S2, FIELD_RES, FIELD_RES] 1 = line-of-sight
+    global_flow: jax.Array   # u8[G, H, W] whole-map fields (enemy-seek etc.)
 
 
 @flax.struct.dataclass
@@ -249,6 +252,7 @@ def init_flocks(cfg: EngineConfig) -> FlockTable:
         target_ent=jnp.full((f,), -1, jnp.int32),
         field_slot=jnp.full((f, nc), -1, jnp.int32),
         los_slot=jnp.full((f, nc), -1, jnp.int32),
+        global_slot=jnp.full((f,), -1, jnp.int32),
     )
 
 
@@ -256,6 +260,8 @@ def init_fields(cfg: EngineConfig) -> FieldSlab:
     return FieldSlab(
         flow=_z((cfg.field_slab_slots, FIELD_RES, FIELD_RES), jnp.uint8),
         los=_z((cfg.los_slab_slots, FIELD_RES, FIELD_RES), jnp.uint8),
+        global_flow=_z((cfg.global_field_slots, cfg.field_h, cfg.field_w),
+                       jnp.uint8),
     )
 
 

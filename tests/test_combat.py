@@ -107,3 +107,19 @@ def test_fog_explored_memory():
     # enemy faction still hasn't explored anything
     fog1 = np.asarray(eng.state.fog.state)[1]
     assert (fog1 == FogState.UNEXPLORED).all()
+
+
+def test_seek_enemies_hunts_across_map():
+    """SEEK_ENEMIES: units follow a whole-map enemy-seek field to distant
+    enemies with no explicit destination (ref: TARGET_ENEMIES fields)."""
+    eng = two_faction_engine()
+    hunters = eng.spawn_batch(np.array([[40.0, 40.0]], np.float32),
+                              faction=0, max_speed=80.0, base_dmg=30.0,
+                              vision_range=40.0)
+    prey = eng.spawn_batch(np.array([[200.0, 200.0]], np.float32),
+                           faction=1, base_dmg=0.0, hp=30.0,
+                           stance=int(CombatStance.NO_ENGAGEMENT))
+    assert eng.seek_enemies(hunters)
+    eng.step(600)
+    assert ("entity_death", {"uid": prey[0]}) in eng.events, \
+        "hunter never found its prey"

@@ -158,3 +158,22 @@ def test_dir_code_to_vec():
     # N (code 2) points -z, E (code 5) points +x
     np.testing.assert_allclose(vecs[2], [0, -1], atol=1e-6)
     np.testing.assert_allclose(vecs[5], [1, 0], atol=1e-6)
+
+
+def test_pallas_kernel_matches_xla():
+    """The VMEM-resident Pallas integration (interpreter mode on CPU) must
+    match the XLA implementation exactly."""
+    from permafrost_engine_tpu.ops.flowfield_pallas import integrate_pallas
+
+    rng = np.random.default_rng(21)
+    K = 3
+    costs = np.stack([random_cost(rng, 64, 64, p_block=0.2) for _ in range(K)])
+    seeds = np.zeros_like(costs, bool)
+    for k in range(K):
+        r, c = rng.integers(0, 64, 2)
+        costs[k, r, c] = 1
+        seeds[k, r, c] = True
+    ref = np.asarray(ff.integrate(jnp.asarray(costs), jnp.asarray(seeds)))
+    got = np.asarray(integrate_pallas(jnp.asarray(costs), jnp.asarray(seeds),
+                                      interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
