@@ -106,6 +106,14 @@ class Engine:
         self.map_data = map_data
         self.heights = heights
         self.set_cost_base(cost)
+        # rebuild the tick with height-aware fog when terrain is uneven
+        if np.ptp(heights) > 0.5:
+            th = jnp.asarray(heights[::2, ::2].astype(np.float32))
+            self._tick_fn = make_tick(self.cfg, th)
+            self._scan_fn = None
+            self._tile_height = th
+        else:
+            self._tile_height = None
 
     def height_at(self, xz) -> float:
         from permafrost_engine_tpu.core.config import NAV_TILE_SIZE
@@ -434,7 +442,8 @@ class Engine:
         if self.sim_state == SimState.PAUSED_FULL:
             return
         if self._scan_fn is None:
-            self._scan_fn = make_tick_scan(self.cfg)
+            self._scan_fn = make_tick_scan(
+                self.cfg, getattr(self, "_tile_height", None))
         self.state, deltas = self._scan_fn(self.state, n_frames)
         self._drain(deltas)
         self._frame += n_frames

@@ -89,7 +89,12 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         state.flocks.global_slot, state.fields.global_flow,
         chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
     dist_dest = jnp.linalg.norm(ents.dest - ents.pos, axis=-1)
-    use_arrive = ~has_field | (dist_dest < 4 * ARRIVE_SLOWING_RADIUS)
+    # direct-seek when close, when no field exists, or when the unit has
+    # line-of-sight to the destination (ref: LOS latch, movement.c:4129)
+    has_los = vel_ops.dest_los(
+        ents.pos, ents.flock, state.flocks.los_slot, state.fields.los,
+        chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
+    use_arrive = ~has_field | has_los | (dist_dest < 4 * ARRIVE_SLOWING_RADIUS)
 
     max_speed_tick = ents.max_speed / float(cfg.move_hz)
     vpref = boids.preferred_velocity(
@@ -162,19 +167,22 @@ def combat_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     return state.replace(projectiles=proj), deltas
 
 
-def fog_substep(cfg: EngineConfig, state: GameState):
+def fog_substep(cfg: EngineConfig, state: GameState,
+                tile_height: jax.Array | None = None):
     ents = state.ents
     new_fog = fog_ops.update_fog(
         state.fog.state, state.fog.enabled,
         ents.pos, ents.alive & (ents.hp > 0.0), ents.faction,
-        ents.vision_range,
+        ents.vision_range, tile_height,
         tiles_h=cfg.tiles_h, tiles_w=cfg.tiles_w,
         max_factions=cfg.max_factions)
     return state.replace(fog=state.fog.replace(state=new_fog))
 
 
-def make_tick(cfg: EngineConfig):
+def make_tick(cfg: EngineConfig, tile_height=None):
     """Build the jitted 60 Hz tick: (state) -> (state, deltas).
+
+    `tile_height` (f32[tiles_h, tiles_w] or None) enables height-aware fog.
 
     Subsystem cadences reproduce the reference's decimated event rates
     (movement 20 Hz, combat 10 Hz, projectiles 30 Hz, corpses 1 Hz —
@@ -215,7 +223,7 @@ def make_tick(cfg: EngineConfig):
 
         state = jax.lax.cond(
             t % fog_period == 0,
-            lambda s: fog_substep(cfg, s), lambda s: s, state)
+            lambda s: fog_substep(cfg, s, tile_height), lambda s: s, state)
 
         return state, deltas
 
@@ -232,13 +240,13 @@ def merge_deltas(a: TickDeltas, b: TickDeltas) -> TickDeltas:
     return jax.tree_util.tree_map(m, a, b)
 
 
-def make_tick_scan(cfg: EngineConfig):
+def make_tick_scan(cfg: EngineConfig, tile_height=None):
     """Batched frame stepper: run `n` 60 Hz frames in ONE device dispatch
     via lax.scan, returning the final state and deltas merged across the
     window. This is the production driving mode — the host only syncs with
     the device once per window, the TPU analogue of the reference's
     sim/render pipeline overlap (ref: src/main.c:816-889)."""
-    tick = make_tick(cfg)
+    tick = make_tick(cfg, tile_height)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def step_n(state: GameState, n: int):

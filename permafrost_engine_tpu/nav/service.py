@@ -81,8 +81,10 @@ class NavService:
         self.cost_base = cost_base
         self._graphs: dict[int, pt.PortalGraph] = {}
         self.flow_cache = LruSlab(cfg.field_slab_slots)
-        # host mirror of FlockTable.field_slot for eviction scrubbing
+        self.los_cache = LruSlab(cfg.los_slab_slots)
+        # host mirrors of FlockTable slot tables for eviction scrubbing
         self.slot_mirror = np.full((cfg.max_flocks, cfg.num_chunks), -1, np.int64)
+        self.los_mirror = np.full((cfg.max_flocks, cfg.num_chunks), -1, np.int64)
         self.stats = {"hits": 0, "misses": 0, "requests": 0, "failed": 0}
 
     # -- portal graphs -------------------------------------------------------
@@ -273,7 +275,27 @@ class NavService:
         else:
             fs = state.flocks.field_slot.at[flock_id].set(
                 jnp.asarray(self.slot_mirror[flock_id], jnp.int32))
-        return state.replace(flocks=state.flocks.replace(field_slot=fs))
+        state = state.replace(flocks=state.flocks.replace(field_slot=fs))
+
+        # LOS field for the destination chunk: units that can see the goal
+        # direct-seek instead of following the field (ref: LOS latch,
+        # field.h:195-202, movement.c compute_los_state)
+        g_chunk = ordered[0][0]
+        los_key = (layer, g_chunk, ("los", gr, gc))
+        slot = self.los_cache.get(los_key)
+        if slot is None:
+            slot, evicted = self.los_cache.put(los_key)
+            if evicted is not None:
+                self.los_mirror[self.los_mirror == slot] = -1
+            passable = self._chunk_cost(state, layer, *g_chunk) != COST_IMPASSABLE
+            los = ff.los_field(passable, gr % FIELD_RES, gc % FIELD_RES)
+            state = state.replace(fields=state.fields.replace(
+                los=state.fields.los.at[slot].set(los)))
+        self.los_mirror[flock_id, :] = -1
+        self.los_mirror[flock_id, self._chunk_idx(*g_chunk)] = slot
+        ls = state.flocks.los_slot.at[flock_id].set(
+            jnp.asarray(self.los_mirror[flock_id], jnp.int32))
+        return state.replace(flocks=state.flocks.replace(los_slot=ls))
 
     # -- whole-map fields (enemy-seek / surround) --------------------------------
 
@@ -333,6 +355,9 @@ class NavService:
 
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.slot_mirror[flock_id, :] = -1
-        fs = state.flocks.field_slot.at[flock_id].set(
-            jnp.full((self.cfg.num_chunks,), -1, jnp.int32))
-        return state.replace(flocks=state.flocks.replace(field_slot=fs))
+        self.los_mirror[flock_id, :] = -1
+        empty = jnp.full((self.cfg.num_chunks,), -1, jnp.int32)
+        fs = state.flocks.field_slot.at[flock_id].set(empty)
+        ls = state.flocks.los_slot.at[flock_id].set(empty)
+        return state.replace(
+            flocks=state.flocks.replace(field_slot=fs, los_slot=ls))

@@ -36,6 +36,10 @@ def _disc_kernel(radius: int) -> np.ndarray:
     return ((x * x + y * y) <= radius * radius).astype(np.float32)
 
 
+NUM_HEIGHT_LEVELS = 4
+HEIGHT_TOL = 1.0  # world units a viewer can see "up"
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_h", "tiles_w", "max_factions"))
 def update_fog(
     fog_state: jax.Array,     # u8[F, TH, TW]
@@ -44,6 +48,7 @@ def update_fog(
     alive: jax.Array,         # bool[N]
     faction: jax.Array,       # i32[N]
     vision_range: jax.Array,  # f32[N] world units
+    tile_height: jax.Array | None = None,   # f32[TH, TW] terrain heights
     *,
     tiles_h: int,
     tiles_w: int,
@@ -60,25 +65,49 @@ def update_fog(
     bucket = jnp.sum((vr_tiles[:, None] > radii[None, :]), axis=1)
     bucket = jnp.clip(bucket, 0, nb - 1)
 
-    chan = faction * nb + bucket
+    # Height-aware path: the reference switches from disc stamps to
+    # recursive shadowcasting on uneven terrain (fog_of_war.c:427-541).
+    # TPU decomposition: viewers are split by height level and each level's
+    # disc visibility is masked to tiles at or below that level (+tol) —
+    # captures the dominant "can't see up cliffs" rule without per-unit
+    # recursion. Ridge back-shadows are approximated away.
+    if tile_height is not None:
+        hmin = jnp.min(tile_height)
+        hmax = jnp.max(tile_height)
+        span = jnp.maximum(hmax - hmin, 1e-3)
+        lvl_of = lambda hval: jnp.clip(
+            ((hval - hmin) / span * NUM_HEIGHT_LEVELS).astype(jnp.int32),
+            0, NUM_HEIGHT_LEVELS - 1)
+        viewer_lvl = lvl_of(tile_height[r, c])
+        nl = NUM_HEIGHT_LEVELS
+        # max height a viewer at level l can see: top of its level + tol
+        lvl_ceil = hmin + (jnp.arange(nl, dtype=jnp.float32) + 1.0) / nl * span
+        see_mask = (tile_height[None] <= (lvl_ceil + HEIGHT_TOL)[:, None, None])
+    else:
+        viewer_lvl = jnp.zeros((n,), jnp.int32)
+        nl = 1
+        see_mask = jnp.ones((1, tiles_h, tiles_w), jnp.bool_)
+
+    chan = (faction * nb + bucket) * nl + viewer_lvl
+    nchan = max_factions * nb * nl
     flat = jnp.where(alive & (faction >= 0) & (vision_range > 0),
                      chan * (tiles_h * tiles_w) + r * tiles_w + c,
-                     max_factions * nb * tiles_h * tiles_w)
-    occ = jnp.zeros((max_factions * nb * tiles_h * tiles_w,), jnp.float32)
+                     nchan * tiles_h * tiles_w)
+    occ = jnp.zeros((nchan * tiles_h * tiles_w,), jnp.float32)
     occ = occ.at[flat].add(1.0, mode="drop")
-    occ = occ.reshape(max_factions, nb, tiles_h, tiles_w)
+    occ = occ.reshape(max_factions, nb, nl, tiles_h, tiles_w)
 
-    vis_count = jnp.zeros((max_factions, tiles_h, tiles_w), jnp.float32)
+    vis = jnp.zeros((max_factions, tiles_h, tiles_w), jnp.bool_)
     for b, rad in enumerate(VISION_BUCKET_RADII):
         kern = jnp.asarray(_disc_kernel(rad))[None, None, :, :]
         out = jax.lax.conv_general_dilated(
-            occ[:, b:b + 1, :, :], kern,
+            occ[:, b].reshape(max_factions * nl, 1, tiles_h, tiles_w), kern,
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        vis_count = vis_count + out[:, 0]
+        ).reshape(max_factions, nl, tiles_h, tiles_w)
+        vis = vis | jnp.any((out > 0.5) & see_mask[None], axis=1)
 
-    visible = vis_count > 0.5
+    visible = vis
     explored = fog_state > FogState.UNEXPLORED
     new = jnp.where(
         visible, jnp.uint8(FogState.VISIBLE),

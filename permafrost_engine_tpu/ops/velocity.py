@@ -93,3 +93,27 @@ def flow_velocity(
     direction = jnp.where(norm > 1e-6, blend / jnp.maximum(norm, 1e-6), 0.0)
     has_field = h00 | h01 | h10 | h11
     return jnp.where(has_field[:, None], direction, 0.0), has_field
+
+
+@functools.partial(jax.jit, static_argnames=("chunks_r", "chunks_c"))
+def dest_los(
+    pos: jax.Array,          # f32[N,2]
+    flock: jax.Array,        # i32[N]
+    los_slot: jax.Array,     # i32[F, num_chunks]
+    los_slab: jax.Array,     # u8[S, FIELD_RES, FIELD_RES]
+    *,
+    chunks_r: int,
+    chunks_c: int,
+) -> jax.Array:
+    """Per-entity line-of-sight to the flock destination, sampled from the
+    LOS slab at the entity's nav tile (ref: N_HasDestLOS / compute_los_state,
+    movement.c:4129). Returns bool[N]; false where no LOS field exists."""
+    field_h = chunks_r * FIELD_RES
+    field_w = chunks_c * FIELD_RES
+    c = jnp.clip((pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, field_w - 1)
+    r = jnp.clip((pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, field_h - 1)
+    chunk = (r // FIELD_RES) * chunks_c + (c // FIELD_RES)
+    fl = jnp.maximum(flock, 0)
+    slot = los_slot[fl, chunk]
+    val = los_slab[jnp.maximum(slot, 0), r % FIELD_RES, c % FIELD_RES]
+    return (flock >= 0) & (slot >= 0) & (val > 0)

@@ -28,6 +28,8 @@ from permafrost_engine_tpu.core.config import (
 @functools.partial(jax.jit, static_argnames=())
 def cull_and_emit(
     pos: jax.Array,        # f32[N,2]
+    prev_pos: jax.Array,   # f32[N,2] previous movement-tick position
+    alpha: jax.Array,      # f32[] interpolation fraction within the tick
     height: jax.Array,     # f32[N]
     facing: jax.Array,     # f32[N]
     radius: jax.Array,     # f32[N]
@@ -36,14 +38,23 @@ def cull_and_emit(
     hp: jax.Array,
     max_hp: jax.Array,
     planes: jax.Array,     # f32[6,4] frustum planes (nx,ny,nz,d)
+    cam_pos: jax.Array,    # f32[3]
+    lod_dists: jax.Array,  # f32[2] LOD switch distances
 ):
     """Frustum-cull (sphere test, the cheap half of the reference's
-    frustum/OBB test, ref: game.c:2193-2219) and emit draw inputs."""
+    frustum/OBB test, ref: game.c:2193-2219) and emit draw inputs.
+    Positions interpolate between movement ticks at render rate
+    (ref: interpolate_tick, movement.c:4085) and a LOD index is selected
+    by camera distance (ref: game.c:439-463)."""
+    pos = prev_pos + (pos - prev_pos) * alpha
     p3 = jnp.stack([pos[:, 0], height, pos[:, 1]], axis=1)   # [N,3]
     vis = alive & ((flags & jnp.uint32(EntityFlags.INVISIBLE)) == 0)
     dists = p3 @ planes[:, :3].T + planes[None, :, 3]        # [N,6]
     inside = jnp.all(dists >= -radius[:, None], axis=1)
     visible = vis & inside
+    cam_d = jnp.linalg.norm(p3 - cam_pos[None, :], axis=1)
+    lod = (cam_d > lod_dists[0]).astype(jnp.int32) + (
+        cam_d > lod_dists[1]).astype(jnp.int32)
 
     # model matrices: translate * rotY(facing)
     c, s = jnp.cos(facing), jnp.sin(facing)
@@ -57,20 +68,29 @@ def cull_and_emit(
     ], axis=1)                                               # [N,4,4]
 
     health_frac = jnp.where(max_hp > 0, hp / jnp.maximum(max_hp, 1e-6), 0.0)
-    return visible, m, health_frac
+    return visible, m, health_frac, lod
 
 
-def draw_buffers(engine, camera) -> dict:
-    """One-call presentation export for the host renderer."""
+def draw_buffers(engine, camera, alpha: float = 1.0) -> dict:
+    """One-call presentation export for the host renderer. `alpha` is the
+    render-frame fraction within the current movement tick."""
     e = engine.state.ents
     planes = jnp.asarray(camera.frustum_planes())
-    visible, mats, health = cull_and_emit(
-        e.pos, e.height, e.facing, e.sel_radius, e.alive, e.flags,
-        e.hp, e.max_hp, planes)
+    try:
+        d1 = engine.settings.get("pf.video.lod_dist1")
+        d2 = engine.settings.get("pf.video.lod_dist2")
+    except Exception:
+        d1, d2 = 200.0, 400.0
+    visible, mats, health, lod = cull_and_emit(
+        e.pos, e.prev_pos, jnp.float32(alpha), e.height, e.facing,
+        e.sel_radius, e.alive, e.flags, e.hp, e.max_hp, planes,
+        jnp.asarray(camera.pos, jnp.float32),
+        jnp.asarray([d1, d2], jnp.float32))
     return {
         "visible": visible,
         "model_mats": mats,
         "health_frac": health,
+        "lod": lod,
         "faction": e.faction,
         "selection": list(engine.selection.selection),
     }

@@ -123,3 +123,33 @@ def test_seek_enemies_hunts_across_map():
     eng.step(600)
     assert ("entity_death", {"uid": prey[0]}) in eng.events, \
         "hunter never found its prey"
+
+
+def test_fog_height_aware():
+    """A unit in a valley cannot see up onto a plateau; a unit on the
+    plateau sees down (ref: height-aware shadowcasting path,
+    fog_of_war.c:427-541)."""
+    from permafrost_engine_tpu.assets.pfmap import make_flat_map
+    from permafrost_engine_tpu.core.config import UNITS_PER_TILE
+    from tests.test_engine_move import small_cfg as move_cfg
+
+    cfg = move_cfg()  # 2x2 chunks: 64x64 tiles
+    m = make_flat_map(cfg.chunks_r, cfg.chunks_c)
+    m.base_height[:, 32:] = 8   # eastern plateau
+    eng = Engine(cfg)
+    eng.add_faction(0)
+    eng.add_faction(1)
+    eng.load_map_data(m)
+    # faction 0 unit in the valley near the cliff; faction 1 on the plateau
+    eng.spawn_batch(np.array([[28 * UNITS_PER_TILE, 100.0]], np.float32),
+                    faction=0, vision_range=80.0)
+    eng.spawn_batch(np.array([[36 * UNITS_PER_TILE, 100.0]], np.float32),
+                    faction=1, vision_range=80.0)
+    eng.step(12)
+    fog0 = np.asarray(eng.state.fog.state)[0]
+    fog1 = np.asarray(eng.state.fog.state)[1]
+    tr = int(100.0 / UNITS_PER_TILE)
+    assert fog0[tr, 26] == FogState.VISIBLE          # own valley tile
+    assert fog0[tr, 38] != FogState.VISIBLE          # up on the plateau: no
+    assert fog1[tr, 38] == FogState.VISIBLE          # plateau unit sees home
+    assert fog1[tr, 26] == FogState.VISIBLE          # and down the cliff

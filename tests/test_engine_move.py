@@ -100,3 +100,55 @@ def test_stationary_until_ordered():
     p0 = eng.pos_of(uids[0]).copy()
     eng.step(30)
     np.testing.assert_allclose(eng.pos_of(uids[0]), p0)
+
+
+def test_water_and_air_domains():
+    """Water units traverse only water; air ignores terrain; ground units
+    refuse water-locked goals (ref: 12 nav layers, nav.h:78-92)."""
+    from permafrost_engine_tpu.assets.pfmap import make_flat_map
+    from permafrost_engine_tpu.core.config import (
+        NavDomain, UNITS_PER_TILE, EntityFlags,
+    )
+
+    cfg = EngineConfig(max_ents=16, chunks_r=2, chunks_c=2, num_layers=12,
+                       max_flocks=8, max_projectiles=8,
+                       field_slab_slots=16, los_slab_slots=16)
+    m = make_flat_map(2, 2)
+    m.base_height[:, 20:44] = -4       # a sea strip down the middle
+    eng = Engine(cfg)
+    eng.load_map_data(m)
+
+    west = (10 * UNITS_PER_TILE, 32 * UNITS_PER_TILE)
+    east = (50 * UNITS_PER_TILE, 32 * UNITS_PER_TILE)
+    sea = (32 * UNITS_PER_TILE, 32 * UNITS_PER_TILE)
+
+    # ground unit: a goal across the sea is unreachable
+    g = eng.spawn_batch(np.array([west], np.float32), max_speed=80.0)
+    assert not eng.move(g, east)
+
+    # boat: starts in the sea, can move along it but not onto land
+    b = eng.spawn_batch(np.array([sea], np.float32), max_speed=80.0,
+                        domain=NavDomain.WATER,
+                        flags=int(EntityFlags.COLLISION | EntityFlags.MOVABLE
+                                  | EntityFlags.WATER))
+    sea2 = (32 * UNITS_PER_TILE, 50 * UNITS_PER_TILE)
+    assert eng.move(b, sea2)
+    for _ in range(60):
+        eng.step(6)
+        if eng.movestate_of(b[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(b[0]) == MoveState.ARRIVED
+    assert np.linalg.norm(eng.pos_of(b[0]) - np.asarray(sea2)) < 12.0
+    assert not eng.move(b, west)   # land is impassable for boats
+
+    # air unit: crosses the sea freely
+    a = eng.spawn_batch(np.array([west], np.float32), max_speed=80.0,
+                        domain=NavDomain.AIR,
+                        flags=int(EntityFlags.MOVABLE | EntityFlags.AIR))
+    assert eng.move(a, east)
+    for _ in range(80):
+        eng.step(6)
+        if eng.movestate_of(a[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(a[0]) == MoveState.ARRIVED
+    assert np.linalg.norm(eng.pos_of(a[0]) - np.asarray(east)) < 12.0
