@@ -27,7 +27,9 @@ from permafrost_engine_tpu.game.engine import Engine
 
 
 def build_battle(n_per_side: int = 5000) -> Engine:
-    cfg = EngineConfig()  # 16384 ents, 4x4 chunks (1024x1024 world units)
+    # capacity sized to the workload: 10k fighters + projectile headroom
+    # (the arena is dense; dead padding costs real VPU work)
+    cfg = EngineConfig(max_ents=2 * n_per_side + 256)
     eng = Engine(cfg)
     eng.add_faction(0)
     eng.add_faction(1)

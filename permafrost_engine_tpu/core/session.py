@@ -44,7 +44,9 @@ def save_session_bytes(engine) -> bytes:
         "uid_to_slot": dict(engine.uid_to_slot),
         "free_flocks": list(engine._free_flocks),
         "nav_cost_base": engine.nav.cost_base,
+        "map_data": engine.map_data,
         "nav_slot_mirror": engine.nav.slot_mirror,
+        "nav_los_mirror": engine.nav.los_mirror,
         "nav_cache_order": list(engine.nav.flow_cache.order.items()),
         "nav_cache_free": list(engine.nav.flow_cache.free),
         "events": list(engine.events),
@@ -73,6 +75,9 @@ def load_session_bytes(data: bytes):
 
     cfg = EngineConfig(**host["cfg"])
     engine = Engine(cfg, cost_base=np.asarray(host["nav_cost_base"]))
+    if host.get("map_data") is not None:
+        # restores heights + the height-aware tick before state overwrite
+        engine.load_map_data(host["map_data"])
     template = init_state(cfg)
     engine.state = flax.serialization.from_bytes(template, blob["state"])
 
@@ -84,6 +89,8 @@ def load_session_bytes(data: bytes):
 
     nav = engine.nav
     nav.slot_mirror = np.asarray(host["nav_slot_mirror"])
+    if "nav_los_mirror" in host:
+        nav.los_mirror = np.asarray(host["nav_los_mirror"])
     cache = LruSlab(cfg.field_slab_slots)
     for k, v in host["nav_cache_order"]:
         cache.order[k] = v

@@ -232,6 +232,34 @@ class Economy:
             freed.append(u)
         return freed
 
+    def transport(self, transporter_uid: int, unit_uids: list[int],
+                  dest_xz: tuple[float, float]) -> None:
+        """Transport mission (ref: garrison.c transport): load the units,
+        carry them to the destination, evict there. Runs as a cooperative
+        task on the engine scheduler."""
+        eng = self.engine
+        state = {"phase": "loading", "pending": list(unit_uids)}
+
+        def mission(task):
+            from permafrost_engine_tpu.core.sched import Sleep
+            while state["pending"]:
+                for u in list(state["pending"]):
+                    if u not in eng.uid_to_slot:
+                        state["pending"].remove(u)
+                    elif self.garrison(u, transporter_uid):
+                        state["pending"].remove(u)
+                yield Sleep(10)
+            eng.move([transporter_uid], dest_xz)
+            while True:
+                d = np.linalg.norm(eng.pos_of(transporter_uid)
+                                   - np.asarray(dest_xz))
+                if d < 12.0:
+                    break
+                yield Sleep(10)
+            self.evict(transporter_uid)
+
+        eng.sched.create(mission, name=f"transport_{transporter_uid}")
+
     # -- the economy tick --------------------------------------------------------
 
     def tick(self) -> None:

@@ -327,6 +327,39 @@ class Engine:
         self.state = self.state.replace(ents=e, flocks=fl)
         return True
 
+    def surround(self, uids: list[int], target_uid: int) -> bool:
+        """Converge on one entity via a whole-map surround field
+        (ref: G_Move_SetSurroundEntity, TARGET_ENTITY fields)."""
+        if not uids or target_uid not in self.uid_to_slot:
+            return False
+        slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        if not self._free_flocks:
+            self._reclaim_flocks()
+        fid = self._free_flocks.pop()
+        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
+        gslot = fid % self.cfg.global_field_slots
+        tslot = self.uid_to_slot[target_uid]
+        self.state = self.nav.build_surround_field(
+            self.state, fid, tslot, layer, gslot)
+
+        e = self.state.ents
+        sl = jnp.asarray(slots)
+        tpos = e.pos[tslot]
+        e = e.replace(
+            flock=e.flock.at[sl].set(fid),
+            movestate=e.movestate.at[sl].set(MoveState.SURROUND_ENTITY),
+            dest=e.dest.at[sl].set(tpos),
+            has_formation_cell=e.has_formation_cell.at[sl].set(False),
+        )
+        fl = self.state.flocks
+        fl = fl.replace(
+            active=fl.active.at[fid].set(True),
+            layer=fl.layer.at[fid].set(layer),
+            target_ent=fl.target_ent.at[fid].set(tslot),
+        )
+        self.state = self.state.replace(ents=e, flocks=fl)
+        return True
+
     def refresh_seek_fields(self) -> None:
         """Rebuild live enemy-seek fields (enemies move; the reference
         invalidates + rebuilds them via async field tasks each move tick)."""

@@ -245,7 +245,9 @@ class NavService:
                 self.stats["hits"] += 1
             assignments.append((chunk, slot))
 
-        # batched build of missing fields
+        # batched build of missing fields; the batch is padded to the next
+        # power of two so K only ever takes log-many distinct shapes (each
+        # distinct shape costs a full XLA compile on remote backends)
         if to_build:
             costs, seed_arr, slots = [], [], []
             for chunk, sig, slot in to_build:
@@ -259,10 +261,17 @@ class NavService:
                     seeds[t[:, 0], t[:, 1]] = True
                 seed_arr.append(seeds)
                 slots.append(slot)
+            k = len(to_build)
+            k_pad = 1 << (k - 1).bit_length()
+            for _ in range(k_pad - k):
+                costs.append(costs[0])
+                seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
+                slots.append(state.fields.flow.shape[0])   # dropped write
             costs = jnp.stack(costs)
             integ = ff.integrate(costs, jnp.asarray(np.stack(seed_arr)))
             dirs = ff.flow_dirs(integ, costs)
-            flow = state.fields.flow.at[jnp.asarray(slots)].set(dirs)
+            flow = state.fields.flow.at[jnp.asarray(slots)].set(
+                dirs, mode="drop")
             state = state.replace(fields=state.fields.replace(flow=flow))
 
         # point the flock's chunk->slot table at the fields

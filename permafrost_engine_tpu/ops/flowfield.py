@@ -116,9 +116,11 @@ def integrate(
 
     def body(carry):
         i, integ, _ = carry
-        new = integ
-        for _ in range(check_every):
-            new = _relax_once(new, step_cost, passable, allowed)
+        # fori_loop keeps ONE relax in the graph (remote XLA compiles are
+        # minutes-long here; graph size is the driver)
+        new = jax.lax.fori_loop(
+            0, check_every,
+            lambda _, x: _relax_once(x, step_cost, passable, allowed), integ)
         done = jnp.all(new == integ)
         return i + check_every, new, done
 
@@ -207,10 +209,10 @@ def los_field(
 
     def body(carry):
         i, los, _ = carry
-        new = los
-        for _ in range(8):
-            step = upstream(new, dr, dc) & passable & corner_ok
-            new = new | step
+        new = jax.lax.fori_loop(
+            0, 8,
+            lambda _, x: x | (upstream(x, dr, dc) & passable & corner_ok),
+            los)
         return i + 8, new, jnp.all(new == los)
 
     _, los, _ = jax.lax.while_loop(

@@ -1,0 +1,46 @@
+"""Sharded simulation step: the multi-chip driving mode.
+
+The entity arena shards data-parallel over the `ents` mesh axis while
+map/nav/field state replicates (a few MB; every entity-sharded kernel
+reads it). XLA's SPMD partitioner inserts the all-gathers for the
+neighbour queries over ICI — the same neighbour-only communication
+structure the reference gets from its shared-memory snapshot reads
+(SURVEY §2.9 mapping).
+
+Usage:
+    mesh = make_mesh()
+    sharded = make_sharded_tick(cfg, mesh)
+    state = shard_state(cfg, mesh, state)
+    state, deltas = sharded(state)
+"""
+
+from __future__ import annotations
+
+import jax
+
+from permafrost_engine_tpu.core.config import EngineConfig
+from permafrost_engine_tpu.game.step import make_tick
+from permafrost_engine_tpu.parallel.mesh import (  # noqa: F401
+    ENT_AXIS,
+    make_mesh,
+    shard_state,
+    state_shardings,
+)
+
+
+def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None):
+    """Jit the tick with explicit input shardings over `mesh`."""
+    from permafrost_engine_tpu.state.schema import init_state
+
+    template = init_state(cfg)
+    sh = state_shardings(cfg, mesh, template)
+    return jax.jit(make_tick(cfg, tile_height), in_shardings=(sh,))
+
+
+def sharded_engine(engine, mesh):
+    """Re-home an existing Engine's state + tick onto a mesh in place."""
+    engine.state = shard_state(engine.cfg, mesh, engine.state)
+    engine._tick_fn = make_sharded_tick(
+        engine.cfg, mesh, getattr(engine, "_tile_height", None))
+    engine._scan_fn = None
+    return engine

@@ -86,7 +86,7 @@ def draw_buffers(engine, camera, alpha: float = 1.0) -> dict:
         e.sel_radius, e.alive, e.flags, e.hp, e.max_hp, planes,
         jnp.asarray(camera.pos, jnp.float32),
         jnp.asarray([d1, d2], jnp.float32))
-    return {
+    out = {
         "visible": visible,
         "model_mats": mats,
         "health_frac": health,
@@ -94,6 +94,14 @@ def draw_buffers(engine, camera, alpha: float = 1.0) -> dict:
         "faction": e.faction,
         "selection": list(engine.selection.selection),
     }
+    # billboard sprites (ref: src/sprite.c, src/render/gl_sprite.c): host
+    # list — scripts spawn few of them; exported as-is for the renderer
+    try:
+        from permafrost_engine_tpu.script import pf
+        out["sprites"] = list(pf._sprites)
+    except Exception:
+        out["sprites"] = []
+    return out
 
 
 # faction dot colors for the minimap

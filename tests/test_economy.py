@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from permafrost_engine_tpu.core.config import EntityFlags
+from permafrost_engine_tpu.core.config import EntityFlags, MoveState
 from permafrost_engine_tpu.core.events import EventType
 from permafrost_engine_tpu.game.economy import (
     BuilderComp,
@@ -150,3 +150,45 @@ def test_region_enter_exit_events():
     eng.move([u], (100.0, 200.0))
     eng.step(240)
     assert ("exit", {"region": "zone", "uid": u}) in got
+
+
+def test_transport_mission():
+    """Load units into a transport, carry them, evict at the destination."""
+    eng = Engine(small_cfg())
+    eng.economy_period = 3
+    tr = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32),
+                         max_speed=120.0,
+                         flags=int(EntityFlags.MOVABLE
+                                   | EntityFlags.GARRISONABLE))[0]
+    eng.economy.garrisons[tr] = GarrisonComp(capacity=4)
+    units = eng.spawn_batch(np.array([[104.0, 100.0], [100.0, 104.0]],
+                                     np.float32), max_speed=120.0)
+    eng.economy.transport(tr, units, (300.0, 300.0))
+    for _ in range(120):
+        eng.step(6)
+        held = eng.economy.garrisons[tr].held
+        done = (not held
+                and np.linalg.norm(eng.pos_of(units[0])
+                                   - np.asarray([300.0, 300.0])) < 30.0)
+        if done:
+            break
+    assert done, (held, eng.pos_of(units[0]))
+    # units were dropped near the destination and are active again
+    for u in units:
+        flags = int(np.asarray(eng.state.ents.flags)[eng.uid_to_slot[u]])
+        assert not (flags & int(EntityFlags.GARRISONED))
+
+
+def test_surround_command():
+    eng = Engine(small_cfg())
+    target = eng.spawn_batch(np.array([[300.0, 300.0]], np.float32))[0]
+    pack = eng.spawn_batch(
+        np.array([[80.0, 80.0], [90.0, 80.0], [80.0, 90.0]], np.float32),
+        max_speed=120.0)
+    assert eng.surround(pack, target)
+    for _ in range(100):
+        eng.step(6)
+        d = [np.linalg.norm(eng.pos_of(u) - eng.pos_of(target)) for u in pack]
+        if max(d) < 25.0:
+            break
+    assert max(d) < 25.0, d
