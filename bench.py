@@ -71,12 +71,40 @@ def main():
 
     fps = frames / dt
     alive = int(np.asarray(eng.state.ents.alive).sum())
+
+    # second north star: single flow-field rebuild (integration + flow
+    # quantization for one 64x64 chunk), p50 over repeats
+    from permafrost_engine_tpu.core.config import COST_IMPASSABLE, FIELD_RES
+    from permafrost_engine_tpu.ops import flowfield as ff
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    cost = np.ones((1, FIELD_RES, FIELD_RES), np.uint8)
+    cost[0, rng.random((FIELD_RES, FIELD_RES)) < 0.15] = COST_IMPASSABLE
+    seeds = np.zeros_like(cost, bool)
+    cost[0, 32, 32] = 1
+    seeds[0, 32, 32] = True
+    cj, sj = jnp.asarray(cost), jnp.asarray(seeds)
+
+    def rebuild():
+        integ = ff.integrate(cj, sj)
+        return ff.flow_dirs(integ, cj)
+
+    jax.block_until_ready(rebuild())  # compile
+    times = []
+    for _ in range(21):
+        t0 = time.perf_counter()
+        jax.block_until_ready(rebuild())
+        times.append((time.perf_counter() - t0) * 1e3)
+    rebuild_p50 = float(np.median(times))
+
     print(json.dumps({
         "metric": "sim_frames_per_sec_10k_battle",
         "value": round(fps, 2),
         "unit": "frames/s (60Hz frames, 10k units)",
         "vs_baseline": round(fps / 60.0, 3),
         "alive_at_end": alive,
+        "flow_field_rebuild_ms_p50": round(rebuild_p50, 2),
+        "rebuild_vs_2ms_target": round(2.0 / max(rebuild_p50, 1e-6), 2),
     }))
 
 
