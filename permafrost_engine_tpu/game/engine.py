@@ -89,6 +89,7 @@ class Engine:
         if hasattr(self, "nav"):
             self.nav.cost_base = cost_base
             self.nav._graphs.clear()
+            self.nav._islands.clear()
 
     def load_map_data(self, map_data) -> None:
         """Install a parsed PFMAP: compile nav costs + heights

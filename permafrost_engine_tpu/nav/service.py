@@ -80,6 +80,7 @@ class NavService:
         self.cfg = cfg
         self.cost_base = cost_base
         self._graphs: dict[int, pt.PortalGraph] = {}
+        self._islands: dict[int, np.ndarray] = {}   # layer -> host mirror
         self.flow_cache = LruSlab(cfg.field_slab_slots)
         self.los_cache = LruSlab(cfg.los_slab_slots)
         # host mirrors of FlockTable slot tables for eviction scrubbing
@@ -96,9 +97,19 @@ class NavService:
             )
         return self._graphs[layer]
 
+    def islands(self, layer: int) -> np.ndarray:
+        """Global island ids for a layer (host mirror, built on demand —
+        ref: n_update_components, nav.c:655)."""
+        if layer not in self._islands:
+            from permafrost_engine_tpu.ops.islands import label_islands
+            self._islands[layer] = np.asarray(
+                label_islands(jnp.asarray(self.cost_base[layer])))
+        return self._islands[layer]
+
     def invalidate_layer(self, layer: int) -> None:
         """Call after cost_base edits (terrain change, building placed)."""
         self._graphs.pop(layer, None)
+        self._islands.pop(layer, None)
         # drop cached fields of that layer
         stale = [k for k in self.flow_cache.order if k[0] == layer]
         for k in stale:
@@ -166,6 +177,15 @@ class NavService:
         gc = min(max(gc, 0), cfg.field_w - 1)
         s_chunk = self._chunk_of_tile(sr, sc)
         g_chunk = self._chunk_of_tile(gr, gc)
+
+        # global-island reject: different components can never connect
+        # (ref: nav.c:1806-1811) — saves the integrations + A* entirely
+        isl = self.islands(layer)
+        if (isl[sr, sc] >= 0 and isl[gr, gc] >= 0
+                and isl[sr, sc] != isl[gr, gc]):
+            self.stats["failed"] += 1
+            return self._clear_flock(state, flock_id), False
+
         graph = self.graph(layer)
 
         # ---- phase A: start + goal chunk integrations ----------------------

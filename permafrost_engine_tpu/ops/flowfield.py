@@ -81,13 +81,15 @@ def _relax_once(
     return jnp.where(passable, best, INF_COST)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "check_every"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "check_every", "unroll"))
 def integrate(
     cost: jax.Array,
     seed_mask: jax.Array,
     *,
     max_iters: int = 4 * FIELD_RES,
-    check_every: int = 8,
+    check_every: int = 16,
+    unroll: int = 8,
 ) -> jax.Array:
     """Batched integration-field build.
 
@@ -101,6 +103,8 @@ def integrate(
         within a chunk-sized field).
       check_every: convergence-test stride (each test is a device-wide
         reduction; amortize it).
+      unroll: relaxations fused per loop trip — raises single-field latency
+        throughput at some graph-size (compile time) cost.
 
     Returns:
       f32[..., H, W] integration cost, INF_COST where unreachable/blocked.
@@ -116,11 +120,14 @@ def integrate(
 
     def body(carry):
         i, integ, _ = carry
-        # fori_loop keeps ONE relax in the graph (remote XLA compiles are
-        # minutes-long here; graph size is the driver)
-        new = jax.lax.fori_loop(
-            0, check_every,
-            lambda _, x: _relax_once(x, step_cost, passable, allowed), integ)
+        # inner fori over `unroll`-relax bundles: loop-trip overhead is the
+        # single-field latency driver; graph size is the compile-time driver
+        def bundle(_, x):
+            for _ in range(unroll):
+                x = _relax_once(x, step_cost, passable, allowed)
+            return x
+
+        new = jax.lax.fori_loop(0, check_every // unroll, bundle, integ)
         done = jnp.all(new == integ)
         return i + check_every, new, done
 

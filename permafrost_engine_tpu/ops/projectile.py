@@ -89,6 +89,7 @@ def projectile_substep(cfg: EngineConfig, state, deltas):
     new_vel = proj.vel.at[:, 1].add(-GRAVITY * DT)
 
     # ---- hit test: nearest enemy entity within its selection radius ---------
+    old_xz = jnp.stack([proj.pos[:, 0], proj.pos[:, 2]], 1)
     targetable = ents.alive & (ents.hp > 0.0) & (
         (ents.flags & jnp.uint32(EntityFlags.COMBATABLE)) != 0)
     war = state.factions.diplomacy == DiplomacyState.WAR
@@ -113,7 +114,15 @@ def projectile_substep(cfg: EngineConfig, state, deltas):
         bmask = jax.lax.dynamic_slice_in_dim(targetable, s, block)
         bbits = jax.lax.dynamic_slice_in_dim(ent_bits, s, block)
         bh = jax.lax.dynamic_slice_in_dim(ents.height, s, block)
-        d2 = jnp.sum((pxz[:, None, :] - bpos[None, :, :]) ** 2, axis=-1)
+        # swept test: closest approach of the tick's travel segment to the
+        # entity's hit cylinder (ref: phys_sweep_test, projectile.c:282)
+        seg = (pxz - old_xz)[:, None, :]                   # [P,1,2]
+        rel = bpos[None, :, :] - old_xz[:, None, :]        # [P,B,2]
+        seg_len2 = jnp.sum(seg * seg, axis=-1)
+        t = jnp.clip(jnp.sum(rel * seg, axis=-1)
+                     / jnp.maximum(seg_len2, 1e-9), 0.0, 1.0)
+        closest = old_xz[:, None, :] + seg * t[..., None]
+        d2 = jnp.sum((closest - bpos[None, :, :]) ** 2, axis=-1)
         hit_r = brad[None, :] + 0.5
         ok = (
             bmask[None, :]

@@ -177,3 +177,42 @@ def test_pallas_kernel_matches_xla():
     got = np.asarray(integrate_pallas(jnp.asarray(costs), jnp.asarray(seeds),
                                       interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_island_labels():
+    """Connected components with the pathing connectivity rule
+    (ref: n_visit_island nav.c:856; reject at nav.c:1806)."""
+    from permafrost_engine_tpu.ops.islands import label_islands
+
+    cost = np.ones((32, 32), np.uint8)
+    cost[:, 16] = COST_IMPASSABLE          # full vertical wall
+    cost[10, 10] = COST_IMPASSABLE
+    lab = np.asarray(label_islands(jnp.asarray(cost)))
+    assert lab[0, 0] >= 0 and lab[0, 20] >= 0
+    assert lab[0, 0] != lab[0, 20]          # separated by the wall
+    assert lab[0, 0] == lab[31, 15]         # same west side
+    assert lab[0, 20] == lab[31, 31]        # same east side
+    assert lab[10, 10] == -1                # impassable
+
+    # diagonal-only touch does NOT connect (corner-cutting rule)
+    cost2 = np.full((8, 8), COST_IMPASSABLE, np.uint8)
+    cost2[0:4, 0:4] = 1
+    cost2[4:8, 4:8] = 1
+    lab2 = np.asarray(label_islands(jnp.asarray(cost2)))
+    assert lab2[0, 0] != lab2[7, 7]
+
+
+def test_island_reject_in_path_request():
+    from permafrost_engine_tpu.game.engine import Engine
+    from tests.test_engine_move import small_cfg, walled_cost
+
+    cfg = small_cfg()
+    cost = walled_cost(cfg)
+    cost[:, FIELD_RES - 1:FIELD_RES + 1, :] = COST_IMPASSABLE  # seal
+    eng = Engine(cfg, cost_base=cost)
+    import numpy as _np
+    u = eng.spawn_batch(_np.array([[100.0, 100.0]], _np.float32))
+    before = eng.nav.stats["requests"]
+    assert not eng.move(u, (400.0, 400.0))
+    # the reject happened before any field build (no cache misses added)
+    assert eng.nav.flow_cache.stats["entries"] == 0
