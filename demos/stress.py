@@ -21,7 +21,8 @@ from permafrost_engine_tpu.game.engine import Engine
 
 
 def build(units_per_side: int) -> Engine:
-    cfg = EngineConfig()
+    # arena sized to the workload (dense arenas pay for dead padding)
+    cfg = EngineConfig(max_ents=max(1024, 2 * units_per_side + 256))
     eng = Engine(cfg)
     eng.add_faction(0)
     eng.add_faction(1)

@@ -18,7 +18,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from permafrost_engine_tpu.core.config import EngineConfig, SPATIAL_CELL_SIZE
+from permafrost_engine_tpu.core.config import SPATIAL_CELL_SIZE
 
 
 @flax.struct.dataclass

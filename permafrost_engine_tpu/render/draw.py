@@ -21,7 +21,6 @@ from permafrost_engine_tpu.core.config import (
     EngineConfig,
     EntityFlags,
     FogState,
-    UNITS_PER_TILE,
 )
 
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from permafrost_engine_tpu.core.config import (
-    COST_IMPASSABLE,
     EngineConfig,
     FIELD_RES,
     VEL_HIST_LEN,

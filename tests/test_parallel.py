@@ -41,3 +41,30 @@ def test_sharded_engine_runs_and_matches_single_device():
         np.asarray(eng.state.ents.hp), np.asarray(ref.state.ents.hp))
     # and the arena is actually sharded over the mesh
     assert ENT_AXIS in str(eng.state.ents.pos.sharding.spec)
+
+
+def test_sharded_field_integration_matches_single_device():
+    """Row-sharded whole-map integration with ppermute halo exchange must
+    match the single-device result exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from permafrost_engine_tpu.core.config import COST_IMPASSABLE
+    from permafrost_engine_tpu.ops import flowfield as ff
+    from permafrost_engine_tpu.parallel.fields import AXIS, make_sharded_integrate
+
+    h = w = 128
+    rng = np.random.default_rng(5)
+    cost = np.ones((h, w), np.uint8)
+    cost[rng.random((h, w)) < 0.2] = COST_IMPASSABLE
+    cost[64, 64] = 1
+    seeds = np.zeros((h, w), bool)
+    seeds[64, 64] = True
+
+    ref = np.asarray(ff.integrate(jnp.asarray(cost), jnp.asarray(seeds),
+                                  max_iters=4 * h))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
+    integ_fn = make_sharded_integrate(mesh, h, w)
+    got = np.asarray(integ_fn(jnp.asarray(cost), jnp.asarray(seeds)))
+
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
