@@ -564,6 +564,15 @@ class Engine:
 
     # -- queries -----------------------------------------------------------------
 
+    @property
+    def render_alpha(self) -> float:
+        """Interpolation fraction within the current movement tick, for
+        render-rate position lerp (ref: interpolate_tick, movement.c:4085).
+        Pass to render.draw.draw_buffers(engine, camera, alpha)."""
+        from permafrost_engine_tpu.core.config import FRAME_HZ
+        period = FRAME_HZ // self.cfg.move_hz
+        return ((self._frame % period) + 1) / period
+
     def pos_of(self, uid: int) -> np.ndarray:
         return np.asarray(self.state.ents.pos)[self.uid_to_slot[uid]]
 

@@ -41,9 +41,13 @@ from permafrost_engine_tpu.state.schema import GameState, TickDeltas, empty_delt
 
 def _restamp_blockers(cfg: EngineConfig, ents, nav):
     """Dense blocker rebuild: stationary collidable ground entities stamp
-    their nav tile in every layer (ref: N_BlockersIncref, nav.c:4663 — the
-    reference increments/decrements; a full restamp is equivalent each
-    movement tick and trivially parallel)."""
+    their nav tile (ref: N_BlockersIncref, nav.c:4663 — the reference
+    increments/decrements; a full restamp is equivalent each movement tick
+    and trivially parallel). Footprint layers see the stamp dilated: a 3x3
+    unit cannot pass within one tile of a blocker (the radius-dependent
+    stamps of N_BlockersIncrefOBB)."""
+    from permafrost_engine_tpu.core.config import FOOTPRINTS, NUM_FOOTPRINTS
+
     h, w = cfg.field_h, cfg.field_w
     stationary = (
         ents.alive
@@ -54,9 +58,21 @@ def _restamp_blockers(cfg: EngineConfig, ents, nav):
     c = jnp.clip((ents.pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
     r = jnp.clip((ents.pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
     flat = jnp.where(stationary, r * w + c, h * w)
-    counts = jnp.zeros((h * w,), jnp.int32).at[flat].add(1, mode="drop")
-    blockers = jnp.broadcast_to(
-        counts.reshape(1, h, w), (cfg.num_layers, h, w))
+    counts = jnp.zeros((h * w,), jnp.int32).at[flat].add(
+        1, mode="drop").reshape(1, h, w)
+
+    per_fp = []
+    for fi, k in enumerate(FOOTPRINTS[:min(NUM_FOOTPRINTS, cfg.num_layers)]):
+        if k <= 1:
+            per_fp.append(counts[0])
+        else:
+            per_fp.append(jax.lax.reduce_window(
+                counts[0], 0, jax.lax.max,
+                window_dimensions=(k, k), window_strides=(1, 1),
+                padding="SAME"))
+    fp_stack = jnp.stack(per_fp)                      # [<=4, h, w]
+    reps = -(-cfg.num_layers // fp_stack.shape[0])
+    blockers = jnp.tile(fp_stack, (reps, 1, 1))[:cfg.num_layers]
     return nav.replace(blockers=blockers)
 
 
