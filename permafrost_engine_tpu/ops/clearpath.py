@@ -112,9 +112,13 @@ def new_velocities(
     cand = cand * cscale[..., None]
 
     # ---- feasibility: candidate outside every cone --------------------------
-    wc = cand[:, :, None, :] - apex[:, None, :, :]            # [N,C,K,2]
-    wlen = jnp.linalg.norm(wc, axis=-1)
-    along = jnp.sum(wc * p_hat[:, None, :, :], axis=-1)       # [N,C,K]
+    # the [N, C, K] tensors dominate movement bandwidth; the cone test is a
+    # sign/compare on O(1)-magnitude geometry, well within bf16 precision
+    bf = jnp.bfloat16
+    wc = (cand[:, :, None, :] - apex[:, None, :, :]).astype(bf)  # [N,C,K,2]
+    wlen = jnp.sqrt(jnp.sum(wc * wc, axis=-1).astype(jnp.float32))
+    along = jnp.sum(wc * p_hat[:, None, :, :].astype(bf),
+                    axis=-1).astype(jnp.float32)                 # [N,C,K]
     inside = along > wlen * cos_t[:, None, :] + _EPS
     inside = inside & neigh_valid[:, None, :]
     violation = jnp.where(inside, along - wlen * cos_t[:, None, :], 0.0)
