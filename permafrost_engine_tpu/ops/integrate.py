@@ -130,17 +130,26 @@ def movement_update(
     eff_vel = new_pos - pos
 
     # ---- stuck/wedge counter (ref: src/game/arrival.h stuck counters) -------
-    progressing = jnp.linalg.norm(eff_vel, axis=-1) > 0.05
-    new_stuck = jnp.where(
-        was_moving & ~progressing, stuck_ticks + 1,
-        jnp.where(progressing, 0, stuck_ticks))
+    # progress = getting closer to the destination; oscillating in place
+    # around an occupied goal must not reset the counter
+    d_before = jnp.linalg.norm(dest - pos, axis=-1)
+    d_after = jnp.linalg.norm(dest - new_pos, axis=-1)
+    # closing speed must be a meaningful fraction of the commanded speed;
+    # crawling at a few percent of capability through a packed crowd is
+    # "wedged" for arrival purposes
+    progressing = (d_before - d_after) > jnp.maximum(
+        0.05, 0.1 * jnp.linalg.norm(new_vel, axis=-1))
+    # leaky accumulator (debounced, ref: arrival.h): bursts of intermittent
+    # creep in a packed crowd must not reset the wedge detection
+    new_stuck = jnp.clip(
+        stuck_ticks + jnp.where(was_moving & ~progressing, 1, -2), 0, 100)
 
     # ---- arrival -----------------------------------------------------------
     dist_dest = jnp.linalg.norm(dest - new_pos, axis=-1)
     arrived_now = was_moving & (dist_dest < ARRIVAL_THRESHOLD)
-    # wedged near the goal for ~1s of move ticks: settle where we stand
+    # wedged near the goal for ~0.6s of move ticks: settle where we stand
     arrived_now = arrived_now | (
-        was_moving & (new_stuck > 20) & (dist_dest < 5 * ARRIVAL_THRESHOLD))
+        was_moving & (new_stuck > 12) & (dist_dest < 5 * ARRIVAL_THRESHOLD))
     # group arrival: stop when an adjacent flockmate has already arrived and
     # we're inside the gathering radius — the propagation that lets a crowd
     # settle around an occupied goal (ref: src/game/arrival.h ring fill;

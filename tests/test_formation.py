@@ -56,7 +56,7 @@ def test_formation_move_settles_on_cells():
     uids = eng.spawn_batch(pos, max_speed=80.0)
     ok = eng.move_in_formation(uids, (300.0, 300.0), FormationType.RANK)
     assert ok
-    for _ in range(120):
+    for _ in range(200):
         eng.step(6)
         if all(eng.movestate_of(u) == MoveState.ARRIVED for u in uids):
             break
