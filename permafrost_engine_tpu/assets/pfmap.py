@@ -233,8 +233,10 @@ def compile_nav_costs(m: MapData) -> tuple[np.ndarray, np.ndarray]:
     Domains: GROUND passable on pathable land tiles; WATER on submerged
     tiles (base height < 0, matching M_Tile water queries); AIR everywhere.
     Footprint layers dilate the blocked set (ref: nav layer classification,
-    nav.h:78-92). Steep ramps remain passable (the reference encodes slope
-    cost into the field cost; kept at 1 here until terrain cost modifiers).
+    nav.h:78-92). Ground cost carries a slope penalty so fields prefer flat
+    routes over climbing ramp chains; cliffs steeper than MAX_CLIMB per
+    tile are impassable outright (matching the reference, where only ramp
+    tiles connect height levels).
     """
     land_ok = m.pathable & (m.base_height >= 0)
     water_ok = m.base_height < 0
@@ -244,18 +246,36 @@ def compile_nav_costs(m: MapData) -> tuple[np.ndarray, np.ndarray]:
     land_ok = up(land_ok)
     water_ok = up(water_ok)
     heights = up(m.base_height.astype(np.float32) * HEIGHT_SCALE)
+    is_ramp = up(np.isin(m.tile_type, RAMP_TYPES + CORNER_TYPES))
+
+    # per-tile height steps to 4-neighbours (in height units)
+    hu = up(m.base_height.astype(np.float32))
+    step = np.zeros_like(hu)
+    dr = np.abs(np.diff(hu, axis=0))
+    dc = np.abs(np.diff(hu, axis=1))
+    # a height step burdens BOTH adjacent tiles
+    step[1:, :] = np.maximum(step[1:, :], dr)
+    step[:-1, :] = np.maximum(step[:-1, :], dr)
+    step[:, 1:] = np.maximum(step[:, 1:], dc)
+    step[:, :-1] = np.maximum(step[:, :-1], dc)
+    MAX_CLIMB = 2.0  # height units per nav tile crossable without a ramp
+    cliff = (step > MAX_CLIMB) & ~is_ramp
+
+    slope_cost = np.clip(1 + step.astype(np.int32), 1, 8).astype(np.uint8)
 
     h, w = land_ok.shape
     num_layers = NUM_DOMAINS * NUM_FOOTPRINTS
     cost = np.ones((num_layers, h, w), np.uint8)
     domain_blocked = {
-        0: ~land_ok,             # GROUND
+        0: ~land_ok | cliff,     # GROUND
         1: ~water_ok,            # WATER
         2: np.zeros_like(land_ok),  # AIR
     }
     for d in range(NUM_DOMAINS):
         for fi, k in enumerate(FOOTPRINTS):
             layer = d * NUM_FOOTPRINTS + fi
+            if d == 0:
+                cost[layer] = slope_cost
             blocked = _dilate_blocked(domain_blocked[d], k)
             cost[layer][blocked] = COST_IMPASSABLE
     return cost, heights

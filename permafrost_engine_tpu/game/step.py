@@ -61,15 +61,18 @@ def _restamp_blockers(cfg: EngineConfig, ents, nav):
     counts = jnp.zeros((h * w,), jnp.int32).at[flat].add(
         1, mode="drop").reshape(1, h, w)
 
-    per_fp = []
-    for fi, k in enumerate(FOOTPRINTS[:min(NUM_FOOTPRINTS, cfg.num_layers)]):
-        if k <= 1:
-            per_fp.append(counts[0])
-        else:
-            per_fp.append(jax.lax.reduce_window(
-                counts[0], 0, jax.lax.max,
-                window_dimensions=(k, k), window_strides=(1, 1),
-                padding="SAME"))
+    # separable max filters: each footprint reuses the previous one's
+    # dilation (1 -> 3 -> 5 -> 7 via repeated 3-wide passes), so the whole
+    # stack costs six 1-D reduce_windows instead of dense 2-D ones
+    def grow(x):
+        x = jax.lax.reduce_window(
+            x, 0, jax.lax.max, (3, 1), (1, 1), "SAME")
+        return jax.lax.reduce_window(
+            x, 0, jax.lax.max, (1, 3), (1, 1), "SAME")
+
+    per_fp = [counts[0]]
+    for _ in range(min(NUM_FOOTPRINTS, cfg.num_layers) - 1):
+        per_fp.append(grow(per_fp[-1]))
     fp_stack = jnp.stack(per_fp)                      # [<=4, h, w]
     reps = -(-cfg.num_layers // fp_stack.shape[0])
     blockers = jnp.tile(fp_stack, (reps, 1, 1))[:cfg.num_layers]

@@ -197,3 +197,27 @@ def test_misc_surface():
     assert pf.get_active_window() == "test"
     pf.set_move_on_left_click()
     assert pf.context().click_modes.move
+
+
+def test_map_slope_costs_and_cliffs():
+    """Ground nav costs rise with slope; un-ramped cliffs are impassable;
+    ramps connect height levels (ref: terrain cost into fields)."""
+    from permafrost_engine_tpu.assets.pfmap import (
+        compile_nav_costs, make_flat_map,
+    )
+    from permafrost_engine_tpu.core.config import COST_IMPASSABLE
+
+    m = make_flat_map(2, 2)
+    m.base_height[:, 32:] = 6          # sheer cliff at col 32
+    m.tile_type[20:24, 31:33] = 0x3    # a ramp section bridging it
+    cost, heights = compile_nav_costs(m)
+    ground = cost[0]
+    # away from the ramp the cliff boundary is impassable
+    assert ground[10 * 2, 32 * 2] == COST_IMPASSABLE
+    # the ramp section is passable with elevated cost (the slope burden
+    # lands on the nav tiles adjacent to the seam: map col 31's east half)
+    rv = ground[21 * 2, 31 * 2 + 1]
+    assert rv != COST_IMPASSABLE and rv > 1
+    # flat terrain costs 1
+    assert ground[10 * 2, 10 * 2] == 1
+    assert heights[10 * 2, 40 * 2] > heights[10 * 2, 10 * 2]
