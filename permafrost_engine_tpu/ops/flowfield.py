@@ -159,7 +159,13 @@ def flow_dirs(integ: jax.Array, cost: jax.Array) -> jax.Array:
     )
     neigh = jnp.where(allowed, neigh, INF_COST)
 
-    best_idx = jnp.argmin(neigh, axis=-1)
+    # tie-break toward orthogonal directions: a full-edge portal seed makes
+    # S and SW neighbours equal, and argmin's first-index rule would send
+    # the whole chunk marching diagonally into a side wall
+    diag_penalty = jnp.asarray(
+        [1e-3 if (dr and dc) else 0.0 for dr, dc in _OFFSETS], jnp.float32)
+    neigh_ranked = neigh + diag_penalty
+    best_idx = jnp.argmin(neigh_ranked, axis=-1)
     best_val = jnp.min(neigh, axis=-1)
     have_dir = passable & (best_val < INF_COST) & (integ > 0.0) & (integ < INF_COST)
     return jnp.where(have_dir, best_idx.astype(jnp.uint8) + 1, 0).astype(jnp.uint8)
