@@ -324,7 +324,11 @@ class Economy:
                 if res.amount <= 0:
                     e.bus.notify(EventType.RESOURCE_EXHAUSTED, h.target_resource)
                     if not res.replenishable:
-                        despawn = self.resources.pop(h.target_resource, None)
+                        # exhausted non-replenishable resources leave the
+                        # world (the reference removes the entity)
+                        self.resources.pop(h.target_resource, None)
+                        if h.target_resource in e.uid_to_slot:
+                            e.despawn(h.target_resource)
                 if h.carried.get(name, 0) >= cap:
                     self._head_to_storage_or_idle(uid, h)
             elif h.state == HarvesterState.TO_STORAGE:

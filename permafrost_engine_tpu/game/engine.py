@@ -77,6 +77,11 @@ class Engine:
         self.drain_period = 6      # frames between event fetches (~100 ms)
         self._seek_flocks: dict[int, tuple] = {}
         self.seek_refresh_period = 30  # frames between seek-field rebuilds
+        # global-field slot ownership: gslot -> flock id, insertion-ordered
+        # so eviction is FIFO when the slab is full (two live flocks must
+        # never share a slot — the loser's units would follow the winner's
+        # field)
+        self._gslot_owner: dict[int, int] = {}
 
     # -- map -------------------------------------------------------------------
 
@@ -242,6 +247,9 @@ class Engine:
             layer=fl.layer.at[fid].set(layer),
         )
         self.state = self.state.replace(ents=e, flocks=fl)
+        for u in uids:
+            self.bus.notify(EventType.MOTION_START, {"uid": int(u)},
+                            uid=int(u))
         return ok
 
     def move_in_formation(self, uids: list[int], goal_xz: tuple[float, float],
@@ -293,6 +301,23 @@ class Engine:
         self.state = self.state.replace(ents=e)
         return ok
 
+    def _alloc_gslot(self, fid: int) -> int:
+        """Allocate a global-field slab slot for flock `fid`, evicting the
+        oldest owner when the slab is full (its flock falls back to
+        direct-seek until refreshed)."""
+        free = set(range(self.cfg.global_field_slots)) - set(self._gslot_owner)
+        if free:
+            gslot = min(free)
+        else:
+            gslot, old_fid = next(iter(self._gslot_owner.items()))
+            del self._gslot_owner[gslot]
+            self._seek_flocks.pop(old_fid, None)
+            fl = self.state.flocks
+            self.state = self.state.replace(flocks=fl.replace(
+                global_slot=fl.global_slot.at[old_fid].set(-1)))
+        self._gslot_owner[gslot] = fid
+        return gslot
+
     def seek_enemies(self, uids: list[int]) -> bool:
         """Order units to hunt the nearest enemies via a whole-map
         enemy-seek field (ref: G_Move_SetSeekEnemies; field TARGET_ENEMIES).
@@ -302,10 +327,12 @@ class Engine:
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         if not self._free_flocks:
             self._reclaim_flocks()
+        if not self._free_flocks:
+            raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
         faction = int(np.asarray(self.state.ents.faction)[slots[0]])
         layer = int(np.asarray(self.state.ents.layer)[slots[0]])
-        gslot = fid % self.cfg.global_field_slots
+        gslot = self._alloc_gslot(fid)
         self.state = self.nav.build_enemy_seek_field(
             self.state, fid, faction, layer, gslot)
         self._seek_flocks[fid] = (faction, layer, gslot)
@@ -336,9 +363,11 @@ class Engine:
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         if not self._free_flocks:
             self._reclaim_flocks()
+        if not self._free_flocks:
+            raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
         layer = int(np.asarray(self.state.ents.layer)[slots[0]])
-        gslot = fid % self.cfg.global_field_slots
+        gslot = self._alloc_gslot(fid)
         tslot = self.uid_to_slot[target_uid]
         self.state = self.nav.build_surround_field(
             self.state, fid, tslot, layer, gslot)
@@ -392,11 +421,16 @@ class Engine:
             flocks=self.state.flocks.replace(active=fa, global_slot=gs))
         for f in freed:
             self.nav.slot_mirror[f, :] = -1
+            self.nav.los_mirror[f, :] = -1
             self._seek_flocks.pop(f, None)
             self._free_flocks.append(f)
+        for gs, owner in list(self._gslot_owner.items()):
+            if owner in freed:
+                del self._gslot_owner[gs]
         fs = jnp.asarray(self.nav.slot_mirror, jnp.int32)
+        ls = jnp.asarray(self.nav.los_mirror, jnp.int32)
         self.state = self.state.replace(
-            flocks=self.state.flocks.replace(field_slot=fs))
+            flocks=self.state.flocks.replace(field_slot=fs, los_slot=ls))
 
     def stop(self, uids: list[int]) -> None:
         slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
@@ -524,6 +558,27 @@ class Engine:
         if d.arrived.any():
             for u in uids_where(d.arrived):
                 emit("motion_end", EventType.MOTION_END, u)
+        if d.motion_start.any():
+            for u in uids_where(d.motion_start):
+                emit("motion_start", EventType.MOTION_START, u)
+        hits = np.nonzero(d.proj_hit >= 0)[0]
+        if hits.size:
+            # hit cookies surface to scripts with shooter/target/damage
+            # payload (ref: src/phys/public/phys.h:52-57, combat.c:1020)
+            if uid_arr is None:
+                uid_arr = np.asarray(self.state.ents.uid)
+            for p in hits:
+                shooter = int(d.proj_hit_shooter[p])
+                payload = {
+                    "uid": int(uid_arr[int(d.proj_hit[p])]),
+                    "shooter": int(uid_arr[shooter]) if shooter >= 0 else -1,
+                    "cookie": float(d.proj_hit_cookie[p]),
+                }
+                self.events.append(("projectile_hit", payload))
+                self.bus.notify(EventType.PROJECTILE_HIT, payload)
+                self.bus.notify(EventType.PROJECTILE_HIT, payload,
+                                uid=payload["uid"])
+                self.sched.post_event(EventType.PROJECTILE_HIT, payload)
         if d.died.any():
             for u in uids_where(d.died):
                 emit("entity_death", EventType.ENTITY_DEATH, u)

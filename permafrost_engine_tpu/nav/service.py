@@ -312,18 +312,27 @@ class NavService:
         g_chunk = ordered[0][0]
         los_key = (layer, g_chunk, ("los", gr, gc))
         slot = self.los_cache.get(los_key)
+        los_evicted = False
         if slot is None:
             slot, evicted = self.los_cache.put(los_key)
             if evicted is not None:
+                # other flocks' device rows may still point at the recycled
+                # slot; scrub the mirror AND push it whole (mirrors the
+                # evicted_any handling of field_slot above) or those flocks
+                # get false has_los from an unrelated destination's field
                 self.los_mirror[self.los_mirror == slot] = -1
+                los_evicted = True
             passable = self._chunk_cost(state, layer, *g_chunk) != COST_IMPASSABLE
             los = ff.los_field(passable, gr % FIELD_RES, gc % FIELD_RES)
             state = state.replace(fields=state.fields.replace(
                 los=state.fields.los.at[slot].set(los)))
         self.los_mirror[flock_id, :] = -1
         self.los_mirror[flock_id, self._chunk_idx(*g_chunk)] = slot
-        ls = state.flocks.los_slot.at[flock_id].set(
-            jnp.asarray(self.los_mirror[flock_id], jnp.int32))
+        if los_evicted:
+            ls = jnp.asarray(self.los_mirror, jnp.int32)
+        else:
+            ls = state.flocks.los_slot.at[flock_id].set(
+                jnp.asarray(self.los_mirror[flock_id], jnp.int32))
         return state.replace(flocks=state.flocks.replace(los_slot=ls))
 
     # -- whole-map fields (enemy-seek / surround) --------------------------------

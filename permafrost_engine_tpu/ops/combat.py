@@ -97,7 +97,11 @@ def combat_substep(cfg: EngineConfig, state, deltas):
     new_hp = jnp.where(ents.alive, ents.hp - dmg_in, ents.hp)
 
     # ---- deaths (DEATH_ANIM folded into CORPSE entry; anim events are host) --
-    died_now = ents.alive & ~dead & (new_hp <= 0.0)
+    # keyed off combatstate, not the pre-substep hp: a projectile kill sets
+    # hp <= 0 *between* combat substeps (projectile_substep runs at 30 Hz),
+    # and gating on ~dead would leave such entities alive-with-negative-hp
+    # forever — no CORPSE transition, no death event, slot never reclaimed
+    died_now = ents.alive & (cs != CombatState.CORPSE) & (new_hp <= 0.0)
     new_cs = jnp.where(died_now, CombatState.CORPSE, new_cs)
     corpse_ticks = jnp.where(died_now, 3, ents.corpse_ticks)  # ~3s at 1 Hz
     t = jnp.where(died_now, -1, t)
@@ -129,6 +133,8 @@ def combat_substep(cfg: EngineConfig, state, deltas):
     deltas = deltas.replace(
         died=deltas.died | died_now,
         attack_started=deltas.attack_started | attack_now,
+        motion_start=deltas.motion_start | (
+            chase & fighter & (ents.movestate == MoveState.ARRIVED)),
     )
     return state.replace(ents=new_ents), deltas, attack_now
 

@@ -158,5 +158,7 @@ def projectile_substep(cfg: EngineConfig, state, deltas):
     )
     new_ents = ents.replace(hp=new_hp)
     deltas = deltas.replace(
-        proj_hit=jnp.where(hit, hit_i, deltas.proj_hit))
+        proj_hit=jnp.where(hit, hit_i, deltas.proj_hit),
+        proj_hit_shooter=jnp.where(hit, proj.parent, deltas.proj_hit_shooter),
+        proj_hit_cookie=jnp.where(hit, proj.cookie, deltas.proj_hit_cookie))
     return state.replace(projectiles=new_proj, ents=new_ents), deltas

@@ -186,9 +186,15 @@ class TickDeltas:
     event notifications (ref: src/game/movement.c:245-262)."""
 
     arrived: jax.Array       # bool[N] became ARRIVED this tick
+    motion_start: jax.Array  # bool[N] started moving this tick (device-side
+                             # transitions, e.g. combat chase; host orders
+                             # emit MOTION_START directly)
     died: jax.Array          # bool[N] hp crossed 0 this tick
     attack_started: jax.Array  # bool[N] entered ATTACK_ANIM this tick
     proj_hit: jax.Array      # i32[P] entity slot hit this tick, or -1
+    proj_hit_shooter: jax.Array  # i32[P] shooter slot for the hit, or -1
+    proj_hit_cookie: jax.Array   # f32[P] damage cookie for the hit
+                                 # (ref: src/phys/public/phys.h:52-57)
     corpse_expired: jax.Array  # bool[N] corpse removed this tick (slot free)
 
 
@@ -319,9 +325,12 @@ def init_state(cfg: EngineConfig, seed: int = 0) -> GameState:
 def empty_deltas(cfg: EngineConfig) -> TickDeltas:
     return TickDeltas(
         arrived=_z(cfg.max_ents, jnp.bool_),
+        motion_start=_z(cfg.max_ents, jnp.bool_),
         died=_z(cfg.max_ents, jnp.bool_),
         attack_started=_z(cfg.max_ents, jnp.bool_),
         proj_hit=jnp.full((cfg.max_projectiles,), -1, jnp.int32),
+        proj_hit_shooter=jnp.full((cfg.max_projectiles,), -1, jnp.int32),
+        proj_hit_cookie=_z(cfg.max_projectiles, jnp.float32),
         corpse_expired=_z(cfg.max_ents, jnp.bool_),
     )
 

@@ -89,6 +89,29 @@ def test_ranged_projectile_hit():
     assert hp >= 100.0 - 2 * 25.0  # at most a couple of volleys
 
 
+def test_projectile_kill_produces_corpse_and_events():
+    """A lethal volley must kill, not zombify: projectile damage lands
+    between combat substeps, so death detection must key off combatstate
+    rather than the pre-substep hp (round-1 advisor finding)."""
+    eng = two_faction_engine()
+    a = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                        is_ranged=True, attack_range=60.0, base_dmg=80.0,
+                        attack_period=1, stance=int(CombatStance.HOLD_POSITION))
+    b = eng.spawn_batch(np.array([[140.0, 100.0]], np.float32), faction=1,
+                        base_dmg=0.0, hp=100.0,
+                        stance=int(CombatStance.NO_ENGAGEMENT))
+    eng.step(360)
+    # the hit surfaced as a script-visible event with shooter + cookie
+    hits = [p for k, p in eng.events if k == "projectile_hit"]
+    assert hits and hits[0]["uid"] == b[0]
+    assert hits[0]["shooter"] == a[0]
+    assert hits[0]["cookie"] == 80.0
+    # the target died, became a corpse, and its slot was reclaimed
+    assert ("entity_death", {"uid": b[0]}) in eng.events
+    assert ("entity_removed", {"uid": b[0]}) in eng.events
+    assert b[0] not in eng.uid_to_slot
+
+
 def test_fog_explored_memory():
     eng = two_faction_engine()
     u = eng.spawn_batch(np.array([[64.0, 64.0]], np.float32), faction=0,
