@@ -5,8 +5,18 @@ Scenario (BASELINE config #5 scale): two 5000-unit armies at war on a
 ClearPath), combat, projectiles (20% ranged), and fog-of-war all active at
 reference cadences (move 20 Hz, combat 10 Hz, projectiles 30 Hz).
 
-Prints ONE JSON line: frames/sec of the full jitted loop vs the 60 ticks/s
-target from BASELINE.json.
+The battle is measured in THREE phases, each the median of three 120-frame
+windows (median, not best: the TPU sits behind a shared relay with run-to-
+run interference, and a median is robust without being generous):
+
+  march   — armies closing, full movement pipeline, combat kernels idle
+  contact — the melee: combat + projectiles + corpses + crowding all hot
+  late    — after most units are dead (corpse decay, sparse survivors)
+
+The headline `value` is the MINIMUM phase fps — the battle is only a 60 fps
+battle if its *worst* phase holds 60.
+
+Prints ONE JSON line.
 """
 
 import json
@@ -108,30 +118,70 @@ def measure_rebuild():
     return p50_single, per_chunk
 
 
+def alive_count(eng: Engine) -> int:
+    return int(np.asarray(eng.state.ents.alive).sum())
+
+
+def measure_phase(eng: Engine, windows: int = 3, frames: int = 120) -> float:
+    """Median fps over `windows` timed step() windows."""
+    vals = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        eng.step(frames)
+        jax.block_until_ready(eng.state.ents.pos)
+        vals.append(frames / (time.perf_counter() - t0))
+    return float(np.median(vals))
+
+
+def fast_forward_until(eng: Engine, pred, chunk: int = 300,
+                       max_frames: int = 6000) -> int:
+    """step_scan in `chunk`-frame windows until pred(alive) or the cap."""
+    total = 0
+    while total < max_frames:
+        eng.step_scan(chunk)
+        total += chunk
+        if pred(alive_count(eng)):
+            break
+    return total
+
+
 def main():
     rebuild_p50, rebuild_batched = measure_rebuild()
 
     eng = build_battle()
+    n0 = alive_count(eng)
     # warmup: compile + first second
     eng.step(60)
 
-    # three measurement windows, best taken: the TPU here sits behind a
-    # shared relay with +-10% run-to-run interference
-    frames = 120
-    fps = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        eng.step(frames)
-        jax.block_until_ready(eng.state.ents.pos)
-        fps = max(fps, frames / (time.perf_counter() - t0))
-    alive = int(np.asarray(eng.state.ents.alive).sum())
+    # ---- phase 1: march (armies closing, no contact yet) --------------------
+    fps_march = measure_phase(eng)
+    alive_march = alive_count(eng)
 
+    # ---- fast-forward to contact (first deaths) ------------------------------
+    ff1 = fast_forward_until(eng, lambda a: a < n0)
+    # let the melee thicken so the windows measure peak engagement
+    eng.step_scan(300)
+    fps_contact = measure_phase(eng)
+    alive_contact = alive_count(eng)
+
+    # ---- late phase: most of one side dead ------------------------------------
+    ff2 = fast_forward_until(eng, lambda a: a < 0.55 * n0)
+    fps_late = measure_phase(eng)
+    alive_end = alive_count(eng)
+
+    fps_min = min(fps_march, fps_contact, fps_late)
     print(json.dumps({
-        "metric": "sim_frames_per_sec_10k_battle",
-        "value": round(fps, 2),
-        "unit": "frames/s (60Hz frames, 10k units)",
-        "vs_baseline": round(fps / 60.0, 3),
-        "alive_at_end": alive,
+        "metric": "sim_frames_per_sec_10k_battle_worst_phase",
+        "value": round(fps_min, 2),
+        "unit": "frames/s (60Hz frames, 10k units, worst battle phase)",
+        "vs_baseline": round(fps_min / 60.0, 3),
+        "fps_march": round(fps_march, 2),
+        "fps_contact": round(fps_contact, 2),
+        "fps_late": round(fps_late, 2),
+        "alive_after_march": alive_march,
+        "alive_after_contact": alive_contact,
+        "alive_at_end": alive_end,
+        "frames_to_contact": 60 + 3 * 120 + ff1,
         "flow_field_rebuild_ms_p50": round(rebuild_p50, 3),
         "flow_field_rebuild_ms_per_chunk_batched": round(rebuild_batched, 3),
         "rebuild_vs_2ms_target": round(2.0 / max(rebuild_p50, 1e-6), 1),

@@ -48,6 +48,10 @@ class Engine:
         self._next_uid = 1
         self._free_slots = list(range(self.cfg.max_ents - 1, -1, -1))
         self.uid_to_slot: dict[int, int] = {}
+        # host mirror of ents.uid: the drain path must never fetch the uid
+        # array from device (each device->host sync drains the dispatch
+        # pipeline through the remote transport)
+        self._slot_uid = np.zeros(self.cfg.max_ents, np.int64)
         self._free_flocks = list(range(self.cfg.max_flocks - 1, -1, -1))
         self.events: list[tuple[str, dict]] = []
 
@@ -74,6 +78,7 @@ class Engine:
         self.economy_period = 12   # frames between economy ticks (~5 Hz)
         self._frame = 0
         self._pending_deltas = None
+        self._inflight_deltas = None  # async host copy started, not yet read
         self.drain_period = 6      # frames between event fetches (~100 ms)
         self._seek_flocks: dict[int, tuple] = {}
         self.seek_refresh_period = 30  # frames between seek-field rebuilds
@@ -158,6 +163,7 @@ class Engine:
         self._next_uid += m
         for u, s in zip(uids, slots):
             self.uid_to_slot[int(u)] = int(s)
+        self._slot_uid[slots] = uids
 
         def bc(v, dtype=np.float32):
             return np.broadcast_to(np.asarray(v, dtype), (m,))
@@ -478,17 +484,27 @@ class Engine:
             if not paused:
                 with self.perf.scope("device_tick"):
                     self.state, deltas = self._tick_fn(self.state)
-                # accumulate deltas ON DEVICE; the host fetches the merged
-                # events every `drain_period` frames. Host<->device syncs
-                # are the latency killer through remote transport; events
-                # arriving a few frames late matches the reference's
-                # deferred patch discipline (movement.c:245-262).
+                # accumulate deltas ON DEVICE; every `drain_period` frames
+                # the merged window starts an ASYNC copy to host and the
+                # PREVIOUS window (whose copy has completed by now) is
+                # consumed. A synchronous device_get here would stall the
+                # whole dispatch pipeline through the remote transport
+                # (~30 ms measured at 10k entities); events arriving one
+                # window late matches the reference's deferred patch
+                # discipline (movement.c:245-262).
                 with self.perf.scope("drain_deltas"):
                     self._pending_deltas = (
                         deltas if self._pending_deltas is None
                         else merge_deltas(self._pending_deltas, deltas))
                     if self._frame % self.drain_period == 0:
-                        self.flush_deltas()
+                        ready = self._inflight_deltas
+                        self._inflight_deltas = self._pending_deltas
+                        self._pending_deltas = None
+                        jax.tree_util.tree_map(
+                            lambda x: x.copy_to_host_async(),
+                            self._inflight_deltas)
+                        if ready is not None:
+                            self._drain(jax.device_get(ready))
             with self.perf.scope("host_systems"):
                 self._host_systems_tick()
         # one sync at the end of the call: callers observe all their frames
@@ -496,9 +512,13 @@ class Engine:
         self.bus.service_queue(self.sim_state)
 
     def flush_deltas(self) -> None:
-        """Synchronously drain any pending tick deltas (tests, shutdown)."""
+        """Synchronously drain all in-flight and pending tick deltas
+        (tests, shutdown, end of a step() call)."""
+        if self._inflight_deltas is not None:
+            self._drain(jax.device_get(self._inflight_deltas))
+            self._inflight_deltas = None
         if self._pending_deltas is not None:
-            self._drain(self._pending_deltas)
+            self._drain(jax.device_get(self._pending_deltas))
             self._pending_deltas = None
 
     def step_scan(self, n_frames: int) -> None:
@@ -512,8 +532,9 @@ class Engine:
         if self._scan_fn is None:
             self._scan_fn = make_tick_scan(
                 self.cfg, getattr(self, "_tile_height", None))
+        self.flush_deltas()   # per-frame deltas must not arrive out of order
         self.state, deltas = self._scan_fn(self.state, n_frames)
-        self._drain(deltas)
+        self._drain(jax.device_get(deltas))
         self._frame += n_frames
         self._host_systems_tick(force=True)
 
@@ -538,15 +559,12 @@ class Engine:
                 self.regions.update(uid, pos, alive)
         self.bus.service_queue(self.sim_state)
 
-    def _drain(self, deltas) -> None:
-        # one host transfer for the whole delta pytree
-        d = jax.device_get(deltas)
-        uid_arr = None
+    def _drain(self, d) -> None:
+        # `d` is an already-fetched (host) delta pytree; uids come from the
+        # host mirror — no device syncs on this path
+        uid_arr = self._slot_uid
 
         def uids_where(mask):
-            nonlocal uid_arr
-            if uid_arr is None:
-                uid_arr = np.asarray(self.state.ents.uid)
             return uid_arr[mask]
 
         def emit(kind, etype, u):
@@ -565,8 +583,6 @@ class Engine:
         if hits.size:
             # hit cookies surface to scripts with shooter/target/damage
             # payload (ref: src/phys/public/phys.h:52-57, combat.c:1020)
-            if uid_arr is None:
-                uid_arr = np.asarray(self.state.ents.uid)
             for p in hits:
                 shooter = int(d.proj_hit_shooter[p])
                 payload = {
