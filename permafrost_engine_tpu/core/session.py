@@ -29,27 +29,84 @@ import numpy as np
 from permafrost_engine_tpu.core.config import EngineConfig
 from permafrost_engine_tpu.state.schema import init_state
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+def _picklable(obj) -> bool:
+    try:
+        pickle.dumps(obj, protocol=4)
+        return True
+    except Exception:
+        return False
 
 
 def save_session_bytes(engine) -> bytes:
-    """Serialize an Engine (game/engine.py) to bytes."""
+    """Serialize an Engine (game/engine.py) to bytes.
+
+    Covers every subsystem's state the way the reference's subsession_save
+    serializes per-subsystem entity streams (ref: src/session.c:176-233,
+    src/game/game.c:3679-3713): device pytree, nav caches (flow + LOS),
+    economy/garrison components, regions, selection, anim, audio, and
+    scheduler tasks (restarted from entry on load — the documented scope
+    cut vs the reference's mid-execution fiber pickling, py_task.c:654).
+    """
+    engine.flush_deltas()   # no in-flight events may be lost in the blob
     state_bytes = flax.serialization.to_bytes(engine.state)
+    eco = engine.economy
     host = {
         "version": FORMAT_VERSION,
         "cfg": engine.cfg.__dict__ if hasattr(engine.cfg, "__dict__")
                else dataclass_dict(engine.cfg),
+        "frame": engine._frame,
+        "sim_state": engine.sim_state,
+        "economy_period": engine.economy_period,
+        "drain_period": engine.drain_period,
+        "seek_refresh_period": engine.seek_refresh_period,
         "next_uid": engine._next_uid,
         "free_slots": list(engine._free_slots),
         "uid_to_slot": dict(engine.uid_to_slot),
+        "slot_uid": engine._slot_uid,
         "free_flocks": list(engine._free_flocks),
-        "nav_cost_base": engine.nav.cost_base,
+        "gslot_owner": dict(engine._gslot_owner),
+        "seek_flocks": dict(engine._seek_flocks),
+        "structures": dict(engine._structures),
         "map_data": engine.map_data,
+        # nav: terrain + structure overlay + both caches + path tracking
+        "nav_terrain_cost": engine.nav.terrain_cost,
+        "nav_structure_ref": engine.nav.structure_ref,
         "nav_slot_mirror": engine.nav.slot_mirror,
         "nav_los_mirror": engine.nav.los_mirror,
         "nav_cache_order": list(engine.nav.flow_cache.order.items()),
         "nav_cache_free": list(engine.nav.flow_cache.free),
+        "nav_los_order": list(engine.nav.los_cache.order.items()),
+        "nav_los_free": list(engine.nav.los_cache.free),
+        "nav_flock_chunks": dict(engine.nav.flock_chunks),
         "events": list(engine.events),
+        # host subsystems (ref: G_SaveEntityState streams)
+        "economy": {
+            "resources": eco.resources, "harvesters": eco.harvesters,
+            "storages": eco.storages, "buildings": eco.buildings,
+            "builders": eco.builders, "garrisons": eco.garrisons,
+            "population": eco.population,
+            "resource_icons": eco.resource_icons,
+        },
+        "regions": engine.regions.regions,
+        "selection": {
+            "enabled": engine.selection.enabled,
+            "selection": list(engine.selection.selection),
+            "hovered": engine.selection.hovered,
+        },
+        "anim_states": engine.anim.states,
+        "anim_models": {k: v for k, v in engine.anim.models.items()
+                        if _picklable(v)},
+        "audio": engine.audio.__dict__,
+        # scheduler tasks restart from entry with their original args;
+        # closures/lambdas that cannot pickle are dropped
+        "sched_tasks": [
+            (t.fn, t.args, t.name)
+            for t in engine.sched.tasks.values()
+            if _picklable((t.fn, t.args))
+        ],
     }
     if hasattr(engine, "settings"):
         host["settings"] = engine.settings.snapshot()
@@ -70,24 +127,43 @@ def load_session_bytes(data: bytes):
 
     blob = pickle.loads(data)
     host = blob["host"]
-    if host["version"] != FORMAT_VERSION:
+    if host["version"] not in (1, FORMAT_VERSION):
         raise ValueError(f"unsupported session version {host['version']}")
 
     cfg = EngineConfig(**host["cfg"])
-    engine = Engine(cfg, cost_base=np.asarray(host["nav_cost_base"]))
+    terrain = np.asarray(host.get("nav_terrain_cost",
+                                  host.get("nav_cost_base")))
+    engine = Engine(cfg, cost_base=terrain)
     if host.get("map_data") is not None:
         # restores heights + the height-aware tick before state overwrite
         engine.load_map_data(host["map_data"])
     template = init_state(cfg)
     engine.state = flax.serialization.from_bytes(template, blob["state"])
 
+    engine._frame = host.get("frame", 0)
+    engine.sim_state = host.get("sim_state", 0)
+    engine.economy_period = host.get("economy_period", engine.economy_period)
+    engine.drain_period = host.get("drain_period", engine.drain_period)
+    engine.seek_refresh_period = host.get(
+        "seek_refresh_period", engine.seek_refresh_period)
     engine._next_uid = host["next_uid"]
     engine._free_slots = list(host["free_slots"])
     engine.uid_to_slot = dict(host["uid_to_slot"])
+    if "slot_uid" in host:
+        engine._slot_uid = np.asarray(host["slot_uid"])
+    else:
+        for u, s in engine.uid_to_slot.items():
+            engine._slot_uid[s] = u
     engine._free_flocks = list(host["free_flocks"])
+    engine._gslot_owner = dict(host.get("gslot_owner", {}))
+    engine._seek_flocks = dict(host.get("seek_flocks", {}))
+    engine._structures = dict(host.get("structures", {}))
     engine.events = list(host["events"])
 
     nav = engine.nav
+    if "nav_structure_ref" in host:
+        nav.structure_ref = np.asarray(host["nav_structure_ref"])
+        nav._recompute_effective()
     nav.slot_mirror = np.asarray(host["nav_slot_mirror"])
     if "nav_los_mirror" in host:
         nav.los_mirror = np.asarray(host["nav_los_mirror"])
@@ -96,6 +172,33 @@ def load_session_bytes(data: bytes):
         cache.order[k] = v
     cache.free = list(host["nav_cache_free"])
     nav.flow_cache = cache
+    if "nav_los_order" in host:
+        los = LruSlab(cfg.los_slab_slots)
+        for k, v in host["nav_los_order"]:
+            los.order[k] = v
+        los.free = list(host["nav_los_free"])
+        nav.los_cache = los
+    nav.flock_chunks = dict(host.get("nav_flock_chunks", {}))
+
+    # host subsystems
+    if "economy" in host:
+        eco = engine.economy
+        for field, value in host["economy"].items():
+            setattr(eco, field, value)
+    if "regions" in host:
+        engine.regions.regions = host["regions"]
+    if "selection" in host:
+        sel = host["selection"]
+        engine.selection.enabled = sel["enabled"]
+        engine.selection.selection = list(sel["selection"])
+        engine.selection.hovered = sel["hovered"]
+    if "anim_states" in host:
+        engine.anim.states = host["anim_states"]
+        engine.anim.models.update(host.get("anim_models", {}))
+    if "audio" in host:
+        engine.audio.__dict__.update(host["audio"])
+    for fn, args, name in host.get("sched_tasks", []):
+        engine.sched.create(fn, *args, name=name)
 
     if "settings" in host and hasattr(engine, "settings"):
         engine.settings.restore(host["settings"])

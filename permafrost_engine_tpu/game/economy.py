@@ -186,6 +186,9 @@ class Economy:
         b = self.buildings[building_uid]
         if b.state == BuildingState.MARKED:
             b.state = BuildingState.FOUNDED
+            # founded buildings cut their footprint out of the nav grid
+            # (ref: G_Building_Found -> pathable toggle -> N_CutoutStaticObject)
+            self.engine.set_structure_blocking(building_uid, True)
             self.engine.events.append(("building_founded", {"uid": building_uid}))
             self.engine.bus.notify(EventType.BUILDING_FOUNDED, building_uid)
 

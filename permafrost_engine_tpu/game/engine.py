@@ -87,19 +87,103 @@ class Engine:
         # never share a slot — the loser's units would follow the winner's
         # field)
         self._gslot_owner: dict[int, int] = {}
+        # structure cutouts by uid -> stamped tile rect (r0, r1, c0, c1)
+        self._structures: dict[int, tuple[int, int, int, int]] = {}
 
     # -- map -------------------------------------------------------------------
 
     def set_cost_base(self, cost_base: np.ndarray) -> None:
-        """Install static per-layer nav costs (u8[L, H, W])."""
+        """Install static per-layer terrain nav costs (u8[L, H, W]). Every
+        nav derivative (portal graphs, islands, cached fields) is dropped
+        and live flocks replan against the new world."""
         assert cost_base.shape == (
             self.cfg.num_layers, self.cfg.field_h, self.cfg.field_w)
-        self.state = self.state.replace(
-            nav=self.state.nav.replace(cost_base=jnp.asarray(cost_base)))
         if hasattr(self, "nav"):
-            self.nav.cost_base = cost_base
-            self.nav._graphs.clear()
-            self.nav._islands.clear()
+            self.nav.set_terrain(cost_base)
+            self.state = self.state.replace(nav=self.state.nav.replace(
+                cost_base=jnp.asarray(self.nav.cost_base)))
+            # every cached field was dropped: push the scrubbed tables
+            self.state = self.state.replace(flocks=self.state.flocks.replace(
+                field_slot=jnp.asarray(self.nav.slot_mirror, jnp.int32),
+                los_slot=jnp.asarray(self.nav.los_mirror, jnp.int32)))
+            self._replan_flocks(None)
+        else:
+            self.state = self.state.replace(
+                nav=self.state.nav.replace(cost_base=jnp.asarray(cost_base)))
+
+    # -- dynamic structures (ref: N_CutoutStaticObject nav.c:3326,
+    #    N_Update nav.c:2119-2206) ------------------------------------------------
+
+    def set_structure_blocking(self, uid: int, blocking: bool = True) -> None:
+        """Cut a building's footprint into (or out of) the static nav cost.
+        Stamps are cheap and accumulate; the world update (cost push, portal
+        graph / island rebuild, field invalidation, flock replans) commits
+        once at the next frame boundary or order — the dynamic-world update
+        the reference runs each movement tick
+        (ref: nav.c:2119-2206, fieldcache.h:53-167)."""
+        cur = self._structures.get(uid)
+        if blocking and cur is None:
+            slot = self.uid_to_slot[uid]
+            pos = np.asarray(self.state.ents.pos)[slot]
+            rad = float(np.asarray(self.state.ents.radius)[slot])
+            rect = (int((pos[1] - rad) // NAV_TILE_SIZE),
+                    int((pos[1] + rad) // NAV_TILE_SIZE),
+                    int((pos[0] - rad) // NAV_TILE_SIZE),
+                    int((pos[0] + rad) // NAV_TILE_SIZE))
+            self._structures[uid] = rect
+            self.nav.stamp_structure(rect, +1)
+        elif not blocking and cur is not None:
+            del self._structures[uid]
+            self.nav.stamp_structure(cur, -1)
+
+    def _commit_nav(self) -> None:
+        """Apply pending structure stamps and replan affected flocks."""
+        state, dirty = self.nav.commit_structures(self.state)
+        if dirty is not None:
+            self.state = state
+            self._replan_flocks(dirty)
+
+    def _replan_flocks(self, dirty: set[int] | None) -> None:
+        """Re-request paths for flocks whose installed path crosses dirty
+        chunks (None = every flock). The through-chunk half of the
+        reference's cache invalidation (ref: fieldcache.h:53-167)."""
+        active = np.asarray(self.state.flocks.active)
+        if not active.any():
+            return
+        flock = np.asarray(self.state.ents.flock)
+        alive = np.asarray(self.state.ents.alive)
+        pos = np.asarray(self.state.ents.pos)
+        has_cell = np.asarray(self.state.ents.has_formation_cell)
+        layers = np.asarray(self.state.flocks.layer)
+        dests = np.asarray(self.state.flocks.dest)
+        for fid in np.nonzero(active)[0]:
+            fid = int(fid)
+            chunks = self.nav.flock_chunks.get(fid)
+            if chunks is None:     # seek/surround flocks: timer-refreshed
+                continue
+            if dirty is not None and not (chunks & dirty):
+                continue
+            members = np.nonzero(alive & (flock == fid))[0]
+            if members.size == 0:
+                continue
+            start = tuple(pos[members].mean(axis=0))
+            self.state, ok, eff = self.nav.request_path(
+                self.state, fid, start, tuple(dests[fid]), int(layers[fid]))
+            e = self.state.ents
+            if ok:
+                g = jnp.asarray(np.asarray(eff, np.float32))
+                plain = members[~has_cell[members]]
+                if plain.size:
+                    e = e.replace(dest=e.dest.at[jnp.asarray(plain)].set(g))
+                self.state = self.state.replace(
+                    ents=e,
+                    flocks=self.state.flocks.replace(
+                        dest=self.state.flocks.dest.at[fid].set(g)))
+            else:
+                # now unreachable: drop the flock; members direct-seek and
+                # the stuck counter settles them (get-as-close semantics)
+                self.state = self.state.replace(ents=e.replace(
+                    flock=e.flock.at[jnp.asarray(members)].set(-1)))
 
     def load_map_data(self, map_data) -> None:
         """Install a parsed PFMAP: compile nav costs + heights
@@ -206,6 +290,8 @@ class Engine:
         return [int(u) for u in uids]
 
     def despawn(self, uid: int) -> None:
+        if uid in self._structures:
+            self.set_structure_blocking(uid, False)
         slot = self.uid_to_slot.pop(uid)
         e = self.state.ents
         self.state = self.state.replace(
@@ -216,28 +302,35 @@ class Engine:
 
     def move(self, uids: list[int], goal_xz: tuple[float, float],
              domain: NavDomain = NavDomain.GROUND) -> bool:
-        """Order units to a destination: make a flock, plan the path, install
-        flow fields (ref: G_Move_SetDest -> make_flocks -> N_RequestPath,
-        movement.c:4717, 930)."""
+        """Order units to a destination: split the selection into per-layer
+        flocks (ref: split_into_layers, movement.c:771-787), plan each
+        layer's path, install flow fields (ref: G_Move_SetDest ->
+        make_flocks -> N_RequestPath, movement.c:4717, 930)."""
         if not uids:
             return False
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        layers = np.asarray(self.state.ents.layer)[slots]
+        ok_any = False
+        for layer in np.unique(layers):
+            group = slots[layers == layer]
+            guids = [u for u, l in zip(uids, layers) if l == layer]
+            ok_any |= self._move_layer(guids, group, goal_xz, int(layer))
+        return ok_any
+
+    def _move_layer(self, uids: list[int], slots: np.ndarray,
+                    goal_xz: tuple[float, float], layer: int) -> bool:
+        self._commit_nav()   # orders must see pending structure stamps
         if not self._free_flocks:
             self._reclaim_flocks()
         if not self._free_flocks:
             raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
-
-        # representative layer: largest footprint in the group would be
-        # per-layer flocks in the reference (split_into_layers,
-        # movement.c:771); single-layer here, refined later.
-        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
         start = tuple(np.asarray(self.state.ents.pos)[slots].mean(axis=0))
 
-        self.state, ok = self.nav.request_path(
+        self.state, ok, eff_goal = self.nav.request_path(
             self.state, fid, start, goal_xz, layer)
 
-        goal = jnp.asarray(np.asarray(goal_xz, np.float32))
+        goal = jnp.asarray(np.asarray(eff_goal if ok else goal_xz, np.float32))
         e = self.state.ents
         sl = jnp.asarray(slots)
         e = e.replace(
@@ -330,6 +423,7 @@ class Engine:
         The field refreshes periodically while the flock lives."""
         if not uids:
             return False
+        self._commit_nav()
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         if not self._free_flocks:
             self._reclaim_flocks()
@@ -366,6 +460,7 @@ class Engine:
         (ref: G_Move_SetSurroundEntity, TARGET_ENTITY fields)."""
         if not uids or target_uid not in self.uid_to_slot:
             return False
+        self._commit_nav()
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         if not self._free_flocks:
             self._reclaim_flocks()
@@ -428,6 +523,7 @@ class Engine:
         for f in freed:
             self.nav.slot_mirror[f, :] = -1
             self.nav.los_mirror[f, :] = -1
+            self.nav.flock_chunks.pop(f, None)
             self._seek_flocks.pop(f, None)
             self._free_flocks.append(f)
         for gs, owner in list(self._gslot_owner.items()):
@@ -481,6 +577,7 @@ class Engine:
         for _ in range(n_frames):
             self.perf.begin_tick()
             self._frame += 1
+            self._commit_nav()
             if not paused:
                 with self.perf.scope("device_tick"):
                     self.state, deltas = self._tick_fn(self.state)
@@ -529,6 +626,7 @@ class Engine:
 
         if self.sim_state == SimState.PAUSED_FULL:
             return
+        self._commit_nav()
         if self._scan_fn is None:
             self._scan_fn = make_tick_scan(
                 self.cfg, getattr(self, "_tile_height", None))
@@ -605,6 +703,8 @@ class Engine:
             # corpse slots freed on device; reclaim them host-side
             for u in uids_where(d.corpse_expired):
                 u = int(u)
+                if u in self._structures:   # destroyed building: unblock nav
+                    self.set_structure_blocking(u, False)
                 slot = self.uid_to_slot.pop(u, None)
                 if slot is not None:
                     self._free_slots.append(slot)

@@ -76,9 +76,19 @@ class NavService:
     """Host-side navigation orchestrator bound to one engine instance."""
 
     def __init__(self, cfg: EngineConfig, cost_base: np.ndarray):
-        """cost_base: u8[L, H, W] host mirror of static layer costs."""
+        """cost_base: u8[L, H, W] host mirror of static terrain layer costs."""
         self.cfg = cfg
-        self.cost_base = cost_base
+        # terrain_cost is pristine compiled terrain; cost_base is the
+        # *effective* static cost = terrain + structure cutouts (the
+        # reference cuts buildings into the cost field as static objects,
+        # ref: N_CutoutStaticObject nav.c:3326)
+        self.terrain_cost = cost_base.copy()
+        self.cost_base = cost_base.copy()
+        # structure blocker refcounts at ground (1x1) resolution; footprint
+        # layers see them dilated (ref: per-footprint stamps of
+        # N_BlockersIncrefOBB / radius-dependent cutouts)
+        self.structure_ref = np.zeros(
+            (cfg.field_h, cfg.field_w), np.int32)
         self._graphs: dict[int, pt.PortalGraph] = {}
         self._islands: dict[int, np.ndarray] = {}   # layer -> host mirror
         self.flow_cache = LruSlab(cfg.field_slab_slots)
@@ -86,7 +96,13 @@ class NavService:
         # host mirrors of FlockTable slot tables for eviction scrubbing
         self.slot_mirror = np.full((cfg.max_flocks, cfg.num_chunks), -1, np.int64)
         self.los_mirror = np.full((cfg.max_flocks, cfg.num_chunks), -1, np.int64)
-        self.stats = {"hits": 0, "misses": 0, "requests": 0, "failed": 0}
+        # chunks each flock's installed path runs through, for through-chunk
+        # invalidation (ref: fieldcache.h:53-167 at-chunk/through-chunk)
+        self.flock_chunks: dict[int, set[int]] = {}
+        # chunks dirtied by structure stamps awaiting commit_structures
+        self._pending_dirty: set[int] = set()
+        self.stats = {"hits": 0, "misses": 0, "requests": 0, "failed": 0,
+                      "retargeted": 0, "invalidations": 0}
 
     # -- portal graphs -------------------------------------------------------
 
@@ -111,11 +127,124 @@ class NavService:
         self._graphs.pop(layer, None)
         self._islands.pop(layer, None)
         # drop cached fields of that layer
-        stale = [k for k in self.flow_cache.order if k[0] == layer]
-        for k in stale:
-            slot = self.flow_cache.order.pop(k)
-            self.flow_cache.free.append(slot)
-            self.slot_mirror[self.slot_mirror == slot] = -1
+        for cache, mirror in ((self.flow_cache, self.slot_mirror),
+                              (self.los_cache, self.los_mirror)):
+            stale = [k for k in cache.order if k[0] == layer]
+            for k in stale:
+                slot = cache.order.pop(k)
+                cache.free.append(slot)
+                mirror[mirror == slot] = -1
+
+    def set_terrain(self, cost_base: np.ndarray) -> None:
+        """Install new compiled terrain costs; all nav derivatives rebuild
+        lazily and every cached field is dropped."""
+        self.terrain_cost = cost_base.copy()
+        self._recompute_effective()
+        self._graphs.clear()
+        self._islands.clear()
+        for layer in range(self.cfg.num_layers):
+            self.invalidate_layer(layer)
+
+    # -- dynamic structures (ref: nav.c:2119-2206 N_Update) --------------------
+
+    @staticmethod
+    def _grow3(x: np.ndarray) -> np.ndarray:
+        """3x3 max dilation (one footprint step: 1 -> 3 -> 5 -> 7)."""
+        h, w = x.shape
+        p = np.pad(x, 1)
+        m = x
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                m = np.maximum(m, p[1 + dr:1 + dr + h, 1 + dc:1 + dc + w])
+        return m
+
+    def _recompute_effective(self) -> None:
+        """cost_base = terrain with structure cutouts stamped impassable,
+        dilated per footprint layer. AIR layers ignore structures."""
+        from permafrost_engine_tpu.core.config import (
+            NUM_FOOTPRINTS, NavDomain)
+
+        eff = self.terrain_cost.copy()
+        if self.structure_ref.any():
+            dil = self.structure_ref
+            for fp in range(NUM_FOOTPRINTS):
+                if fp > 0:
+                    dil = self._grow3(dil)
+                for dom in (NavDomain.GROUND, NavDomain.WATER):
+                    layer = int(dom) * NUM_FOOTPRINTS + fp
+                    if layer < self.cfg.num_layers:
+                        eff[layer][dil > 0] = COST_IMPASSABLE
+        self.cost_base = eff
+
+    def stamp_structure(
+        self, tile_rect: tuple[int, int, int, int], delta: int,
+    ) -> None:
+        """Stamp (+1) or unstamp (-1) a structure footprint given as an
+        inclusive nav-tile rect (r0, r1, c0, c1). Host-only and cheap:
+        the world update happens in :meth:`commit_structures` once per
+        frame boundary, like the reference's dirty-chunk batching
+        (ref: N_Update nav.c:2119-2206)."""
+        from permafrost_engine_tpu.core.config import NUM_FOOTPRINTS
+
+        cfg = self.cfg
+        r0, r1, c0, c1 = tile_rect
+        r0 = max(0, r0); c0 = max(0, c0)
+        r1 = min(cfg.field_h - 1, r1); c1 = min(cfg.field_w - 1, c1)
+        if r1 < r0 or c1 < c0:
+            return
+        self.structure_ref[r0:r1 + 1, c0:c1 + 1] += delta
+        np.clip(self.structure_ref, 0, None, out=self.structure_ref)
+        # dirty chunks: the rect grown by the largest footprint dilation
+        m = NUM_FOOTPRINTS - 1
+        for cr in range(max(0, (r0 - m)) // FIELD_RES,
+                        min(cfg.field_h - 1, r1 + m) // FIELD_RES + 1):
+            for cc in range(max(0, (c0 - m)) // FIELD_RES,
+                            min(cfg.field_w - 1, c1 + m) // FIELD_RES + 1):
+                self._pending_dirty.add(self._chunk_idx(cr, cc))
+
+    def commit_structures(
+        self, state: GameState,
+    ) -> tuple[GameState, set[int] | None]:
+        """Apply accumulated structure stamps: recompute effective costs,
+        push them to the device, drop portal graphs/islands, invalidate
+        cached fields at every dirty chunk. Returns (state, dirty set) or
+        (state, None) when nothing was pending
+        (ref: nav.c:2119-2206, fieldcache.h at-chunk/through-chunk)."""
+        if not self._pending_dirty:
+            return state, None
+        dirty, self._pending_dirty = self._pending_dirty, set()
+        self._recompute_effective()
+        state = state.replace(nav=state.nav.replace(
+            cost_base=jnp.asarray(self.cost_base)))
+        # portal graphs + islands rebuild lazily from the new effective cost
+        self._graphs.clear()
+        self._islands.clear()
+        state = self._invalidate_chunk_fields(state, dirty)
+        return state, dirty
+
+    def _invalidate_chunk_fields(
+        self, state: GameState, dirty: set[int],
+    ) -> GameState:
+        """Drop cached flow/LOS fields whose chunk is dirty and scrub every
+        flock row pointing at the recycled slots."""
+        changed = False
+        for cache, mirror in ((self.flow_cache, self.slot_mirror),
+                              (self.los_cache, self.los_mirror)):
+            stale = [k for k in cache.order
+                     if self._chunk_idx(*k[1]) in dirty]
+            for k in stale:
+                slot = cache.order.pop(k)
+                cache.free.append(slot)
+                mirror[mirror == slot] = -1
+                changed = True
+                self.stats["invalidations"] += 1
+        if changed:
+            state = state.replace(flocks=state.flocks.replace(
+                field_slot=jnp.asarray(self.slot_mirror, jnp.int32),
+                los_slot=jnp.asarray(self.los_mirror, jnp.int32)))
+        return state
 
     # -- helpers -------------------------------------------------------------
 
@@ -125,17 +254,32 @@ class NavService:
     def _chunk_idx(self, cr: int, cc: int) -> int:
         return cr * self.cfg.chunks_c + cc
 
-    def _chunk_cost(self, state: GameState, layer: int, cr: int, cc: int) -> jnp.ndarray:
-        """Effective chunk cost on device: static cost with live blockers
-        stamped impassable (ref: nav blockers gate pathability)."""
+    def _chunk_cost(self, state: GameState, layer: int, cr: int, cc: int,
+                    with_blockers: bool = True) -> jnp.ndarray:
+        """Effective chunk cost on device: static cost, optionally with live
+        unit blockers stamped impassable (ref: nav blockers gate
+        pathability). Start/goal integrations and LOS use the static cost
+        only — the requesting units' own blocker stamps must not make their
+        seed tile unreachable (the reference excludes the querying flock
+        from its unit snapshot, nav.h:118-134)."""
         sl = (
             layer,
             slice(cr * FIELD_RES, (cr + 1) * FIELD_RES),
             slice(cc * FIELD_RES, (cc + 1) * FIELD_RES),
         )
         base = state.nav.cost_base[sl]
+        if not with_blockers:
+            return base
         blk = state.nav.blockers[sl]
         return jnp.where(blk > 0, jnp.uint8(COST_IMPASSABLE), base)
+
+    def _chunk_blockers(self, state: GameState, layer: int, cr: int,
+                        cc: int) -> jnp.ndarray:
+        return state.nav.blockers[
+            layer,
+            cr * FIELD_RES:(cr + 1) * FIELD_RES,
+            cc * FIELD_RES:(cc + 1) * FIELD_RES,
+        ]
 
     def _portal_span_costs(
         self, graph: pt.PortalGraph, integ: np.ndarray, chunk: tuple[int, int]
@@ -152,6 +296,38 @@ class NavService:
 
     # -- the main entry point --------------------------------------------------
 
+    def _nearest_on_island(
+        self, layer: int, island: int, near_rc: tuple[int, int],
+    ) -> tuple[int, int] | None:
+        """Closest tile of `island` to `near_rc` (octile-ish metric) — the
+        get-as-close-as-possible retarget of the reference's blocked-
+        destination ladder (ref: nav.c:1860-1935)."""
+        isl = self.islands(layer)
+        ok = isl == island
+        if island < 0 or not ok.any():
+            return None
+        rr, cc = np.nonzero(ok)
+        dr = np.abs(rr - near_rc[0])
+        dc = np.abs(cc - near_rc[1])
+        d = np.maximum(dr, dc) + 0.5 * np.minimum(dr, dc)
+        i = int(np.argmin(d))
+        return int(rr[i]), int(cc[i])
+
+    def _start_island(self, layer: int, sr: int, sc: int):
+        """Island of the start tile; if the start itself is impassable (the
+        unit stands inside a freshly-stamped structure footprint), the
+        island of the nearest passable tile — plus the (possibly moved)
+        seed tile."""
+        isl = self.islands(layer)
+        if isl[sr, sc] >= 0:
+            return int(isl[sr, sc]), sr, sc
+        ok = isl >= 0
+        if not ok.any():
+            return -1, sr, sc
+        rr, cc = np.nonzero(ok)
+        i = int(np.argmin(np.maximum(np.abs(rr - sr), np.abs(cc - sc))))
+        return int(isl[rr[i], cc[i]]), int(rr[i]), int(cc[i])
+
     def request_path(
         self,
         state: GameState,
@@ -159,12 +335,15 @@ class NavService:
         start_xz: tuple[float, float],
         goal_xz: tuple[float, float],
         layer: int,
-    ) -> tuple[GameState, bool]:
+    ) -> tuple[GameState, bool, tuple[float, float]]:
         """Plan a path and install per-chunk flow fields for a flock.
 
-        Returns (updated state, reachable). On failure the flock's table is
-        cleared and entities fall back to direct seek (the reference's
-        blocked-destination fallbacks, nav.c:1860-1935, are richer; TODO).
+        Returns (updated state, reachable, effective_goal_xz). When the
+        requested destination is blocked or on a different island, the goal
+        retargets to the closest reachable tile (the reference's blocked-
+        destination fallback ladder, nav.c:1860-1935) and
+        `effective_goal_xz` reflects it. On failure the flock's table is
+        cleared and entities fall back to direct seek.
         """
         self.stats["requests"] += 1
         cfg = self.cfg
@@ -175,23 +354,32 @@ class NavService:
         sc = min(max(sc, 0), cfg.field_w - 1)
         gr = min(max(gr, 0), cfg.field_h - 1)
         gc = min(max(gc, 0), cfg.field_w - 1)
+
+        # ---- blocked-destination ladder (ref: nav.c:1860-1935) -------------
+        isl = self.islands(layer)
+        start_isl, sr, sc = self._start_island(layer, sr, sc)
+        if start_isl < 0:
+            self.stats["failed"] += 1
+            return self._clear_flock(state, flock_id), False, goal_xz
+        if isl[gr, gc] != start_isl:
+            # goal blocked or on another island: get as close as possible
+            rt = self._nearest_on_island(layer, start_isl, (gr, gc))
+            if rt is None:
+                self.stats["failed"] += 1
+                return self._clear_flock(state, flock_id), False, goal_xz
+            gr, gc = rt
+            goal_xz = ((gc + 0.5) * NAV_TILE_SIZE, (gr + 0.5) * NAV_TILE_SIZE)
+            self.stats["retargeted"] += 1
         s_chunk = self._chunk_of_tile(sr, sc)
         g_chunk = self._chunk_of_tile(gr, gc)
 
-        # global-island reject: different components can never connect
-        # (ref: nav.c:1806-1811) — saves the integrations + A* entirely
-        isl = self.islands(layer)
-        if (isl[sr, sc] >= 0 and isl[gr, gc] >= 0
-                and isl[sr, sc] != isl[gr, gc]):
-            self.stats["failed"] += 1
-            return self._clear_flock(state, flock_id), False
-
         graph = self.graph(layer)
 
-        # ---- phase A: start + goal chunk integrations ----------------------
+        # ---- phase A: start + goal chunk integrations (static cost: the
+        # requesting units' own blocker stamps must not bury the seeds) ----
         costs = jnp.stack(
-            [self._chunk_cost(state, layer, *s_chunk),
-             self._chunk_cost(state, layer, *g_chunk)]
+            [self._chunk_cost(state, layer, *s_chunk, with_blockers=False),
+             self._chunk_cost(state, layer, *g_chunk, with_blockers=False)]
         )
         seeds = np.zeros((2, FIELD_RES, FIELD_RES), bool)
         seeds[0, sr % FIELD_RES, sc % FIELD_RES] = True
@@ -209,7 +397,7 @@ class NavService:
             path = pt.astar_portals(graph, start_costs, goal_costs, (gr, gc))
             if path is None:
                 self.stats["failed"] += 1
-                return self._clear_flock(state, flock_id), False
+                return self._clear_flock(state, flock_id), False, goal_xz
             # fields: dest chunk seeded at goal; every other chunk on the
             # path seeded at its *exit*-portal span — the portal it leaves
             # through toward the goal (walking backwards, ref: nav.c:1941-2042).
@@ -221,7 +409,12 @@ class NavService:
                 if p.paired == path[i + 1]:
                     chunk_seq.append((p.chunk, ("portal", path[i])))
 
-        return self._install_fields(state, flock_id, layer, (gr, gc), chunk_seq), True
+        # through-chunk tracking for invalidation-driven replans
+        self.flock_chunks[flock_id] = (
+            {self._chunk_idx(*c) for c, _ in chunk_seq}
+            | {self._chunk_idx(*s_chunk), self._chunk_idx(*g_chunk)})
+        state = self._install_fields(state, flock_id, layer, (gr, gc), chunk_seq)
+        return state, True, goal_xz
 
     # -- field building -------------------------------------------------------
 
@@ -269,9 +462,11 @@ class NavService:
         # power of two so K only ever takes log-many distinct shapes (each
         # distinct shape costs a full XLA compile on remote backends)
         if to_build:
-            costs, seed_arr, slots = [], [], []
+            costs, blks, seed_arr, slots = [], [], [], []
             for chunk, sig, slot in to_build:
-                costs.append(self._chunk_cost(state, layer, *chunk))
+                costs.append(self._chunk_cost(
+                    state, layer, *chunk, with_blockers=False))
+                blks.append(self._chunk_blockers(state, layer, *chunk))
                 seeds = np.zeros((FIELD_RES, FIELD_RES), bool)
                 if sig is None:
                     seeds[gr % FIELD_RES, gc % FIELD_RES] = True
@@ -285,10 +480,16 @@ class NavService:
             k_pad = 1 << (k - 1).bit_length()
             for _ in range(k_pad - k):
                 costs.append(costs[0])
+                blks.append(blks[0])
                 seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
                 slots.append(state.fields.flow.shape[0])   # dropped write
-            costs = jnp.stack(costs)
-            integ = ff.integrate(costs, jnp.asarray(np.stack(seed_arr)))
+            seeds_j = jnp.asarray(np.stack(seed_arr))
+            # installed fields flow around parked units (blockers), but a
+            # blocker must never bury a seed tile (goal/portal span)
+            costs = jnp.where(
+                (jnp.stack(blks) > 0) & ~seeds_j,
+                jnp.uint8(COST_IMPASSABLE), jnp.stack(costs))
+            integ = ff.integrate(costs, seeds_j)
             dirs = ff.flow_dirs(integ, costs)
             flow = state.fields.flow.at[jnp.asarray(slots)].set(
                 dirs, mode="drop")
@@ -322,7 +523,8 @@ class NavService:
                 # get false has_los from an unrelated destination's field
                 self.los_mirror[self.los_mirror == slot] = -1
                 los_evicted = True
-            passable = self._chunk_cost(state, layer, *g_chunk) != COST_IMPASSABLE
+            passable = self._chunk_cost(
+                state, layer, *g_chunk, with_blockers=False) != COST_IMPASSABLE
             los = ff.los_field(passable, gr % FIELD_RES, gc % FIELD_RES)
             state = state.replace(fields=state.fields.replace(
                 los=state.fields.los.at[slot].set(los)))
@@ -392,6 +594,7 @@ class NavService:
             flocks=state.flocks.replace(global_slot=gs))
 
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
+        self.flock_chunks.pop(flock_id, None)
         self.slot_mirror[flock_id, :] = -1
         self.los_mirror[flock_id, :] = -1
         empty = jnp.full((self.cfg.num_chunks,), -1, jnp.int32)

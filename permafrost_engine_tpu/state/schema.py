@@ -126,10 +126,12 @@ class NavState:
     `blockers` are dynamic refcounts stamped by stationary entities.
     """
 
-    cost_base: jax.Array     # u8[L, H, W]  0xFF = impassable
+    cost_base: jax.Array     # u8[L, H, W]  effective static cost (terrain +
+                             # structure cutouts, ref: N_CutoutStaticObject
+                             # nav.c:3326); 0xFF = impassable. Host-side
+                             # dirty-chunk tracking lives in NavService.
     blockers: jax.Array      # i32[L, H, W] refcounts
     islands: jax.Array       # i32[L, H, W] global connected-component ids
-    dirty_chunks: jax.Array  # bool[L, CR, CC] chunks needing island recompute
 
 
 @flax.struct.dataclass
@@ -276,7 +278,6 @@ def init_nav(cfg: EngineConfig, passable_cost: int = 1) -> NavState:
         cost_base=jnp.full((l, h, w), passable_cost, jnp.uint8),
         blockers=_z((l, h, w), jnp.int32),
         islands=_z((l, h, w), jnp.int32),
-        dirty_chunks=_z((l, cfg.chunks_r, cfg.chunks_c), jnp.bool_),
     )
 
 

@@ -1,0 +1,154 @@
+"""Dynamic-world navigation: structure cutouts, incremental invalidation,
+replanning, and per-layer flocks.
+
+The reference recomputes dirty-chunk portals/edges/islands every movement
+tick and invalidates cached fields at-chunk/through-chunk
+(ref: /root/reference/src/navigation/nav.c:2119-2206, nav.c:655-693,
+fieldcache.h:53-167). Here structure stamps accumulate host-side, commit at
+frame boundaries, and flocks whose installed paths cross dirty chunks
+replan.
+"""
+
+import numpy as np
+
+from permafrost_engine_tpu.core.config import (
+    COST_IMPASSABLE,
+    EngineConfig,
+    EntityFlags,
+    FIELD_RES,
+    MoveState,
+    NAV_TILE_SIZE,
+)
+from permafrost_engine_tpu.game.engine import Engine
+
+BUILDING_FLAGS = int(EntityFlags.COLLISION | EntityFlags.BUILDING)
+
+
+def cfg_2x2(num_layers=1):
+    return EngineConfig(
+        max_ents=128,
+        chunks_r=2,
+        chunks_c=2,
+        num_layers=num_layers,
+        max_flocks=8,
+        max_projectiles=8,
+        field_slab_slots=32,
+        los_slab_slots=32,
+    )
+
+
+def spawn_wall(eng, z, x0, x1, spacing=12.0, radius=7.0):
+    """A row of blocking buildings centred on z from x0 to x1."""
+    xs = np.arange(x0, x1, spacing, dtype=np.float32)
+    pos = np.stack([xs, np.full_like(xs, z)], 1)
+    uids = eng.spawn_batch(
+        pos, faction=0, radius=radius, flags=BUILDING_FLAGS, max_speed=0.0)
+    for u in uids:
+        eng.set_structure_blocking(u, True)
+    return uids
+
+
+def test_building_wall_forces_detour():
+    """Placing buildings across a marching flock's path invalidates its
+    cached fields and replans an A* detour through the remaining gap."""
+    eng = Engine(cfg_2x2())
+    squad = eng.spawn_batch(
+        (np.array([[96.0, 80.0]], np.float32)
+         + np.random.default_rng(3).random((6, 2)).astype(np.float32) * 24),
+        max_speed=80.0)
+    goal = (110.0, 430.0)
+    assert eng.move(squad, goal)
+    eng.step(12)   # start marching south
+
+    # wall across the whole chunk boundary except a gap at the far east
+    spawn_wall(eng, z=256.0, x0=8.0, x1=392.0)
+    eng.step(6)    # commit happens at the frame boundary
+    assert eng.nav.stats["invalidations"] > 0, "stale fields were not dropped"
+
+    max_x = 0.0
+    for _ in range(220):
+        eng.step(6)
+        ps = np.asarray(eng.state.ents.pos)[
+            [eng.uid_to_slot[u] for u in squad]]
+        max_x = max(max_x, float(ps[:, 0].max()))
+        if all(eng.movestate_of(u) == MoveState.ARRIVED for u in squad):
+            break
+    for u in squad:
+        assert eng.movestate_of(u) == MoveState.ARRIVED, f"unit {u} stuck"
+        p = eng.pos_of(u)
+        assert p[1] > 256.0, f"unit {u} never crossed the wall"
+        assert np.linalg.norm(p - np.asarray(goal)) < 70.0
+    assert max_x > 360.0, "units crossed the wall without detouring east"
+
+
+def test_sealed_wall_retargets_then_reopens():
+    """A full seal retargets orders to the near side (blocked-destination
+    ladder); removing a building reopens the path and new orders cross."""
+    eng = Engine(cfg_2x2())
+    u = eng.spawn_batch(np.array([[96.0, 96.0]], np.float32), max_speed=80.0)
+    wall = spawn_wall(eng, z=256.0, x0=4.0, x1=512.0)
+    eng.step(6)
+
+    assert eng.move(u, (96.0, 430.0))
+    assert eng.nav.stats["retargeted"] == 1
+    dest = np.asarray(eng.state.ents.dest)[eng.uid_to_slot[u[0]]]
+    assert dest[1] < 256.0, "retarget ended up across the sealed wall"
+
+    # demolish a stretch of wall -> islands merge -> a new order crosses
+    for w in wall[-6:]:
+        eng.despawn(w)
+    eng.step(6)
+    assert eng.move(u, (96.0, 430.0))
+    assert eng.nav.stats["retargeted"] == 1, "reopened path still retargets"
+    for _ in range(260):
+        eng.step(6)
+        if eng.movestate_of(u[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(u[0]) == MoveState.ARRIVED
+    assert eng.pos_of(u[0])[1] > 256.0, "unit never crossed the reopened wall"
+
+
+def test_replan_only_touches_crossing_flocks():
+    """Through-chunk invalidation: a structure change in chunks a flock's
+    path never touches must not replan it."""
+    eng = Engine(cfg_2x2())
+    a = eng.spawn_batch(np.array([[40.0, 40.0]], np.float32), max_speed=10.0)
+    assert eng.move(a, (200.0, 40.0))      # path inside the NW chunk
+    requests = eng.nav.stats["requests"]
+
+    # structure wholly inside the SE chunk
+    b = eng.spawn_batch(np.array([[400.0, 400.0]], np.float32),
+                        radius=7.0, flags=BUILDING_FLAGS, max_speed=0.0)
+    eng.set_structure_blocking(b[0], True)
+    eng.step(6)
+    assert eng.nav.stats["requests"] == requests, "unaffected flock replanned"
+
+
+def test_per_layer_flocks_split():
+    """A mixed-footprint selection splits into per-layer flocks with
+    per-layer fields (ref: split_into_layers, movement.c:771-787): the big
+    unit's layer has the corridor sealed, so its flock retargets while the
+    small unit's flock crosses."""
+    cfg = cfg_2x2(num_layers=4)
+    cost = np.ones((4, cfg.field_h, cfg.field_w), np.uint8)
+    # wall with a corridor: open for 1x1 (layer 0), sealed for 5x5 (layer 2)
+    cost[:, FIELD_RES - 1:FIELD_RES + 1, :] = COST_IMPASSABLE
+    cost[0, FIELD_RES - 1:FIELD_RES + 1, 20:28] = 1
+    eng = Engine(cfg, cost_base=cost)
+
+    small = eng.spawn_batch(np.array([[96.0, 96.0]], np.float32),
+                            radius=1.0, max_speed=80.0)
+    big = eng.spawn_batch(np.array([[120.0, 96.0]], np.float32),
+                          radius=8.0, max_speed=80.0)
+    assert eng.move(small + big, (96.0, 430.0))
+
+    slots = [eng.uid_to_slot[u] for u in small + big]
+    flocks = np.asarray(eng.state.ents.flock)[slots]
+    assert flocks[0] != flocks[1], "mixed footprints share a flock"
+    layers = np.asarray(eng.state.flocks.layer)[flocks]
+    assert layers[0] == 0 and layers[1] == 2
+    # the big unit's goal retargeted to its own (northern) side
+    assert eng.nav.stats["retargeted"] == 1
+    dests = np.asarray(eng.state.ents.dest)[slots]
+    assert dests[0][1] > 256.0, "small unit's goal should stay south"
+    assert dests[1][1] < 256.0, "big unit's goal should retarget north"

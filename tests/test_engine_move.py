@@ -83,14 +83,31 @@ def test_arrival_events_fired(arrived_engine):
     assert set(uids) <= done
 
 
-def test_unreachable_goal_fails():
+def test_unreachable_goal_retargets_to_closest_reachable():
+    """A goal on another island retargets to the closest tile on the
+    unit's island — get-as-close-as-possible (ref: nav.c:1860-1935)."""
     cfg = small_cfg()
     cost = walled_cost(cfg)
     cost[:, FIELD_RES - 1:FIELD_RES + 1, :] = COST_IMPASSABLE  # seal the gap
     eng = Engine(cfg, cost_base=cost)
-    uids = eng.spawn_batch(np.array([[400.0, 100.0]], np.float32))
+    uids = eng.spawn_batch(np.array([[400.0, 100.0]], np.float32),
+                           max_speed=80.0)
     ok = eng.move(uids, (400.0, 400.0))
-    assert not ok
+    assert ok
+    assert eng.nav.stats["retargeted"] == 1
+    # effective destination sits on the unit's side of the wall
+    dest = np.asarray(eng.state.ents.dest)[eng.uid_to_slot[uids[0]]]
+    wall_z = (FIELD_RES - 1) * NAV_TILE_SIZE
+    assert dest[1] < wall_z
+    # and the unit actually walks there and stops (north of the wall)
+    for _ in range(120):
+        eng.step(6)
+        if eng.movestate_of(uids[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(uids[0]) == MoveState.ARRIVED
+    p = eng.pos_of(uids[0])
+    assert p[1] < wall_z
+    assert np.linalg.norm(p - dest) < 60.0
 
 
 def test_stationary_until_ordered():
@@ -122,9 +139,13 @@ def test_water_and_air_domains():
     east = (50 * UNITS_PER_TILE, 32 * UNITS_PER_TILE)
     sea = (32 * UNITS_PER_TILE, 32 * UNITS_PER_TILE)
 
-    # ground unit: a goal across the sea is unreachable
+    # ground unit: a goal across the sea retargets to the near shore
+    # (get-as-close-as-possible, ref: nav.c:1860-1935)
     g = eng.spawn_batch(np.array([west], np.float32), max_speed=80.0)
-    assert not eng.move(g, east)
+    assert eng.move(g, east)
+    assert eng.nav.stats["retargeted"] == 1
+    gdest = np.asarray(eng.state.ents.dest)[eng.uid_to_slot[g[0]]]
+    assert gdest[0] < 20 * UNITS_PER_TILE, "retarget crossed the sea"
 
     # boat: starts in the sea, can move along it but not onto land
     b = eng.spawn_batch(np.array([sea], np.float32), max_speed=80.0,
@@ -139,7 +160,12 @@ def test_water_and_air_domains():
             break
     assert eng.movestate_of(b[0]) == MoveState.ARRIVED
     assert np.linalg.norm(eng.pos_of(b[0]) - np.asarray(sea2)) < 12.0
-    assert not eng.move(b, west)   # land is impassable for boats
+    # land is impassable for boats: a land goal retargets into the sea
+    before = eng.nav.stats["retargeted"]
+    assert eng.move(b, west)
+    assert eng.nav.stats["retargeted"] == before + 1
+    bdest = np.asarray(eng.state.ents.dest)[eng.uid_to_slot[b[0]]]
+    assert 20 * UNITS_PER_TILE <= bdest[0] <= 44 * UNITS_PER_TILE
 
     # air unit: crosses the sea freely
     a = eng.spawn_batch(np.array([west], np.float32), max_speed=80.0,

@@ -202,7 +202,10 @@ def test_island_labels():
     assert lab2[0, 0] != lab2[7, 7]
 
 
-def test_island_reject_in_path_request():
+def test_island_mismatch_retargets_before_field_build():
+    """Cross-island goals retarget on the host island map before any A* or
+    field build toward the unreachable side (ref: reject at nav.c:1806,
+    ladder at nav.c:1860-1935)."""
     from permafrost_engine_tpu.game.engine import Engine
     from tests.test_engine_move import small_cfg, walled_cost
 
@@ -212,7 +215,9 @@ def test_island_reject_in_path_request():
     eng = Engine(cfg, cost_base=cost)
     import numpy as _np
     u = eng.spawn_batch(_np.array([[100.0, 100.0]], _np.float32))
-    before = eng.nav.stats["requests"]
-    assert not eng.move(u, (400.0, 400.0))
-    # the reject happened before any field build (no cache misses added)
-    assert eng.nav.flow_cache.stats["entries"] == 0
+    assert eng.move(u, (400.0, 400.0))
+    assert eng.nav.stats["retargeted"] == 1
+    # every installed field belongs to the unit's (northern) chunks: the
+    # southern island never got integrated
+    for layer, chunk, _sig in eng.nav.flow_cache.order:
+        assert chunk[0] == 0, "built a field on the unreachable island"

@@ -59,6 +59,58 @@ def test_save_load_roundtrip_and_determinism():
     assert restored.move(uids[:2], (50.0, 220.0))
 
 
+def test_mid_harvest_session_continues_identically():
+    """Economy/garrison/region/selection/anim/audio/task state survives a
+    save (ref: subsession_save streams, src/session.c:176-233,
+    game.c:3679-3713): a harvester saved mid-cycle continues after load and
+    delivers the same amount as the uninterrupted engine."""
+    from tests.test_economy import eng_with
+    from permafrost_engine_tpu.game.economy import HarvesterState
+
+    eng, h, r, s = eng_with(
+        harvester_at=(100.0, 100.0), resource_at=(140.0, 100.0),
+        storage_at=(100.0, 140.0))
+    eng.regions.add_circle("depot", (100.0, 140.0), 30.0)
+    eng.selection.selection = [h]
+    eng.anim.register(h, model="worker")
+    eng.audio.tracks = ["theme"]
+    eng.audio.play_music("theme")
+    eng.economy.gather(h, r)
+    # run until mid-cycle (harvesting or transporting, not idle)
+    for _ in range(20):
+        eng.step(6)
+        if eng.economy.harvesters[h].state in (
+                HarvesterState.HARVESTING, HarvesterState.TO_STORAGE):
+            break
+    st = eng.economy.harvesters[h].state
+    assert st in (HarvesterState.HARVESTING, HarvesterState.TO_STORAGE)
+
+    blob = save_session_bytes(eng)
+    restored = load_session_bytes(blob)
+
+    # host streams restored exactly
+    assert restored.economy.harvesters[h].state == st
+    assert restored.economy.harvesters[h].carried == \
+        eng.economy.harvesters[h].carried
+    assert restored.economy.resources[r].amount == \
+        eng.economy.resources[r].amount
+    assert "depot" in restored.regions.regions
+    assert restored.selection.selection == [h]
+    assert h in restored.anim.states
+    assert restored.audio.current == "theme" and restored.audio.playing
+
+    # identical continuation: both deliver the same wood total
+    for e in (eng, restored):
+        for _ in range(80):
+            e.step(6)
+            if e.economy.storages[s].stored.get("Wood", 0) >= 20:
+                break
+    assert (eng.economy.storages[s].stored
+            == restored.economy.storages[s].stored)
+    assert restored.economy.storages[s].stored.get("Wood", 0) >= 20
+    assert_states_equal(eng.state, restored.state)
+
+
 def test_subsession_stack():
     eng = build_engine()
     stack = SubsessionStack()
