@@ -69,6 +69,9 @@ def save_session_bytes(engine) -> bytes:
         "free_flocks": list(engine._free_flocks),
         "gslot_owner": dict(engine._gslot_owner),
         "seek_flocks": dict(engine._seek_flocks),
+        "chase_gslot": dict(engine._chase_gslot),
+        "host_factions": set(engine._host_factions),
+        "host_diplomacy": engine._host_diplomacy,
         "structures": dict(engine._structures),
         "map_data": engine.map_data,
         # nav: terrain + structure overlay + both caches + path tracking
@@ -157,6 +160,10 @@ def load_session_bytes(data: bytes):
     engine._free_flocks = list(host["free_flocks"])
     engine._gslot_owner = dict(host.get("gslot_owner", {}))
     engine._seek_flocks = dict(host.get("seek_flocks", {}))
+    engine._chase_gslot = dict(host.get("chase_gslot", {}))
+    engine._host_factions = set(host.get("host_factions", set()))
+    if "host_diplomacy" in host:
+        engine._host_diplomacy = np.asarray(host["host_diplomacy"])
     engine._structures = dict(host.get("structures", {}))
     engine.events = list(host["events"])
 

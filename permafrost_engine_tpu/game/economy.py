@@ -266,22 +266,38 @@ class Economy:
     # -- the economy tick --------------------------------------------------------
 
     def tick(self) -> None:
-        e = self.engine
+        # ONE batched device fetch per economy tick; per-pair pos_of calls
+        # cost a device->host sync each through the remote transport and
+        # go quadratic at scale (round-1 advisor finding)
+        ents = self.engine.state.ents
+        self._pos = np.asarray(ents.pos)
+        self._sel_radius = np.asarray(ents.sel_radius)
         self._tick_harvesters()
         self._tick_builders()
         self._tick_automation()
         self._tick_replenish()
+        self._pos = None
+        self._sel_radius = None
+
+    def _pos_of(self, uid: int) -> np.ndarray:
+        slot = self.engine.uid_to_slot[uid]
+        if getattr(self, "_pos", None) is not None:
+            return self._pos[slot]
+        return np.asarray(self.engine.state.ents.pos)[slot]
 
     def _near(self, uid_a: int, uid_b: int) -> bool:
+        e = self.engine
         try:
-            pa, pb = self.engine.pos_of(uid_a), self.engine.pos_of(uid_b)
+            sa, sb = e.uid_to_slot[uid_a], e.uid_to_slot[uid_b]
         except KeyError:
             return False
-        ra = float(np.asarray(self.engine.state.ents.sel_radius)[
-            self.engine.uid_to_slot[uid_a]])
-        rb = float(np.asarray(self.engine.state.ents.sel_radius)[
-            self.engine.uid_to_slot[uid_b]])
-        return float(np.linalg.norm(pa - pb)) <= ra + rb + _NEAR
+        if getattr(self, "_pos", None) is not None:
+            pos, rad = self._pos, self._sel_radius
+        else:
+            pos = np.asarray(e.state.ents.pos)
+            rad = np.asarray(e.state.ents.sel_radius)
+        return float(np.linalg.norm(pos[sa] - pos[sb])) <= \
+            float(rad[sa]) + float(rad[sb]) + _NEAR
 
     def _nearest_storage(self, uid: int, name: str) -> int:
         """Nearest same-faction storage with room for `name`."""
@@ -295,7 +311,7 @@ class Economy:
                 continue
             if s.stored.get(name, 0) >= s.capacity.get(name, 0):
                 continue
-            d = float(np.linalg.norm(e.pos_of(uid) - e.pos_of(suid)))
+            d = float(np.linalg.norm(self._pos_of(uid) - self._pos_of(suid)))
             if d < best_d:
                 best, best_d = suid, d
         return best
@@ -407,7 +423,7 @@ class Economy:
                     continue
                 if names_ok and res.name not in names_ok:
                     continue
-                d = float(np.linalg.norm(e.pos_of(uid) - e.pos_of(ruid)))
+                d = float(np.linalg.norm(self._pos_of(uid) - self._pos_of(ruid)))
                 if d < best_d:
                     best, best_d = ruid, d
             if best >= 0:

@@ -89,6 +89,12 @@ class Engine:
         self._gslot_owner: dict[int, int] = {}
         # structure cutouts by uid -> stamped tile rect (r0, r1, c0, c1)
         self._structures: dict[int, tuple[int, int, int, int]] = {}
+        # host mirrors of faction state (no device fetches on hot paths)
+        self._host_factions: set[int] = set()
+        self._host_diplomacy = np.zeros(
+            (self.cfg.max_factions, self.cfg.max_factions), np.int32)
+        # per-faction combat-chase field slots (enemy-seek global fields)
+        self._chase_gslot: dict[int, int] = {}
 
     # -- map -------------------------------------------------------------------
 
@@ -408,12 +414,20 @@ class Engine:
         if free:
             gslot = min(free)
         else:
-            gslot, old_fid = next(iter(self._gslot_owner.items()))
+            gslot, old = next(iter(self._gslot_owner.items()))
             del self._gslot_owner[gslot]
-            self._seek_flocks.pop(old_fid, None)
-            fl = self.state.flocks
-            self.state = self.state.replace(flocks=fl.replace(
-                global_slot=fl.global_slot.at[old_fid].set(-1)))
+            if old < 0:
+                # faction chase field (pseudo-fid -(faction+1))
+                fac = -old - 1
+                self._chase_gslot.pop(fac, None)
+                ft = self.state.factions
+                self.state = self.state.replace(factions=ft.replace(
+                    chase_slot=ft.chase_slot.at[fac].set(-1)))
+            else:
+                self._seek_flocks.pop(old, None)
+                fl = self.state.flocks
+                self.state = self.state.replace(flocks=fl.replace(
+                    global_slot=fl.global_slot.at[old].set(-1)))
         self._gslot_owner[gslot] = fid
         return gslot
 
@@ -434,7 +448,7 @@ class Engine:
         layer = int(np.asarray(self.state.ents.layer)[slots[0]])
         gslot = self._alloc_gslot(fid)
         self.state = self.nav.build_enemy_seek_field(
-            self.state, fid, faction, layer, gslot)
+            self.state, faction, layer, gslot, flock_id=fid)
         self._seek_flocks[fid] = (faction, layer, gslot)
 
         e = self.state.ents
@@ -500,7 +514,7 @@ class Engine:
                 del self._seek_flocks[fid]
                 continue
             self.state = self.nav.build_enemy_seek_field(
-                self.state, fid, faction, layer, gslot)
+                self.state, faction, layer, gslot, flock_id=fid)
 
     def _reclaim_flocks(self) -> None:
         """Free flocks no living entity references (the reference deletes
@@ -546,6 +560,7 @@ class Engine:
     # -- factions / diplomacy ------------------------------------------------------
 
     def add_faction(self, fac_id: int, controllable: bool = True) -> None:
+        self._host_factions.add(fac_id)
         ft = self.state.factions
         self.state = self.state.replace(factions=ft.replace(
             active=ft.active.at[fac_id].set(True),
@@ -553,9 +568,32 @@ class Engine:
         ))
 
     def set_diplomacy(self, f1: int, f2: int, dstate: int) -> None:
+        self._host_diplomacy[f1, f2] = self._host_diplomacy[f2, f1] = dstate
         ft = self.state.factions
         d = ft.diplomacy.at[f1, f2].set(dstate).at[f2, f1].set(dstate)
         self.state = self.state.replace(factions=ft.replace(diplomacy=d))
+
+    def _refresh_chase_fields(self) -> None:
+        """Rebuild each warring faction's enemy-seek chase field — combat
+        chasers (MOVING_TO_TARGET) follow it around walls instead of
+        straight-lining at their target (ref: field.c:1209-1678)."""
+        from permafrost_engine_tpu.core.config import DiplomacyState
+
+        for f in sorted(self._host_factions):
+            at_war = any(
+                self._host_diplomacy[f, g] == DiplomacyState.WAR
+                for g in self._host_factions if g != f)
+            if not at_war:
+                continue
+            slot = self._chase_gslot.get(f)
+            if slot is None:
+                slot = self._alloc_gslot(-(f + 1))
+                self._chase_gslot[f] = slot
+                cs = self.state.factions.chase_slot.at[f].set(slot)
+                self.state = self.state.replace(
+                    factions=self.state.factions.replace(chase_slot=cs))
+            self.state = self.nav.build_enemy_seek_field(
+                self.state, f, 0, slot)
 
     def set_stance(self, uids: list[int], stance: int) -> None:
         slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
@@ -646,8 +684,11 @@ class Engine:
             if self.anim.states:
                 self.anim.tick(self.economy_period / 60.0)
             self.audio.tick(self.economy_period)
-        if self._seek_flocks and self._frame % self.seek_refresh_period == 0:
-            self.refresh_seek_fields()
+        if self._frame % self.seek_refresh_period == 0:
+            if self._seek_flocks:
+                self.refresh_seek_fields()
+            if np.any(self._host_diplomacy == 2):   # any war declared
+                self._refresh_chase_fields()
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

@@ -103,17 +103,32 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
 
     # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
+    # combat chasers (MOVING_TO_TARGET, no flock) route through their
+    # faction's enemy-seek field instead of straight-lining into walls
+    # (ref: field.c:1209-1678 enemy-seek velocity)
+    from permafrost_engine_tpu.core.config import CombatState
+
+    chasing = ents.alive & (ents.combatstate == CombatState.MOVING_TO_TARGET)
+    ent_gslot = jnp.where(
+        chasing,
+        state.factions.chase_slot[
+            jnp.clip(ents.faction, 0, cfg.max_factions - 1)],
+        -1)
     flow_dir, has_field = vel_ops.flow_velocity(
         ents.pos, ents.flock, state.flocks.field_slot, state.fields.flow,
-        state.flocks.global_slot, state.fields.global_flow,
+        state.flocks.global_slot, state.fields.global_flow, ent_gslot,
         chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
     dist_dest = jnp.linalg.norm(ents.dest - ents.pos, axis=-1)
     # direct-seek when close, when no field exists, or when the unit has
-    # line-of-sight to the destination (ref: LOS latch, movement.c:4129)
+    # line-of-sight to the destination (ref: LOS latch, movement.c:4129).
+    # Chasers are exempt from the close-range override: their enemy-seek
+    # field converges on the target itself, and direct steering near a
+    # wall would wedge them against it.
     has_los = vel_ops.dest_los(
         ents.pos, ents.flock, state.flocks.los_slot, state.fields.los,
         chunks_r=cfg.chunks_r, chunks_c=cfg.chunks_c)
-    use_arrive = ~has_field | has_los | (dist_dest < 4 * ARRIVE_SLOWING_RADIUS)
+    use_arrive = ~has_field | has_los | (
+        (dist_dest < 4 * ARRIVE_SLOWING_RADIUS) & ~chasing)
 
     max_speed_tick = ents.max_speed / float(cfg.move_hz)
     vpref = boids.preferred_velocity(

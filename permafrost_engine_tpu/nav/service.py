@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -507,29 +508,44 @@ class NavService:
                 jnp.asarray(self.slot_mirror[flock_id], jnp.int32))
         state = state.replace(flocks=state.flocks.replace(field_slot=fs))
 
-        # LOS field for the destination chunk: units that can see the goal
-        # direct-seek instead of following the field (ref: LOS latch,
-        # field.h:195-202, movement.c compute_los_state)
-        g_chunk = ordered[0][0]
-        los_key = (layer, g_chunk, ("los", gr, gc))
-        slot = self.los_cache.get(los_key)
+        # LOS fields for EVERY chunk along the path: units that can see the
+        # goal direct-seek instead of following the field, even mid-path
+        # (the reference chains LOS dest->src across path chunks,
+        # ref: field.c:435-537, field.h:195-202; here ONE whole-map LOS
+        # build is sliced into the per-chunk slab — exact, not chained)
+        los_assign: list[tuple[tuple[int, int], int]] = []
+        los_need: list[tuple[tuple[int, int], int]] = []
         los_evicted = False
-        if slot is None:
-            slot, evicted = self.los_cache.put(los_key)
-            if evicted is not None:
-                # other flocks' device rows may still point at the recycled
-                # slot; scrub the mirror AND push it whole (mirrors the
-                # evicted_any handling of field_slot above) or those flocks
-                # get false has_los from an unrelated destination's field
-                self.los_mirror[self.los_mirror == slot] = -1
-                los_evicted = True
-            passable = self._chunk_cost(
-                state, layer, *g_chunk, with_blockers=False) != COST_IMPASSABLE
-            los = ff.los_field(passable, gr % FIELD_RES, gc % FIELD_RES)
+        for chunk, _sig, _key in ordered:
+            los_key = (layer, chunk, ("los", gr, gc))
+            slot = self.los_cache.get(los_key)
+            if slot is None:
+                slot, evicted = self.los_cache.put(los_key)
+                if evicted is not None:
+                    # other flocks' device rows may still point at the
+                    # recycled slot; scrub the mirror AND push it whole or
+                    # those flocks get false has_los from an unrelated
+                    # destination's field
+                    self.los_mirror[self.los_mirror == slot] = -1
+                    los_evicted = True
+                los_need.append((chunk, slot))
+            los_assign.append((chunk, slot))
+        if los_need:
+            passable = state.nav.cost_base[layer] != COST_IMPASSABLE
+            los_map = ff.los_field(
+                passable, gr, gc,
+                max_iters=2 * max(cfg.field_h, cfg.field_w))
+            tiles = jnp.stack([
+                jax.lax.dynamic_slice(
+                    los_map, (cr * FIELD_RES, cc * FIELD_RES),
+                    (FIELD_RES, FIELD_RES))
+                for (cr, cc), _ in los_need])
+            slots_j = jnp.asarray([s for _, s in los_need])
             state = state.replace(fields=state.fields.replace(
-                los=state.fields.los.at[slot].set(los)))
+                los=state.fields.los.at[slots_j].set(tiles, mode="drop")))
         self.los_mirror[flock_id, :] = -1
-        self.los_mirror[flock_id, self._chunk_idx(*g_chunk)] = slot
+        for chunk, slot in los_assign:
+            self.los_mirror[flock_id, self._chunk_idx(*chunk)] = slot
         if los_evicted:
             ls = jnp.asarray(self.los_mirror, jnp.int32)
         else:
@@ -540,13 +556,14 @@ class NavService:
     # -- whole-map fields (enemy-seek / surround) --------------------------------
 
     def build_enemy_seek_field(
-        self, state: GameState, flock_id: int, faction: int, layer: int,
-        slot: int,
+        self, state: GameState, faction: int, layer: int, slot: int,
+        flock_id: int | None = None,
     ) -> GameState:
         """Whole-map field flowing toward every enemy of `faction`
         (ref: field.c enemy-seek frontier builders, field.c:1209-1678).
         Host-chosen `slot` indexes the global slab; the caller owns slot
-        assignment/refresh cadence."""
+        assignment/refresh cadence. With flock_id=None only the slab is
+        written (per-faction combat-chase fields)."""
         import jax.numpy as jnp
         from permafrost_engine_tpu.core.config import DiplomacyState
 
@@ -560,7 +577,7 @@ class NavService:
         flat = jnp.where(enemy, r * w + c, h * w)
         seeds = jnp.zeros((h * w,), jnp.bool_).at[flat].set(
             True, mode="drop").reshape(h, w)
-        return self._install_global(state, flock_id, layer, slot, seeds)
+        return self._install_global(state, layer, slot, seeds, flock_id)
 
     def build_surround_field(
         self, state: GameState, flock_id: int, target_slotidx: int,
@@ -577,9 +594,10 @@ class NavService:
         rows = jnp.arange(h)[:, None]
         cols = jnp.arange(w)[None, :]
         seeds = (rows == r) & (cols == c)
-        return self._install_global(state, flock_id, layer, slot, seeds)
+        return self._install_global(state, layer, slot, seeds, flock_id)
 
-    def _install_global(self, state, flock_id, layer, slot, seeds) -> GameState:
+    def _install_global(self, state, layer, slot, seeds,
+                        flock_id: int | None = None) -> GameState:
         import jax.numpy as jnp
 
         # seek fields ignore blockers: enemies stand on blocked tiles
@@ -588,10 +606,11 @@ class NavService:
                              max_iters=4 * max(self.cfg.field_h, self.cfg.field_w))
         dirs = ff.flow_dirs(integ, cost)
         gf = state.fields.global_flow.at[slot].set(dirs)
-        gs = state.flocks.global_slot.at[flock_id].set(slot)
-        return state.replace(
-            fields=state.fields.replace(global_flow=gf),
-            flocks=state.flocks.replace(global_slot=gs))
+        state = state.replace(fields=state.fields.replace(global_flow=gf))
+        if flock_id is not None:
+            gs = state.flocks.global_slot.at[flock_id].set(slot)
+            state = state.replace(flocks=state.flocks.replace(global_slot=gs))
+        return state
 
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.flock_chunks.pop(flock_id, None)

@@ -27,6 +27,10 @@ def flow_velocity(
     flow_slab: jax.Array,    # u8[S, FIELD_RES, FIELD_RES]
     global_slot: jax.Array | None = None,   # i32[F] whole-map field slot
     global_flow: jax.Array | None = None,   # u8[G, H, W]
+    ent_gslot: jax.Array | None = None,     # i32[N] per-entity whole-map
+                                            # slot (combat chase field),
+                                            # used when the entity has no
+                                            # flock
     *,
     chunks_r: int,
     chunks_c: int,
@@ -36,6 +40,8 @@ def flow_velocity(
     A flock with a whole-map field (enemy-seek/surround, the reference's
     TARGET_ENEMIES/TARGET_ENTITY fields) samples it directly; otherwise the
     per-chunk slab is resolved through the flock's chunk->slot table.
+    Flockless entities with `ent_gslot >= 0` (combat chasers) sample that
+    whole-map field.
 
     Returns:
       dir: f32[N,2] blended unit direction (zero where no field data).
@@ -61,6 +67,10 @@ def flow_velocity(
     else:
         gslot = jnp.full((n,), -1, jnp.int32)
         use_global = jnp.zeros((n,), jnp.bool_)
+    if ent_gslot is not None:
+        use_ent = no_flock & (ent_gslot >= 0)
+        gslot = jnp.where(use_ent, ent_gslot, gslot)
+        use_global = use_global | use_ent
 
     def sample(r, c):
         rc = jnp.clip(r, 0, field_h - 1)
@@ -74,7 +84,7 @@ def flow_velocity(
         if global_flow is not None:
             gcode = global_flow[jnp.maximum(gslot, 0), rc, cc]
             code = jnp.where(use_global, gcode, code)
-            has = has | use_global
+            has = (has & ~use_global) | use_global
         vec = dir_code_to_vec(jnp.where(has, code, 0))
         return vec, has & (code > 0)
 

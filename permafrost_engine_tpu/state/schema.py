@@ -164,6 +164,10 @@ class FactionTable:
     active: jax.Array        # bool[F]
     controllable: jax.Array  # bool[F]
     diplomacy: jax.Array     # i32[F,F] DiplomacyState matrix
+    chase_slot: jax.Array    # i32[F] global-flow slot of the faction's
+                             # enemy-seek field (combat chase routes through
+                             # it instead of straight-lining into walls,
+                             # ref: field.c:1209-1678 enemy-seek builders)
 
 
 @flax.struct.dataclass
@@ -306,6 +310,7 @@ def init_factions(cfg: EngineConfig) -> FactionTable:
         active=_z(f, jnp.bool_),
         controllable=_z(f, jnp.bool_),
         diplomacy=_z((f, f), jnp.int32),
+        chase_slot=jnp.full((f,), -1, jnp.int32),
     )
 
 

@@ -124,6 +124,62 @@ def test_replan_only_touches_crossing_flocks():
     assert eng.nav.stats["requests"] == requests, "unaffected flock replanned"
 
 
+def test_los_fields_chain_across_path_chunks():
+    """Every chunk on the installed path gets a LOS slice of the whole-map
+    LOS field, so units latch direct-seek mid-path when they can see the
+    goal (ref: field.c:435-537 chains LOS dest->src across chunks)."""
+    from permafrost_engine_tpu.ops import velocity as vel_ops
+    import jax.numpy as jnp
+
+    eng = Engine(cfg_2x2())   # wide open 2x2 map: everything sees everything
+    u = eng.spawn_batch(np.array([[96.0, 96.0]], np.float32), max_speed=80.0)
+    assert eng.move(u, (96.0, 430.0))   # path spans the NW and SW chunks
+    fid = int(np.asarray(eng.state.ents.flock)[eng.uid_to_slot[u[0]]])
+    los_row = np.asarray(eng.state.flocks.los_slot)[fid]
+    assert (los_row >= 0).sum() >= 2, "only the goal chunk got a LOS field"
+
+    # the unit sits in the START chunk, two chunks from the goal, with a
+    # clear line: the device-side LOS latch must fire there
+    has_los = vel_ops.dest_los(
+        eng.state.ents.pos, eng.state.ents.flock,
+        eng.state.flocks.los_slot, eng.state.fields.los,
+        chunks_r=eng.cfg.chunks_r, chunks_c=eng.cfg.chunks_c)
+    assert bool(np.asarray(has_los)[eng.uid_to_slot[u[0]]])
+
+
+def test_combat_chase_flows_around_wall():
+    """MOVING_TO_TARGET routes through the faction's enemy-seek field:
+    fighters separated from their target by a wall flow around it instead
+    of wedging against it (ref: field.c:1209-1678 enemy-seek velocity)."""
+    from permafrost_engine_tpu.core.config import DiplomacyState
+
+    # one chunk, a wall with a south gap between fighter and target
+    cost = np.ones((1, 64, 64), np.uint8)
+    cost[0, 8:52, 32] = COST_IMPASSABLE   # vertical wall at x=128, gap below
+    cfg = EngineConfig(max_ents=16, chunks_r=1, chunks_c=1, num_layers=1,
+                       max_flocks=4, max_projectiles=8,
+                       field_slab_slots=8, los_slab_slots=8)
+    eng = Engine(cfg, cost_base=cost)
+    eng.add_faction(0)
+    eng.add_faction(1)
+    eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+    a = eng.spawn_batch(np.array([[100.0, 100.0]], np.float32), faction=0,
+                        max_speed=60.0, vision_range=250.0, attack_range=5.0,
+                        base_dmg=50.0, attack_period=1)
+    b = eng.spawn_batch(np.array([[160.0, 100.0]], np.float32), faction=1,
+                        base_dmg=0.0, hp=60.0)
+    eng.seek_refresh_period = 6
+    killed = False
+    for _ in range(160):
+        eng.step(6)
+        if ("entity_death", {"uid": b[0]}) in eng.events:
+            killed = True
+            break
+    assert killed, "fighter never reached the target behind the wall"
+    # it went around: the fighter is on the target's side of the wall
+    assert eng.pos_of(a[0])[0] > 128.0
+
+
 def test_per_layer_flocks_split():
     """A mixed-footprint selection splits into per-layer flocks with
     per-layer fields (ref: split_into_layers, movement.c:771-787): the big
