@@ -159,7 +159,6 @@ class Engine:
         flock = np.asarray(self.state.ents.flock)
         alive = np.asarray(self.state.ents.alive)
         pos = np.asarray(self.state.ents.pos)
-        has_cell = np.asarray(self.state.ents.has_formation_cell)
         layers = np.asarray(self.state.flocks.layer)
         dests = np.asarray(self.state.flocks.dest)
         for fid in np.nonzero(active)[0]:
@@ -178,9 +177,17 @@ class Engine:
             e = self.state.ents
             if ok:
                 g = jnp.asarray(np.asarray(eff, np.float32))
-                plain = members[~has_cell[members]]
-                if plain.size:
-                    e = e.replace(dest=e.dest.at[jnp.asarray(plain)].set(g))
+                sl = jnp.asarray(members)
+                if members.size > 1:
+                    dests, cells_on = self._ring_dests(
+                        members, eff, int(layers[fid]))
+                    e = e.replace(
+                        dest=e.dest.at[sl].set(dests),
+                        formation_cell=e.formation_cell.at[sl].set(dests),
+                        has_formation_cell=(
+                            e.has_formation_cell.at[sl].set(cells_on)))
+                else:
+                    e = e.replace(dest=e.dest.at[sl].set(g))
                 self.state = self.state.replace(
                     ents=e,
                     flocks=self.state.flocks.replace(
@@ -323,6 +330,20 @@ class Engine:
             ok_any |= self._move_layer(guids, group, goal_xz, int(layer))
         return ok_any
 
+    def _ring_dests(self, slots: np.ndarray, goal_xz, layer: int):
+        """Per-unit packed ring-slot destinations around the goal
+        (ref: arrival.h ring fill). Returns (f32[M,2] jnp dests, True)."""
+        from permafrost_engine_tpu.core.config import ARRIVAL_THRESHOLD
+        from permafrost_engine_tpu.game.arrival import assign_ring_slots
+
+        pos = np.asarray(self.state.ents.pos)[slots]
+        radius = np.asarray(self.state.ents.radius)[slots]
+        spacing = max(float(radius.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
+        dests = assign_ring_slots(
+            pos, np.asarray(goal_xz, np.float32), spacing,
+            self.nav.cost_base[layer])
+        return jnp.asarray(dests), True
+
     def _move_layer(self, uids: list[int], slots: np.ndarray,
                     goal_xz: tuple[float, float], layer: int) -> bool:
         self._commit_nav()   # orders must see pending structure stamps
@@ -339,11 +360,19 @@ class Engine:
         goal = jnp.asarray(np.asarray(eff_goal if ok else goal_xz, np.float32))
         e = self.state.ents
         sl = jnp.asarray(slots)
+        if ok and len(uids) > 1:
+            # per-unit ring arrival slots (ref: arrival.h:49-120): the
+            # flock shares flow fields to the goal; each unit settles onto
+            # its own packed ring slot
+            dests, cells_on = self._ring_dests(slots, eff_goal, layer)
+        else:
+            dests, cells_on = goal, False
         e = e.replace(
-            dest=e.dest.at[sl].set(goal),
+            dest=e.dest.at[sl].set(dests),
+            formation_cell=e.formation_cell.at[sl].set(dests),
             flock=e.flock.at[sl].set(fid if ok else -1),
             movestate=e.movestate.at[sl].set(MoveState.MOVING),
-            has_formation_cell=e.has_formation_cell.at[sl].set(False),
+            has_formation_cell=e.has_formation_cell.at[sl].set(cells_on),
         )
         fl = self.state.flocks
         fl = fl.replace(

@@ -159,8 +159,6 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
     flock_arrived = jnp.any(
         neigh_same_flock & neigh_arrived & (neigh_dist < 10.0), axis=1)
-    # formation members have exact cell destinations: no propagation
-    flock_arrived = flock_arrived & ~ents.has_formation_cell
     upd = integ_ops.movement_update(
         alive=ents.alive,
         moving_mask=moving_mask,
@@ -178,6 +176,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
         blockers=state.nav.blockers,
         garrisoned=garrisoned,
         flock_arrived=flock_arrived,
+        has_cell=ents.has_formation_cell,
     )
     arrived = upd.pop("arrived")
     new_ents = ents.replace(prev_pos=ents.pos, **upd)

@@ -10,8 +10,9 @@ is VISIBLE where any disc covers it. Explored memory (UNEXPLORED -> IN_FOG)
 is a running max, exactly the reference's 2-bit state ladder
 (fog_of_war.c:163-177).
 
-Height-aware shadowcasting (fog_of_war.c:427-541) is not yet modelled;
-flat-terrain visibility matches the reference's fast stamp path.
+On uneven terrain the disc path is replaced by the batched shadowcaster
+(ops/shadowcast.py), mirroring the reference's stamp-vs-cast_light switch
+(fog_of_war.c:427-541).
 """
 
 from __future__ import annotations
@@ -34,10 +35,6 @@ def _disc_kernel(radius: int) -> np.ndarray:
     k = 2 * radius + 1
     y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     return ((x * x + y * y) <= radius * radius).astype(np.float32)
-
-
-NUM_HEIGHT_LEVELS = 4
-HEIGHT_TOL = 1.0  # world units a viewer can see "up"
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_h", "tiles_w", "max_factions"))
@@ -66,48 +63,39 @@ def update_fog(
     bucket = jnp.clip(bucket, 0, nb - 1)
 
     # Height-aware path: the reference switches from disc stamps to
-    # recursive shadowcasting on uneven terrain (fog_of_war.c:427-541).
-    # TPU decomposition: viewers are split by height level and each level's
-    # disc visibility is masked to tiles at or below that level (+tol) —
-    # captures the dominant "can't see up cliffs" rule without per-unit
-    # recursion. Ridge back-shadows are approximated away.
+    # recursive shadowcasting on uneven terrain (fog_of_war.c:427-541);
+    # here it is the batched ring-DP shadowcaster (ops/shadowcast.py),
+    # exact per viewer — ridge back-shadows really occlude.
     if tile_height is not None:
-        hmin = jnp.min(tile_height)
-        hmax = jnp.max(tile_height)
-        span = jnp.maximum(hmax - hmin, 1e-3)
-        lvl_of = lambda hval: jnp.clip(
-            ((hval - hmin) / span * NUM_HEIGHT_LEVELS).astype(jnp.int32),
-            0, NUM_HEIGHT_LEVELS - 1)
-        viewer_lvl = lvl_of(tile_height[r, c])
-        nl = NUM_HEIGHT_LEVELS
-        # max height a viewer at level l can see: top of its level + tol
-        lvl_ceil = hmin + (jnp.arange(nl, dtype=jnp.float32) + 1.0) / nl * span
-        see_mask = (tile_height[None] <= (lvl_ceil + HEIGHT_TOL)[:, None, None])
+        from permafrost_engine_tpu.ops.shadowcast import shadowcast_visibility
+
+        visible = shadowcast_visibility(
+            jnp.stack([r, c], axis=1),
+            alive & (faction >= 0) & (vision_range > 0),
+            faction, vr_tiles, tile_height,
+            radius=VISION_BUCKET_RADII[-1],
+            tiles_h=tiles_h, tiles_w=tiles_w, max_factions=max_factions)
     else:
-        viewer_lvl = jnp.zeros((n,), jnp.int32)
-        nl = 1
-        see_mask = jnp.ones((1, tiles_h, tiles_w), jnp.bool_)
+        chan = faction * nb + bucket
+        nchan = max_factions * nb
+        flat = jnp.where(alive & (faction >= 0) & (vision_range > 0),
+                         chan * (tiles_h * tiles_w) + r * tiles_w + c,
+                         nchan * tiles_h * tiles_w)
+        occ = jnp.zeros((nchan * tiles_h * tiles_w,), jnp.float32)
+        occ = occ.at[flat].add(1.0, mode="drop")
+        occ = occ.reshape(max_factions, nb, tiles_h, tiles_w)
 
-    chan = (faction * nb + bucket) * nl + viewer_lvl
-    nchan = max_factions * nb * nl
-    flat = jnp.where(alive & (faction >= 0) & (vision_range > 0),
-                     chan * (tiles_h * tiles_w) + r * tiles_w + c,
-                     nchan * tiles_h * tiles_w)
-    occ = jnp.zeros((nchan * tiles_h * tiles_w,), jnp.float32)
-    occ = occ.at[flat].add(1.0, mode="drop")
-    occ = occ.reshape(max_factions, nb, nl, tiles_h, tiles_w)
+        vis = jnp.zeros((max_factions, tiles_h, tiles_w), jnp.bool_)
+        for b, rad in enumerate(VISION_BUCKET_RADII):
+            kern = jnp.asarray(_disc_kernel(rad))[None, None, :, :]
+            out = jax.lax.conv_general_dilated(
+                occ[:, b].reshape(max_factions, 1, tiles_h, tiles_w), kern,
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            ).reshape(max_factions, tiles_h, tiles_w)
+            vis = vis | (out > 0.5)
 
-    vis = jnp.zeros((max_factions, tiles_h, tiles_w), jnp.bool_)
-    for b, rad in enumerate(VISION_BUCKET_RADII):
-        kern = jnp.asarray(_disc_kernel(rad))[None, None, :, :]
-        out = jax.lax.conv_general_dilated(
-            occ[:, b].reshape(max_factions * nl, 1, tiles_h, tiles_w), kern,
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        ).reshape(max_factions, nl, tiles_h, tiles_w)
-        vis = vis | jnp.any((out > 0.5) & see_mask[None], axis=1)
-
-    visible = vis
+        visible = vis
     explored = fog_state > FogState.UNEXPLORED
     new = jnp.where(
         visible, jnp.uint8(FogState.VISIBLE),

@@ -33,6 +33,7 @@ from permafrost_engine_tpu.core.config import (
     MoveState,
     NAV_TILE_SIZE,
     VEL_HIST_LEN,
+    WAIT_TICKS,
 )
 
 _EPS = 1e-6
@@ -98,6 +99,8 @@ def movement_update(
     blockers: jax.Array,
     garrisoned: jax.Array,      # bool[N] forced-ARRIVED (movement.c:2341)
     flock_arrived: jax.Array,   # bool[N] an arrived flockmate is adjacent
+    has_cell: jax.Array,        # bool[N] unit owns a private ring/formation
+                                # slot (propagation only fires when wedged)
 ):
     """One movement-tick integration pass. Returns a dict of updated fields
     plus an `arrived` event mask."""
@@ -148,26 +151,41 @@ def movement_update(
     dist_dest = jnp.linalg.norm(dest - new_pos, axis=-1)
     arrived_now = was_moving & (dist_dest < ARRIVAL_THRESHOLD)
     # wedged near the goal for ~0.6s of move ticks: settle where we stand
+    # (ring slots make this the exception path; the common case is exact
+    # per-unit slot arrival, ref: src/game/arrival.h)
     arrived_now = arrived_now | (
         was_moving & (new_stuck > 12) & (dist_dest < 5 * ARRIVAL_THRESHOLD))
-    # group arrival: stop when an adjacent flockmate has already arrived and
-    # we're inside the gathering radius — the propagation that lets a crowd
-    # settle around an occupied goal (ref: src/game/arrival.h ring fill;
-    # full per-slot arrival system is a later milestone)
+    # group arrival propagation (ref: arrival.c stuck counters): shared-dest
+    # flocks settle next to arrived flockmates freely; slot owners settle
+    # beside arrived mates when wedged — near their slot, or anywhere once
+    # physically jammed (the slot may be buried inside the settled crowd)
+    jammed = jnp.linalg.norm(eff_vel, axis=-1) < jnp.maximum(
+        0.02, 0.15 * jnp.linalg.norm(new_vel, axis=-1))
     arrived_now = arrived_now | (
-        was_moving & flock_arrived & (dist_dest < CELL_ARRIVAL_RADIUS))
+        was_moving & flock_arrived & (
+            ((dist_dest < CELL_ARRIVAL_RADIUS) & (~has_cell | (new_stuck > 8)))
+            | (jammed & (new_stuck > 8))))
     arrived_now = arrived_now | (garrisoned & alive)
 
-    # ---- waiting countdown ---------------------------------------------------
+    # ---- waiting (ref: movement.c WAIT_TICKS 60, :432, :702) ----------------
+    # physically jammed FAR from the goal and the settled group
+    # (displacement tiny vs. the commanded velocity — NOT mere lack of goal
+    # progress, which is normal while wall-following a detour): stand down
+    # for WAIT_TICKS move ticks, then resume and retry
+    wait_now = was_moving & ~turning & ~need_turn & jammed & \
+        ~flock_arrived & (new_stuck > 20) & \
+        (dist_dest >= 5 * ARRIVAL_THRESHOLD) & ~arrived_now
     waiting = st == MoveState.WAITING
     new_wait = jnp.where(waiting, jnp.maximum(wait_ticks - 1, 0), wait_ticks)
+    new_wait = jnp.where(wait_now, WAIT_TICKS, new_wait)
     wait_done = waiting & (new_wait == 0)
 
-    # ---- state transitions (priority: arrived > turn > resume) --------------
+    # ---- state transitions (priority: arrived > wait > turn > resume) --------
     new_st = st
     new_st = jnp.where(wait_done, MoveState.MOVING, new_st)
     new_st = jnp.where(need_turn & ~turning, MoveState.TURNING, new_st)
     new_st = jnp.where(resume, MoveState.MOVING, new_st)
+    new_st = jnp.where(wait_now, MoveState.WAITING, new_st)
     new_st = jnp.where(arrived_now, MoveState.ARRIVED, new_st)
     new_st = jnp.where(alive, new_st, st)
 
@@ -192,6 +210,6 @@ def movement_update(
         vel_hist=vh,
         vel_hist_idx=new_idx,
         wait_ticks=new_wait,
-        stuck_ticks=jnp.where(arrived_now, 0, new_stuck),
+        stuck_ticks=jnp.where(arrived_now | wait_now, 0, new_stuck),
         arrived=arrived_now & (st != MoveState.ARRIVED),
     )

@@ -110,6 +110,45 @@ def test_unreachable_goal_retargets_to_closest_reachable():
     assert np.linalg.norm(p - dest) < 60.0
 
 
+def test_ring_arrival_packs_and_settles():
+    """A large flock settles into packed rings around an occupied goal and
+    stops oscillating (ref: src/game/arrival.h:49-120 ring-slot arrival):
+    every unit gets its own ring slot at order time, so arrival is exact
+    per unit."""
+    cfg = EngineConfig(max_ents=256, chunks_r=1, chunks_c=1, num_layers=1,
+                       max_flocks=4, max_projectiles=8,
+                       field_slab_slots=8, los_slab_slots=8)
+    eng = Engine(cfg)
+    # an idle unit already parked on the goal
+    eng.spawn_batch(np.array([[200.0, 200.0]], np.float32))
+    rng = np.random.default_rng(7)
+    pos = (np.array([40.0, 40.0]) + rng.random((100, 2)) * 40).astype(np.float32)
+    uids = eng.spawn_batch(pos, max_speed=60.0)
+    goal = np.array([200.0, 200.0])
+    assert eng.move(uids, tuple(goal))
+
+    # per-unit ring slots were assigned: unique destinations, ring-bounded
+    slots = [eng.uid_to_slot[u] for u in uids]
+    dests = np.asarray(eng.state.ents.dest)[slots]
+    assert len(np.unique(dests.round(2), axis=0)) == len(uids)
+    for _ in range(200):
+        eng.step(6)
+        ms = [eng.movestate_of(u) for u in uids]
+        if all(m == MoveState.ARRIVED for m in ms):
+            break
+    arrived = sum(eng.movestate_of(u) == MoveState.ARRIVED for u in uids)
+    assert arrived >= 95, f"only {arrived}/100 settled"
+    p = np.asarray(eng.state.ents.pos)[slots]
+    d = np.linalg.norm(p - goal, axis=1)
+    # 100 units at spacing 6: ~6 rings -> everything within ~55 units
+    assert float(np.median(d)) < 40.0
+    assert float(d.max()) < 75.0
+    # no oscillation: the settled crowd stays put for 2 more seconds
+    eng.step(120)
+    p2 = np.asarray(eng.state.ents.pos)[slots]
+    assert float(np.linalg.norm(p2 - p, axis=1).max()) < 2.0
+
+
 def test_stationary_until_ordered():
     cfg = small_cfg()
     eng = Engine(cfg, cost_base=walled_cost(cfg))

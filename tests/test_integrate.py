@@ -35,6 +35,7 @@ def run_update(n=1, **over):
         blockers=jnp.zeros((1, h, w), jnp.int32),
         garrisoned=jnp.zeros(n, bool),
         flock_arrived=jnp.zeros(n, bool),
+        has_cell=jnp.zeros(n, bool),
     )
     base.update(over)
     return movement_update(**base)

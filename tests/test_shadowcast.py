@@ -1,0 +1,124 @@
+"""Shadowcasting visibility vs a CPU ray-marching oracle
+(ref: /root/reference/src/game/fog_of_war.c:427-541 cast_light)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from permafrost_engine_tpu.ops.shadowcast import (
+    EYE_HEIGHT,
+    SEE_TOL,
+    shadowcast_visibility,
+)
+
+
+def oracle_visible(heights, vr, vc, radius):
+    """Exact ray-march: tile (r, c) visible iff no sample along the ray
+    rises above the sight line. bool[TH, TW]."""
+    th, tw = heights.shape
+    eye = heights[vr, vc] + EYE_HEIGHT
+    out = np.zeros((th, tw), bool)
+    for r in range(th):
+        for c in range(tw):
+            d = np.hypot(r - vr, c - vc)
+            if d > radius:
+                continue
+            if d == 0:
+                out[r, c] = True
+                continue
+            tgt_slope = (heights[r, c] + SEE_TOL - eye) / d
+            steps = int(np.ceil(d)) * 4
+            ts = np.linspace(0, 1, steps, endpoint=False)[1:]
+            rr = vr + (r - vr) * ts
+            cc = vc + (c - vc) * ts
+            hs = heights[np.round(rr).astype(int), np.round(cc).astype(int)]
+            ds = np.hypot(rr - vr, cc - vc)
+            # only terrain higher than the viewer occludes (height-level
+            # rule, same as ops/shadowcast.py)
+            blocks = (hs > eye + 0.01) & (
+                (hs - eye) / np.maximum(ds, 1e-6) > tgt_slope + 1e-9)
+            out[r, c] = not blocks.any()
+    return out
+
+
+def run_one(heights, vr, vc, radius=12):
+    th, tw = heights.shape
+    vis = shadowcast_visibility(
+        jnp.asarray([[vr, vc]], jnp.int32),
+        jnp.asarray([True]),
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([float(radius)], jnp.float32),
+        jnp.asarray(heights, jnp.float32),
+        radius=16, tiles_h=th, tiles_w=tw, max_factions=2)
+    return np.asarray(vis[0])
+
+
+def test_flat_ground_fully_visible():
+    h = np.zeros((32, 32), np.float32)
+    vis = run_one(h, 16, 16, radius=10)
+    rr, cc = np.mgrid[0:32, 0:32]
+    inside = np.hypot(rr - 16, cc - 16) <= 10
+    assert (vis[inside]).all()
+    assert not vis[~inside].any()
+
+
+def test_ridge_blocks_vision_behind_it():
+    """A unit below a ridge cannot see tiles behind the crest (the round-1
+    level-masking approximation leaked exactly this)."""
+    h = np.zeros((32, 32), np.float32)
+    h[:, 16] = 20.0     # tall north-south ridge
+    vis = run_one(h, 16, 8, radius=14)
+    # the ridge face is visible, the far side is not
+    assert vis[16, 16]
+    assert not vis[16, 18:22].any(), "vision leaked past the ridge"
+    # unobstructed side stays visible
+    assert vis[16, 2:8].all()
+
+
+def test_elevated_viewer_sees_over_low_wall():
+    h = np.zeros((32, 32), np.float32)
+    h[16, 8] = 10.0     # viewer on a hill
+    h[:, 12] = 2.0      # low wall
+    vis = run_one(h, 16, 8, radius=14)
+    assert vis[16, 14:20].all(), "elevated viewer blocked by a low wall"
+
+
+def test_matches_ray_oracle_on_random_terrain():
+    rng = np.random.default_rng(5)
+    # smooth random terrain: blur noise so slopes are ray-friendly
+    h = rng.random((40, 40)).astype(np.float32) * 30
+    for _ in range(3):
+        h = (h + np.roll(h, 1, 0) + np.roll(h, -1, 0)
+             + np.roll(h, 1, 1) + np.roll(h, -1, 1)) / 5
+    vr, vc = 20, 20
+    radius = 12
+    got = run_one(h, vr, vc, radius=radius)
+    want = oracle_visible(h, vr, vc, radius)
+    sel = np.hypot(*np.mgrid[0:40, 0:40] - np.array([[[vr]], [[vc]]])) <= radius
+    mismatch = (got != want) & sel
+    # disagreements ON the oracle's own visibility boundaries are sub-tile
+    # ambiguity between two discretizations of a continuous sight line;
+    # interior disagreements would be real shadow-shape errors
+    edge = np.zeros_like(want)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            edge |= np.roll(np.roll(want, dr, 0), dc, 1) != want
+    frac_all = mismatch.sum() / sel.sum()
+    frac_interior = (mismatch & ~edge).sum() / sel.sum()
+    assert frac_all < 0.15, f"{frac_all:.1%} total disagreement"
+    assert frac_interior < 0.03, \
+        f"{frac_interior:.1%} interior tiles disagree with the ray oracle"
+
+
+def test_faction_scatter_unions_viewers():
+    h = np.zeros((24, 24), np.float32)
+    vis = shadowcast_visibility(
+        jnp.asarray([[4, 4], [20, 20], [12, 12]], jnp.int32),
+        jnp.asarray([True, True, False]),
+        jnp.asarray([0, 1, 0], jnp.int32),
+        jnp.asarray([4.0, 4.0, 4.0], jnp.float32),
+        jnp.asarray(h),
+        radius=16, tiles_h=24, tiles_w=24, max_factions=2)
+    vis = np.asarray(vis)
+    assert vis[0, 4, 4] and not vis[0, 20, 20]
+    assert vis[1, 20, 20] and not vis[1, 4, 4]
+    assert not vis[0, 12, 12], "dead viewer contributed vision"
