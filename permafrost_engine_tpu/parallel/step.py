@@ -28,19 +28,32 @@ from permafrost_engine_tpu.parallel.mesh import (  # noqa: F401
 )
 
 
-def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None):
-    """Jit the tick with explicit input shardings over `mesh`."""
-    from permafrost_engine_tpu.state.schema import init_state
+def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None,
+                      map_sharded: bool = False):
+    """Jit the tick with explicit input shardings over `mesh`. With
+    `map_sharded`, nav/fog/global-field grids shard their rows too
+    (SURVEY §2.9 chunk sharding for map-heavy configs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from permafrost_engine_tpu.state.schema import empty_deltas, init_state
 
     template = init_state(cfg)
-    sh = state_shardings(cfg, mesh, template)
-    return jax.jit(make_tick(cfg, tile_height), in_shardings=(sh,))
+    sh = state_shardings(cfg, mesh, template, map_sharded)
+    repl = NamedSharding(mesh, P())
+    ent_sharded = NamedSharding(mesh, P(ENT_AXIS))
+    deltas_sh = jax.tree_util.tree_map(
+        lambda x: ent_sharded if x.shape[:1] == (cfg.max_ents,) else repl,
+        empty_deltas(cfg))
+    # out_shardings pinned so grids STAY row-sharded across ticks (XLA
+    # would otherwise replicate rebuilt outputs like the blocker restamp)
+    return jax.jit(make_tick(cfg, tile_height),
+                   in_shardings=(sh,), out_shardings=(sh, deltas_sh))
 
 
-def sharded_engine(engine, mesh):
+def sharded_engine(engine, mesh, map_sharded: bool = False):
     """Re-home an existing Engine's state + tick onto a mesh in place."""
-    engine.state = shard_state(engine.cfg, mesh, engine.state)
+    engine.state = shard_state(engine.cfg, mesh, engine.state, map_sharded)
     engine._tick_fn = make_sharded_tick(
-        engine.cfg, mesh, getattr(engine, "_tile_height", None))
+        engine.cfg, mesh, getattr(engine, "_tile_height", None), map_sharded)
     engine._scan_fn = None
     return engine

@@ -43,6 +43,50 @@ def test_sharded_engine_runs_and_matches_single_device():
     assert ENT_AXIS in str(eng.state.ents.pos.sharding.spec)
 
 
+def test_map_sharded_tick_matches_replicated_at_16k():
+    """Chunk/row-sharded nav+fog+global-field state in the tick matches the
+    replicated layout bit-for-bit at 16k entities (VERDICT round-1 item:
+    multi-chip beyond dryrun; SURVEY §2.9 chunk sharding)."""
+    cfg = EngineConfig(max_ents=16384, chunks_r=2, chunks_c=2, num_layers=1,
+                       max_flocks=8, max_projectiles=64,
+                       field_slab_slots=16, los_slab_slots=16)
+
+    def build():
+        eng = Engine(cfg)
+        eng.add_faction(0)
+        eng.add_faction(1)
+        eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+        rng = np.random.default_rng(1)
+        a = eng.spawn_batch(
+            (rng.random((8000, 2)) * 200 + 30).astype(np.float32),
+            faction=0, max_speed=40.0)
+        eng.spawn_batch(
+            (rng.random((8000, 2)) * 200 + 280).astype(np.float32),
+            faction=1, base_dmg=0.0)
+        eng.move(a, (400.0, 400.0))
+        return eng
+
+    ref = build()
+    ref.step(12)
+
+    mesh = make_mesh(8)
+    eng = sharded_engine(build(), mesh, map_sharded=True)
+    eng.step(12)
+
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.ents.pos), np.asarray(ref.state.ents.pos))
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.ents.hp), np.asarray(ref.state.ents.hp))
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.fog.state), np.asarray(ref.state.fog.state))
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.nav.blockers), np.asarray(ref.state.nav.blockers))
+    # the grids are actually row-sharded and the arena entity-sharded
+    assert ENT_AXIS in str(eng.state.nav.blockers.sharding.spec)
+    assert ENT_AXIS in str(eng.state.fog.state.sharding.spec)
+    assert ENT_AXIS in str(eng.state.ents.pos.sharding.spec)
+
+
 def test_sharded_field_integration_matches_single_device():
     """Row-sharded whole-map integration with ppermute halo exchange must
     match the single-device result exactly."""
