@@ -686,9 +686,16 @@ class Engine:
             self._pending_deltas = None
 
     def step_scan(self, n_frames: int) -> None:
-        """Advance n frames in one device dispatch (lax.scan); events are
-        merged over the window (uid granularity is preserved). Host systems
-        run once per window."""
+        """Advance n frames in batched device dispatches (lax.scan); events
+        are merged per window (uid granularity preserved).
+
+        With no live host systems the whole window is ONE dispatch. With
+        live host systems (economy, regions, seek/chase refresh, tasks) the
+        window splits into gcd-of-cadences segments so every host system
+        still runs at its exact frame cadence — behaviour matches step()
+        instead of collapsing a window's worth of economy ticks into one."""
+        import math
+
         from permafrost_engine_tpu.core.config import SimState
 
         if self.sim_state == SimState.PAUSED_FULL:
@@ -698,10 +705,50 @@ class Engine:
             self._scan_fn = make_tick_scan(
                 self.cfg, getattr(self, "_tile_height", None))
         self.flush_deltas()   # per-frame deltas must not arrive out of order
-        self.state, deltas = self._scan_fn(self.state, n_frames)
-        self._drain(jax.device_get(deltas))
-        self._frame += n_frames
-        self._host_systems_tick(force=True)
+
+        eco = self.economy
+        periods = []
+        if (eco.harvesters or eco.builders or eco.resources
+                or self.regions.regions or self.anim.states):
+            periods.append(self.economy_period)
+        if self._seek_flocks or np.any(self._host_diplomacy == 2):
+            periods.append(self.seek_refresh_period)
+        if self.sched.tasks:
+            periods.append(1)   # tasks may wake every frame
+
+        if not periods:
+            self.state, deltas = self._scan_fn(self.state, n_frames)
+            self._drain(jax.device_get(deltas))
+            self._frame += n_frames
+            self.bus.service_queue(self.sim_state)
+            return
+
+        seg = math.gcd(*periods)
+        if seg == 1:
+            self.step(n_frames)
+            return
+        # align to a segment boundary with per-frame steps, then scan in
+        # fixed-size segments (one compile shape), draining asynchronously
+        align = (-self._frame) % seg
+        if align and align <= n_frames:
+            self.step(align)
+            n_frames -= align
+        ready = None
+        while n_frames >= seg:
+            self._commit_nav()
+            self.state, d = self._scan_fn(self.state, seg)
+            jax.tree_util.tree_map(lambda x: x.copy_to_host_async(), d)
+            if ready is not None:
+                self._drain(jax.device_get(ready))
+            ready = d
+            self._frame += seg
+            n_frames -= seg
+            self._host_systems_tick()
+        if ready is not None:
+            self._drain(jax.device_get(ready))
+        if n_frames:
+            self.step(n_frames)
+        self.bus.service_queue(self.sim_state)
 
     def _host_systems_tick(self, force: bool = False) -> None:
         if self.sched.tasks:

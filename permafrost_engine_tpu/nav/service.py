@@ -387,11 +387,12 @@ class NavService:
         seeds[1, gr % FIELD_RES, gc % FIELD_RES] = True
         integ = np.asarray(ff.integrate(costs, jnp.asarray(seeds)))
 
-        chunk_seq: list[tuple[tuple[int, int], tuple | None]] = []
-        # each entry: (chunk, seed_signature); signature None => goal seed
+        chunk_seq: list[tuple[tuple[int, int], tuple | None, float]] = []
+        # each entry: (chunk, seed_signature, cost_to_goal);
+        # signature None => goal seed
 
         if s_chunk == g_chunk and integ[0, gr % FIELD_RES, gc % FIELD_RES] < ff.INF_COST / 2:
-            chunk_seq = [(g_chunk, None)]
+            chunk_seq = [(g_chunk, None, 0.0)]
         else:
             start_costs = self._portal_span_costs(graph, integ[0], s_chunk)
             goal_costs = self._portal_span_costs(graph, integ[1], g_chunk)
@@ -399,20 +400,28 @@ class NavService:
             if path is None:
                 self.stats["failed"] += 1
                 return self._clear_flock(state, flock_id), False, goal_xz
+            # cost-to-goal per path node: seeds a chunk visited twice with
+            # globally consistent values (union field)
+            ctg = {path[-1]: float(goal_costs.get(path[-1], 0.0))}
+            for i in range(len(path) - 2, -1, -1):
+                w = next(w for q, w in graph.adj[path[i]]
+                         if q == path[i + 1])
+                ctg[path[i]] = ctg[path[i + 1]] + float(w)
             # fields: dest chunk seeded at goal; every other chunk on the
             # path seeded at its *exit*-portal span — the portal it leaves
             # through toward the goal (walking backwards, ref: nav.c:1941-2042).
             # In the A* node sequence, an exit portal is one immediately
             # followed by its cross-edge pair.
-            chunk_seq = [(g_chunk, None)]
+            chunk_seq = [(g_chunk, None, 0.0)]
             for i in range(len(path) - 1):
                 p = graph.portals[path[i]]
                 if p.paired == path[i + 1]:
-                    chunk_seq.append((p.chunk, ("portal", path[i])))
+                    chunk_seq.append((p.chunk, ("portal", path[i]),
+                                      ctg[path[i]]))
 
         # through-chunk tracking for invalidation-driven replans
         self.flock_chunks[flock_id] = (
-            {self._chunk_idx(*c) for c, _ in chunk_seq}
+            {self._chunk_idx(*c) for c, _, _ in chunk_seq}
             | {self._chunk_idx(*s_chunk), self._chunk_idx(*g_chunk)})
         state = self._install_fields(state, flock_id, layer, (gr, gc), chunk_seq)
         return state, True, goal_xz
@@ -425,27 +434,42 @@ class NavService:
         flock_id: int,
         layer: int,
         goal_rc: tuple[int, int],
-        chunk_seq: list[tuple[tuple[int, int], tuple | None]],
+        chunk_seq: list[tuple[tuple[int, int], tuple | None, float]],
     ) -> GameState:
         cfg = self.cfg
         graph = self.graph(layer)
         gr, gc = goal_rc
 
-        # dedupe: keep the entry nearest the front (goal seed wins)
-        seen = set()
+        # group by chunk: a chunk the path visits ONCE gets a plain field
+        # (uniform seed offsets don't change flow dirs, so the cache key
+        # ignores the cost and stays shareable); a chunk visited TWICE
+        # (the path exits and re-enters, e.g. around a U-wall) gets a
+        # union field whose seed classes carry their remaining-path cost —
+        # one globally consistent downhill field for both visits
+        groups: dict[tuple[int, int], list[tuple[tuple | None, float]]] = {}
+        order_chunks: list[tuple[int, int]] = []
+        for chunk, sig, cost in chunk_seq:
+            if chunk not in groups:
+                order_chunks.append(chunk)
+            groups.setdefault(chunk, []).append((sig, cost))
+
         ordered = []
-        for chunk, sig in chunk_seq:
-            if chunk in seen:
-                continue
-            seen.add(chunk)
-            key = (layer, chunk, ("goal", gr, gc) if sig is None else sig)
-            ordered.append((chunk, sig, key))
+        for chunk in order_chunks:
+            specs = groups[chunk]
+            if len(specs) == 1:
+                sig = specs[0][0]
+                key = (layer, chunk, ("goal", gr, gc) if sig is None else sig)
+            else:
+                key = (layer, chunk, ("multi", (gr, gc)) + tuple(
+                    sorted((s[1] if s is not None else -1, round(c, 1))
+                           for s, c in specs)))
+            ordered.append((chunk, specs, key))
 
         # cache lookups
         to_build = []
         assignments: list[tuple[tuple[int, int], int]] = []
         evicted_any = False
-        for chunk, sig, key in ordered:
+        for chunk, specs, key in ordered:
             slot = self.flow_cache.get(key)
             if slot is None:
                 self.stats["misses"] += 1
@@ -454,7 +478,7 @@ class NavService:
                     # another flock may still reference the recycled slot
                     self.slot_mirror[self.slot_mirror == slot] = -1
                     evicted_any = True
-                to_build.append((chunk, sig, slot))
+                to_build.append((chunk, specs, slot))
             else:
                 self.stats["hits"] += 1
             assignments.append((chunk, slot))
@@ -463,19 +487,24 @@ class NavService:
         # power of two so K only ever takes log-many distinct shapes (each
         # distinct shape costs a full XLA compile on remote backends)
         if to_build:
-            costs, blks, seed_arr, slots = [], [], [], []
-            for chunk, sig, slot in to_build:
+            costs, blks, seed_arr, cost_arr, slots = [], [], [], [], []
+            for chunk, specs, slot in to_build:
                 costs.append(self._chunk_cost(
                     state, layer, *chunk, with_blockers=False))
                 blks.append(self._chunk_blockers(state, layer, *chunk))
                 seeds = np.zeros((FIELD_RES, FIELD_RES), bool)
-                if sig is None:
-                    seeds[gr % FIELD_RES, gc % FIELD_RES] = True
-                else:
-                    pid = sig[1]
-                    t = graph.portals[pid].span_tiles()
-                    seeds[t[:, 0], t[:, 1]] = True
+                svals = np.zeros((FIELD_RES, FIELD_RES), np.float32)
+                multi = len(specs) > 1
+                for sig, c in specs:
+                    if sig is None:
+                        seeds[gr % FIELD_RES, gc % FIELD_RES] = True
+                        svals[gr % FIELD_RES, gc % FIELD_RES] = 0.0
+                    else:
+                        t = graph.portals[sig[1]].span_tiles()
+                        seeds[t[:, 0], t[:, 1]] = True
+                        svals[t[:, 0], t[:, 1]] = c if multi else 0.0
                 seed_arr.append(seeds)
+                cost_arr.append(svals)
                 slots.append(slot)
             k = len(to_build)
             k_pad = 1 << (k - 1).bit_length()
@@ -483,6 +512,7 @@ class NavService:
                 costs.append(costs[0])
                 blks.append(blks[0])
                 seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
+                cost_arr.append(np.zeros((FIELD_RES, FIELD_RES), np.float32))
                 slots.append(state.fields.flow.shape[0])   # dropped write
             seeds_j = jnp.asarray(np.stack(seed_arr))
             # installed fields flow around parked units (blockers), but a
@@ -490,7 +520,8 @@ class NavService:
             costs = jnp.where(
                 (jnp.stack(blks) > 0) & ~seeds_j,
                 jnp.uint8(COST_IMPASSABLE), jnp.stack(costs))
-            integ = ff.integrate(costs, seeds_j)
+            integ = ff.integrate(costs, seeds_j,
+                                 jnp.asarray(np.stack(cost_arr)))
             dirs = ff.flow_dirs(integ, costs)
             flow = state.fields.flow.at[jnp.asarray(slots)].set(
                 dirs, mode="drop")

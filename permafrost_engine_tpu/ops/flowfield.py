@@ -86,6 +86,7 @@ def _relax_once(
 def integrate(
     cost: jax.Array,
     seed_mask: jax.Array,
+    seed_cost: jax.Array | None = None,
     *,
     max_iters: int = 4 * FIELD_RES,
     check_every: int = 16,
@@ -99,6 +100,10 @@ def integrate(
       seed_mask: bool[..., H, W] target tiles (integration cost 0). The
         reference's TARGET_PORTAL/TILE/ENEMIES variants (ref: field.h:79-101)
         all reduce to a seed mask here.
+      seed_cost: optional f32[..., H, W] initial cost per seed tile —
+        seeding portal spans with their remaining path-to-goal cost makes a
+        union field over multiple seed classes globally consistent (used
+        when a path exits and re-enters a chunk).
       max_iters: relaxation bound (4*FIELD_RES covers any serpentine path
         within a chunk-sized field).
       check_every: convergence-test stride (each test is a device-wide
@@ -111,7 +116,8 @@ def integrate(
     """
     passable = cost != COST_IMPASSABLE
     step_cost = jnp.where(passable, cost.astype(jnp.float32), INF_COST)
-    integ0 = jnp.where(seed_mask & passable, 0.0, INF_COST).astype(jnp.float32)
+    sc = 0.0 if seed_cost is None else seed_cost
+    integ0 = jnp.where(seed_mask & passable, sc, INF_COST).astype(jnp.float32)
     allowed = _neighbour_allowed_masks(passable)
 
     def cond(carry):
@@ -134,9 +140,9 @@ def integrate(
     _, integ, _ = jax.lax.while_loop(
         cond, body, (jnp.array(0, jnp.int32), integ0, jnp.array(False))
     )
-    # Re-seed zeros (seeds on impassable tiles stay INF like the reference,
+    # Re-seed (seeds on impassable tiles stay INF like the reference,
     # which rejects blocked targets upstream).
-    return jnp.where(seed_mask & passable, 0.0, integ)
+    return jnp.where(seed_mask & passable, sc, integ)
 
 
 @jax.jit

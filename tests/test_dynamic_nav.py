@@ -124,6 +124,36 @@ def test_replan_only_touches_crossing_flocks():
     assert eng.nav.stats["requests"] == requests, "unaffected flock replanned"
 
 
+def test_path_exits_and_reenters_chunk():
+    """A path that leaves a chunk and comes back (U around a wall that
+    exists only in that chunk) gets a UNION field there: portal seeds carry
+    their remaining-path cost, so one field serves both visits (round-1
+    known cache limitation, now exact)."""
+    cfg = EngineConfig(max_ents=32, chunks_r=1, chunks_c=2, num_layers=1,
+                       max_flocks=4, max_projectiles=8,
+                       field_slab_slots=16, los_slab_slots=16)
+    cost = np.ones((1, 64, 128), np.uint8)
+    cost[:, 31:33, 0:64] = COST_IMPASSABLE   # wall across the WEST chunk
+    eng = Engine(cfg, cost_base=cost)
+    u = eng.spawn_batch(np.array([[64.0, 60.0]], np.float32), max_speed=80.0)
+    goal = (64.0, 200.0)       # same (west) chunk, other side of the wall
+    assert eng.move(u, goal)
+    # the west chunk appears twice on the path -> one union field
+    keys = list(eng.nav.flow_cache.order)
+    assert any(k[2][0] == "multi" for k in keys), f"no union field in {keys}"
+    max_x = 0.0
+    for _ in range(220):
+        eng.step(6)
+        max_x = max(max_x, float(eng.pos_of(u[0])[0]))
+        if eng.movestate_of(u[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(u[0]) == MoveState.ARRIVED, "never arrived"
+    p = eng.pos_of(u[0])
+    assert p[1] > 132.0, "did not reach the far side of the wall"
+    assert max_x > 256.0, "never detoured through the east chunk"
+    assert np.linalg.norm(p - np.asarray(goal)) < 30.0
+
+
 def test_los_fields_chain_across_path_chunks():
     """Every chunk on the installed path gets a LOS slice of the whole-map
     LOS field, so units latch direct-seek mid-path when they can see the
@@ -178,6 +208,38 @@ def test_combat_chase_flows_around_wall():
     assert killed, "fighter never reached the target behind the wall"
     # it went around: the fighter is on the target's side of the wall
     assert eng.pos_of(a[0])[0] > 128.0
+
+
+def test_big_footprint_moves_with_clearance():
+    """A 5x5-footprint unit routes through a corridor on ITS layer's
+    dilated costs and never lets its center enter tiles impassable for its
+    footprint (ref: 12 nav layers, nav.h:78-92; footprint dilation)."""
+    cfg = EngineConfig(max_ents=8, chunks_r=1, chunks_c=1, num_layers=4,
+                       max_flocks=4, max_projectiles=8,
+                       field_slab_slots=8, los_slab_slots=8)
+    cost = np.ones((4, 64, 64), np.uint8)
+    # a 6-tile corridor (cols 29..34) through a wall band for 1x1 units;
+    # the 5x5 layer sees it dilated down to the 2-tile center strip
+    cost[:, 24:40, :29] = COST_IMPASSABLE
+    cost[:, 24:40, 35:] = COST_IMPASSABLE
+    cost[2, 24:40, 29:31] = COST_IMPASSABLE
+    cost[2, 24:40, 33:35] = COST_IMPASSABLE
+    eng = Engine(cfg, cost_base=cost)
+    big = eng.spawn_batch(np.array([[126.0, 40.0]], np.float32),
+                          radius=8.0, max_speed=60.0)
+    assert int(np.asarray(eng.state.ents.layer)[eng.uid_to_slot[big[0]]]) == 2
+    assert eng.move(big, (126.0, 220.0))
+    for _ in range(160):
+        eng.step(6)
+        p = eng.pos_of(big[0])
+        r = int(p[1] // NAV_TILE_SIZE)
+        c = int(p[0] // NAV_TILE_SIZE)
+        assert cost[2, r, c] != COST_IMPASSABLE, \
+            f"5x5 unit center entered a blocked tile at {(r, c)}"
+        if eng.movestate_of(big[0]) == MoveState.ARRIVED:
+            break
+    assert eng.movestate_of(big[0]) == MoveState.ARRIVED
+    assert eng.pos_of(big[0])[1] > 160.0
 
 
 def test_per_layer_flocks_split():

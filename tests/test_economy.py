@@ -57,6 +57,25 @@ def test_full_harvest_cycle():
     assert eng.economy.capacity_of(0, "Wood") == 100
 
 
+def test_step_scan_matches_step_for_host_systems():
+    """step_scan must run host systems at their true cadences (segmented
+    scan), not once per window — a harvest driven entirely through
+    step_scan ends in the same state as one driven frame-by-frame."""
+    def run(stepper):
+        eng, h, r, s = eng_with(
+            harvester_at=(100.0, 100.0), resource_at=(140.0, 100.0),
+            storage_at=(100.0, 140.0))
+        eng.economy.gather(h, r)
+        stepper(eng)
+        return (eng.economy.storages[s].stored.get("Wood", 0),
+                np.asarray(eng.state.ents.pos))
+
+    a_stored, a_pos = run(lambda e: [e.step(6) for _ in range(60)])
+    b_stored, b_pos = run(lambda e: e.step_scan(360))
+    assert a_stored == b_stored and a_stored > 0
+    np.testing.assert_array_equal(a_pos, b_pos)
+
+
 def test_automation_assigns_idle_harvester():
     eng, h, r, s = eng_with(
         harvester_at=(100.0, 100.0), resource_at=(130.0, 100.0),
