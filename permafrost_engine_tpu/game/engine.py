@@ -388,52 +388,84 @@ class Engine:
 
     def move_in_formation(self, uids: list[int], goal_xz: tuple[float, float],
                           ftype=None) -> bool:
-        """Move order with formation cells: lay out terrain-checked cells at
-        the goal, solve the unit->cell assignment on device, and give every
-        unit its own cell destination while sharing one flock's flow fields
-        (ref: G_Formation_Arrange + move_in_formation, formation.c)."""
+        """Move order with formation cells: per-layer SUBFORMATION blocks
+        stacked back from the goal, each laid out against terrain,
+        occupancy (parked blockers) and island reachability, with the
+        unit->cell assignment solved on device. Units share their layer
+        flock's flow fields and arrive-steer onto their own cells
+        (ref: G_Formation_Arrange + subformations + occupancy/island
+        fields, formation.c:354, 450-980)."""
+        from permafrost_engine_tpu.core.config import ARRIVAL_THRESHOLD
         from permafrost_engine_tpu.game.formation import (
-            FormationType, assign_cells, layout_cells)
+            FormationType, assign_cells, block_depth, layout_cells)
 
         if ftype is None:
             ftype = FormationType.RANK
         if not uids:
             return False
+        self._commit_nav()
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
-        pos = np.asarray(self.state.ents.pos)[slots]
-        radius = np.asarray(self.state.ents.radius)[slots]
-        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
+        all_pos = np.asarray(self.state.ents.pos)
+        all_rad = np.asarray(self.state.ents.radius)
+        layers = np.asarray(self.state.ents.layer)[slots]
         goal = np.asarray(goal_xz, np.float32)
-        centroid = pos.mean(axis=0)
+        centroid = all_pos[slots].mean(axis=0)
         direction = goal - centroid
         if np.linalg.norm(direction) < 1e-3:
             direction = np.array([1.0, 0.0], np.float32)
+        d_unit = direction / np.linalg.norm(direction)
 
-        # cells must sit farther apart than the arrival threshold, or units
-        # occupying neighbouring cells wall each other off their own cells
-        from permafrost_engine_tpu.core.config import ARRIVAL_THRESHOLD
-        spacing = max(float(radius.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
-        cells = layout_cells(
-            len(uids), goal, direction, ftype,
-            spacing=spacing,
-            cost_layer=self.nav.cost_base[layer])
-        if len(cells) == 0:
-            return False
-        assign = assign_cells(pos, cells)
-        my_cells = cells[np.clip(assign, 0, len(cells) - 1)]
-
-        # shared flock + fields toward the goal
+        # per-layer flocks + shared fields toward the goal (may retarget)
         ok = self.move(uids, tuple(goal))
-        e = self.state.ents
-        sl = jnp.asarray(slots)
-        cj = jnp.asarray(my_cells)
-        e = e.replace(
-            dest=e.dest.at[sl].set(cj),
-            formation_cell=e.formation_cell.at[sl].set(cj),
-            has_formation_cell=e.has_formation_cell.at[sl].set(True),
-        )
-        self.state = self.state.replace(ents=e)
-        return ok
+        if not ok:
+            return False
+
+        # occupancy = parked blockers, minus the ordered units' own stamps
+        # (the reference excludes the formation's members from its
+        # occupancy field)
+        own_r = np.clip((all_pos[slots, 1] / NAV_TILE_SIZE).astype(int),
+                        0, self.cfg.field_h - 1)
+        own_c = np.clip((all_pos[slots, 0] / NAV_TILE_SIZE).astype(int),
+                        0, self.cfg.field_w - 1)
+        blockers_all = np.asarray(self.state.nav.blockers)
+        depth_off = 0.0
+        any_cells = False
+        # subformations: smallest footprints front, larger blocks behind
+        for layer in sorted(set(int(l) for l in layers)):
+            group = slots[layers == layer]
+            gpos = all_pos[group]
+            grad = all_rad[group]
+            occupancy = blockers_all[layer].copy()
+            occupancy[own_r, own_c] = 0
+            spacing = max(float(grad.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
+            isl_map = self.nav.islands(layer)
+            gr = int(np.clip(goal[1] // NAV_TILE_SIZE, 0,
+                             self.cfg.field_h - 1))
+            gc = int(np.clip(goal[0] // NAV_TILE_SIZE, 0,
+                             self.cfg.field_w - 1))
+            island = int(isl_map[gr, gc])
+            cells = layout_cells(
+                len(group), goal - d_unit * depth_off, direction, ftype,
+                spacing=spacing,
+                cost_layer=self.nav.cost_base[layer],
+                occupancy=occupancy,
+                islands=isl_map,
+                island=island if island >= 0 else None)
+            if len(cells) == 0:
+                continue   # this block keeps its ring-slot dests
+            any_cells = True
+            assign = assign_cells(gpos, cells)
+            my_cells = cells[np.clip(assign, 0, len(cells) - 1)]
+            e = self.state.ents
+            sl = jnp.asarray(group)
+            cj = jnp.asarray(my_cells)
+            self.state = self.state.replace(ents=e.replace(
+                dest=e.dest.at[sl].set(cj),
+                formation_cell=e.formation_cell.at[sl].set(cj),
+                has_formation_cell=e.has_formation_cell.at[sl].set(True),
+            ))
+            depth_off += block_depth(cells, direction) + 2.0 * spacing
+        return any_cells
 
     def _alloc_gslot(self, fid: int) -> int:
         """Allocate a global-field slab slot for flock `fid`, evicting the

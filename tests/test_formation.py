@@ -48,6 +48,60 @@ def test_assign_cells_permutation():
     assert len(set(a.tolist())) == 12
 
 
+def test_layout_avoids_occupied_tiles_and_wrong_islands():
+    """Cells skip occupied tiles (parked blockers) and tiles off the goal's
+    island (ref: formation.c occupancy + island fields, :450-980)."""
+    cost = np.ones((128, 128), np.uint8)
+    cost[:, 64:] = COST_IMPASSABLE        # east half is another world
+    occ = np.zeros((128, 128), np.int32)
+    occ[78:82, 28:36] = 1                 # a parked blob near the goal
+    from permafrost_engine_tpu.ops.islands import label_islands
+    import jax.numpy as jnp
+    isl = np.asarray(label_islands(jnp.asarray(cost)))
+    goal = np.array([32 * NAV_TILE_SIZE, 80 * NAV_TILE_SIZE])
+    island = int(isl[80, 32])
+    cells = layout_cells(24, goal, np.array([0.0, 1.0]), FormationType.RANK,
+                         4.0, cost, occupancy=occ, islands=isl, island=island)
+    assert len(cells) >= 24
+    for p in cells:
+        r, c = int(p[1] // NAV_TILE_SIZE), int(p[0] // NAV_TILE_SIZE)
+        assert cost[r, c] != COST_IMPASSABLE
+        assert occ[r, c] == 0, "cell placed on an occupied tile"
+        assert isl[r, c] == island
+
+
+def test_subformation_blocks_per_layer():
+    """Mixed-footprint formations split into per-layer blocks stacked back
+    from the goal (ref: subformations, formation.c)."""
+    from permafrost_engine_tpu.core.config import EngineConfig
+
+    cfg = EngineConfig(max_ents=64, chunks_r=2, chunks_c=2, num_layers=4,
+                       max_flocks=8, max_projectiles=8,
+                       field_slab_slots=16, los_slab_slots=16)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(2)
+    small = eng.spawn_batch(
+        (rng.random((8, 2)) * 30 + 60).astype(np.float32), radius=1.0,
+        max_speed=60.0)
+    big = eng.spawn_batch(
+        (rng.random((4, 2)) * 30 + 100).astype(np.float32), radius=8.0,
+        max_speed=60.0)
+    goal = np.array([300.0, 300.0])
+    assert eng.move_in_formation(small + big, tuple(goal), FormationType.RANK)
+    cells = np.asarray(eng.state.ents.formation_cell)
+    d = np.asarray([300.0, 300.0]) - np.asarray(
+        eng.state.ents.pos)[[eng.uid_to_slot[u] for u in small]].mean(0)
+    d = d / np.linalg.norm(d)
+    proj_small = np.asarray(
+        [cells[eng.uid_to_slot[u]] @ d for u in small])
+    proj_big = np.asarray([cells[eng.uid_to_slot[u]] @ d for u in big])
+    # the big block sits strictly behind the small block along the facing
+    assert proj_big.max() < proj_small.min()
+    # and the two layers got distinct flocks (per-layer fields)
+    fl = np.asarray(eng.state.ents.flock)
+    assert fl[eng.uid_to_slot[small[0]]] != fl[eng.uid_to_slot[big[0]]]
+
+
 def test_formation_move_settles_on_cells():
     cfg = small_cfg()
     eng = Engine(cfg)
