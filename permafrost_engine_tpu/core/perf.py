@@ -78,6 +78,16 @@ class Perf:
     def count(self, name: str, value: float = 1.0) -> None:
         self.counters[name] += value
 
+    @contextlib.contextmanager
+    def device_trace(self, logdir: str):
+        """Capture a jax.profiler trace for per-kernel deep dives — the TPU
+        analogue of the reference's GPU timestamp queries
+        (ref: perf.h:155-163); view with tensorboard/xprof."""
+        import jax
+
+        with jax.profiler.trace(logdir):
+            yield
+
     # -- reports (ref: Perf_Report, pf.prev_frame_perfstats) -------------------
 
     def prev_frame_ms(self) -> float:

@@ -893,6 +893,30 @@ class Engine:
         period = FRAME_HZ // self.cfg.move_hz
         return ((self._frame % period) + 1) / period
 
+    def profile_tick(self, n_frames: int = 20) -> dict:
+        """Exact device-tick timing: run n frames SYNCHRONOUSLY (each tick
+        blocked on) and report per-tick ms stats. Deliberately breaks the
+        dispatch pipeline — a measurement probe, not a driving mode (the
+        analogue of the reference's N-frame-delayed GPU timestamp queries,
+        perf.h:155-163)."""
+        import time as _time
+
+        jax.block_until_ready(self.state.ents.pos)
+        times = []
+        for _ in range(n_frames):
+            t0 = _time.perf_counter()
+            self.state, _ = self._tick_fn(self.state)
+            jax.block_until_ready(self.state.ents.pos)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        self._frame += n_frames
+        arr = np.asarray(times)
+        stats = {"ms_p50": float(np.median(arr)),
+                 "ms_max": float(arr.max()),
+                 "ms_mean": float(arr.mean()),
+                 "frames": n_frames}
+        self.perf.counters["device_tick_exact_ms_p50"] = stats["ms_p50"]
+        return stats
+
     def pos_of(self, uid: int) -> np.ndarray:
         return np.asarray(self.state.ents.pos)[self.uid_to_slot[uid]]
 

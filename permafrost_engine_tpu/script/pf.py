@@ -249,9 +249,10 @@ def _ent_obj(uid: int):
 
 
 def load_map(path: str) -> bool:
+    from permafrost_engine_tpu.assets.cache import cached_parse
     from permafrost_engine_tpu.assets.pfmap import parse_pfmap
     with open(os.path.join(context().basedir, path)) as f:
-        _eng().load_map_data(parse_pfmap(f.read()))
+        _eng().load_map_data(cached_parse("pfmap", f.read(), parse_pfmap))
     return True
 
 
@@ -288,10 +289,11 @@ def load_scene(path: str) -> list:
 
 
 def preload_pfobj(path: str) -> bool:
+    from permafrost_engine_tpu.assets.cache import cached_parse
     from permafrost_engine_tpu.assets.pfobj import parse_pfobj
     full = os.path.join(context().basedir, path)
     with open(full) as f:
-        model = parse_pfobj(f.read())
+        model = cached_parse("pfobj", f.read(), parse_pfobj)
     context().models[path] = model
     _eng().anim.load_model(path, model)
     return True
@@ -419,7 +421,10 @@ def prev_frame_gpu_stats() -> dict:
 
 
 def prev_frame_mem_accounting() -> dict:
-    return prev_frame_memstats()
+    """Per-subsystem byte accounting (ref: mem.h PF_MALLOC_TAGGED)."""
+    from permafrost_engine_tpu.state.schema import state_mem_accounting
+    return {**prev_frame_memstats(),
+            "hbm_by_subsystem": state_mem_accounting(_eng().state)}
 
 
 def prev_frame_gpu_mem_accounting() -> dict:

@@ -347,3 +347,17 @@ def state_byte_size(state: GameState) -> int:
         np.prod(x.shape) * x.dtype.itemsize
         for x in jax.tree_util.tree_leaves(state)
     )
+
+
+def state_mem_accounting(state: GameState) -> dict[str, int]:
+    """Per-subsystem HBM byte accounting — the analogue of the reference's
+    tagged allocation accounting (ref: src/mem.h:53-95 PF_MALLOC_TAGGED,
+    mem_accounting): one entry per top-level state component."""
+    out = {}
+    for name in ("ents", "flocks", "fields", "nav", "fog", "projectiles",
+                 "factions"):
+        out[name] = int(sum(
+            np.prod(x.shape) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(getattr(state, name))))
+    out["total"] = state_byte_size(state)
+    return out
