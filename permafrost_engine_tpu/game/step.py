@@ -212,10 +212,13 @@ def fog_substep(cfg: EngineConfig, state: GameState,
     return state.replace(fog=state.fog.replace(state=new_fog))
 
 
-def make_tick(cfg: EngineConfig, tile_height=None):
+def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
     """Build the jitted 60 Hz tick: (state) -> (state, deltas).
 
     `tile_height` (f32[tiles_h, tiles_w] or None) enables height-aware fog.
+    `donate=False` for callers that re-invoke the tick on the SAME state
+    object (compile checks, sharding wrappers); the engine always rebinds,
+    so it donates.
 
     Subsystem cadences reproduce the reference's decimated event rates
     (movement 20 Hz, combat 10 Hz, projectiles 30 Hz, corpses 1 Hz —
@@ -232,7 +235,10 @@ def make_tick(cfg: EngineConfig, tile_height=None):
             pred, lambda args: fn(cfg, *args), lambda args: args,
             (state, deltas))
 
-    @jax.jit
+    # donation lets XLA update the state pytree in place (HBM alias) rather
+    # than allocating a fresh ~N-leaf copy every frame; the engine always
+    # rebinds self.state to the result, so the consumed input is never read
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def tick(state: GameState):
         deltas = empty_deltas(cfg)
         t = state.tick + 1
@@ -281,7 +287,7 @@ def make_tick_scan(cfg: EngineConfig, tile_height=None):
     sim/render pipeline overlap (ref: src/main.c:816-889)."""
     tick = make_tick(cfg, tile_height)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def step_n(state: GameState, n: int):
         def body(s, _):
             s, d = tick(s)

@@ -46,7 +46,7 @@ def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None,
         empty_deltas(cfg))
     # out_shardings pinned so grids STAY row-sharded across ticks (XLA
     # would otherwise replicate rebuilt outputs like the blocker restamp)
-    return jax.jit(make_tick(cfg, tile_height),
+    return jax.jit(make_tick(cfg, tile_height, donate=False),
                    in_shardings=(sh,), out_shardings=(sh, deltas_sh))
 
 
