@@ -179,11 +179,11 @@ class Engine:
                 g = jnp.asarray(np.asarray(eff, np.float32))
                 sl = jnp.asarray(members)
                 if members.size > 1:
-                    dests, cells_on = self._ring_dests(
+                    ring, cells_on = self._ring_dests(
                         members, eff, int(layers[fid]))
                     e = e.replace(
-                        dest=e.dest.at[sl].set(dests),
-                        formation_cell=e.formation_cell.at[sl].set(dests),
+                        dest=e.dest.at[sl].set(ring),
+                        formation_cell=e.formation_cell.at[sl].set(ring),
                         has_formation_cell=(
                             e.has_formation_cell.at[sl].set(cells_on)))
                 else:
@@ -419,6 +419,11 @@ class Engine:
         ok = self.move(uids, tuple(goal))
         if not ok:
             return False
+        # each layer group forms at its flock's EFFECTIVE destination —
+        # a cross-island goal retargets to the reachable side, and cells
+        # must be laid (and island-gated) there, not at the raw goal
+        flock_of = np.asarray(self.state.ents.flock)
+        flock_dest = np.asarray(self.state.flocks.dest)
 
         # occupancy = parked blockers, minus the ordered units' own stamps
         # (the reference excludes the formation's members from its
@@ -439,13 +444,16 @@ class Engine:
             occupancy[own_r, own_c] = 0
             spacing = max(float(grad.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
             isl_map = self.nav.islands(layer)
-            gr = int(np.clip(goal[1] // NAV_TILE_SIZE, 0,
+            fid = int(flock_of[group[0]])
+            eff_goal = (flock_dest[fid].astype(np.float32)
+                        if fid >= 0 else goal)
+            gr = int(np.clip(eff_goal[1] // NAV_TILE_SIZE, 0,
                              self.cfg.field_h - 1))
-            gc = int(np.clip(goal[0] // NAV_TILE_SIZE, 0,
+            gc = int(np.clip(eff_goal[0] // NAV_TILE_SIZE, 0,
                              self.cfg.field_w - 1))
             island = int(isl_map[gr, gc])
             cells = layout_cells(
-                len(group), goal - d_unit * depth_off, direction, ftype,
+                len(group), eff_goal - d_unit * depth_off, direction, ftype,
                 spacing=spacing,
                 cost_layer=self.nav.cost_base[layer],
                 occupancy=occupancy,
@@ -765,6 +773,7 @@ class Engine:
         if align and align <= n_frames:
             self.step(align)
             n_frames -= align
+            self.flush_deltas()   # align-frame events precede scan events
         ready = None
         while n_frames >= seg:
             self._commit_nav()

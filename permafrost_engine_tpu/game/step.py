@@ -109,8 +109,11 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     from permafrost_engine_tpu.core.config import CombatState
 
     chasing = ents.alive & (ents.combatstate == CombatState.MOVING_TO_TARGET)
+    # chase fields are integrated on layer 0 (ground 1x1); units of other
+    # layers would follow directions through gaps their footprint can't
+    # pass, so they keep direct arrive steering instead
     ent_gslot = jnp.where(
-        chasing,
+        chasing & (ents.layer == 0),
         state.factions.chase_slot[
             jnp.clip(ents.faction, 0, cfg.max_factions - 1)],
         -1)
@@ -271,12 +274,25 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
 
 @jax.jit
 def merge_deltas(a: TickDeltas, b: TickDeltas) -> TickDeltas:
-    """OR/max-fold two tick deltas (device-side event accumulation)."""
-    def m(x, y):
-        if x.dtype == jnp.bool_:
-            return x | y
-        return jnp.maximum(x, y)
-    return jax.tree_util.tree_map(m, a, b)
+    """Fold two tick deltas, `b` the newer (device-side accumulation).
+
+    Event masks OR; the projectile-hit record (target, shooter, cookie)
+    merges as ONE unit keyed on the newer window's hit — independent
+    element-wise maxes would pair one hit's target with another's shooter
+    when a pool slot is reused within a drain window."""
+    hit_b = b.proj_hit >= 0
+    return TickDeltas(
+        arrived=a.arrived | b.arrived,
+        motion_start=a.motion_start | b.motion_start,
+        died=a.died | b.died,
+        attack_started=a.attack_started | b.attack_started,
+        proj_hit=jnp.where(hit_b, b.proj_hit, a.proj_hit),
+        proj_hit_shooter=jnp.where(hit_b, b.proj_hit_shooter,
+                                   a.proj_hit_shooter),
+        proj_hit_cookie=jnp.where(hit_b, b.proj_hit_cookie,
+                                  a.proj_hit_cookie),
+        corpse_expired=a.corpse_expired | b.corpse_expired,
+    )
 
 
 def make_tick_scan(cfg: EngineConfig, tile_height=None):
@@ -287,19 +303,20 @@ def make_tick_scan(cfg: EngineConfig, tile_height=None):
     sim/render pipeline overlap (ref: src/main.c:816-889)."""
     tick = make_tick(cfg, tile_height)
 
+    cfg_ref = cfg
+
     @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def step_n(state: GameState, n: int):
-        def body(s, _):
+        # fold deltas INSIDE the scan with merge_deltas so the projectile
+        # triple merges jointly (a stacked per-field max would mismatch
+        # target/shooter/cookie when a pool slot is reused mid-window)
+        def body(carry, _):
+            s, acc = carry
             s, d = tick(s)
-            return s, d
+            return (s, merge_deltas(acc, d)), None
 
-        state, ds = jax.lax.scan(body, state, None, length=n)
-
-        def merge(x):
-            if x.dtype == jnp.bool_:
-                return jnp.any(x, axis=0)
-            return jnp.max(x, axis=0)  # proj_hit: -1 default, max = any hit
-
-        return state, jax.tree_util.tree_map(merge, ds)
+        (state, ds), _ = jax.lax.scan(
+            body, (state, empty_deltas(cfg_ref)), None, length=n)
+        return state, ds
 
     return step_n

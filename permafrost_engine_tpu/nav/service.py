@@ -228,19 +228,26 @@ class NavService:
     def _invalidate_chunk_fields(
         self, state: GameState, dirty: set[int],
     ) -> GameState:
-        """Drop cached flow/LOS fields whose chunk is dirty and scrub every
-        flock row pointing at the recycled slots."""
+        """Drop stale cached fields and scrub every flock row pointing at
+        the recycled slots. Flow fields invalidate at-chunk; LOS slices are
+        cuts of a WHOLE-MAP sightline field, so a structure anywhere can
+        block rays through any slice — every LOS entry drops (affected
+        flocks rebuild on replan; the rest fall back to field-following,
+        which stays correct)."""
         changed = False
-        for cache, mirror in ((self.flow_cache, self.slot_mirror),
-                              (self.los_cache, self.los_mirror)):
-            stale = [k for k in cache.order
-                     if self._chunk_idx(*k[1]) in dirty]
-            for k in stale:
-                slot = cache.order.pop(k)
-                cache.free.append(slot)
-                mirror[mirror == slot] = -1
-                changed = True
-                self.stats["invalidations"] += 1
+        stale_flow = [k for k in self.flow_cache.order
+                      if self._chunk_idx(*k[1]) in dirty]
+        for k in stale_flow:
+            slot = self.flow_cache.order.pop(k)
+            self.flow_cache.free.append(slot)
+            self.slot_mirror[self.slot_mirror == slot] = -1
+            changed = True
+            self.stats["invalidations"] += 1
+        if self.los_cache.order:
+            self.stats["invalidations"] += len(self.los_cache.order)
+            self.los_cache = LruSlab(self.cfg.los_slab_slots)
+            self.los_mirror[:, :] = -1
+            changed = True
         if changed:
             state = state.replace(flocks=state.flocks.replace(
                 field_slot=jnp.asarray(self.slot_mirror, jnp.int32),

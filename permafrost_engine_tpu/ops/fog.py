@@ -25,20 +25,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from permafrost_engine_tpu.core.config import FogState, UNITS_PER_TILE
 
 # Vision radii quantized to buckets, in map tiles (ref vision ranges are
 # per-entity floats; bucketing keeps the number of disc kernels static).
 VISION_BUCKET_RADII = (4, 8, 12, 16)
-
-
-@functools.cache
-def _disc_kernel(radius: int) -> np.ndarray:
-    k = 2 * radius + 1
-    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
-    return ((x * x + y * y) <= radius * radius).astype(np.float32)
 
 
 # per 4-tile radius increment: (full 3x3 steps, cross steps). Full steps

@@ -15,6 +15,14 @@ Every ring step is a static-index gather + elementwise max over the whole
 [N_viewers, window] tensor — K sequential steps total, no per-viewer
 control flow. The parent chain approximates the reference's per-octant
 Bresenham shadows; an oracle test bounds the disagreement.
+
+Cost note: the per-viewer window gather + per-faction scatter are element
+ops (~1/cycle on TPU), so this path scales as N_viewers x window^2 —
+~11 M elements at 10k viewers / radius 16. It runs only on maps with
+height variation, which in practice carry far fewer units; flat maps use
+the dilation-cascade path in ops/fog.py. If a height-map battle at 10k+
+units becomes a target, bucket viewers per tile first (dedupe identical
+(tile, radius) viewers) before widening this kernel.
 """
 
 from __future__ import annotations

@@ -84,7 +84,7 @@ def flow_velocity(
         if global_flow is not None:
             gcode = global_flow[jnp.maximum(gslot, 0), rc, cc]
             code = jnp.where(use_global, gcode, code)
-            has = (has & ~use_global) | use_global
+            has = has | use_global
         vec = dir_code_to_vec(jnp.where(has, code, 0))
         return vec, has & (code > 0)
 
