@@ -226,6 +226,44 @@ def _dilate_blocked(blocked: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def corner_heights(m: MapData):
+    """Per-tile corner heights in height units: each corner is raised by
+    ramp_height depending on the tile type — the exact corner tables of
+    the reference (ref: src/map/tile.c:126-179 M_Tile_{NW,NE,SW,SE}Height).
+    Returns (nw, ne, sw, se) f32[TH, TW]."""
+    t = m.tile_type
+    b = m.base_height.astype(np.float32)
+    r = m.ramp_height.astype(np.float32)
+
+    def raised(types):
+        return np.isin(t, types).astype(np.float32)
+
+    # type codes: RAMP_SN=1 NS=2 EW=3 WE=4; CORNER CONCAVE/CONVEX
+    # SW=5/6 SE=7/8 NW=9/a NE=b/c (ref: tile.h:58-72)
+    nw = b + r * raised((0x1, 0x3, 0x6, 0x7, 0x8, 0xc))
+    ne = b + r * raised((0x1, 0x4, 0x5, 0x6, 0x8, 0xa))
+    sw = b + r * raised((0x2, 0x3, 0x8, 0xa, 0xb, 0xc))
+    se = b + r * raised((0x2, 0x4, 0x6, 0x9, 0xa, 0xc))
+    return nw, ne, sw, se
+
+
+def nav_heights(m: MapData) -> np.ndarray:
+    """Heights at nav resolution (2x2 nav tiles per map tile), in height
+    units: bilinear corner interpolation sampled at quadrant centers —
+    ramps really slope instead of being flat at base height
+    (ref: M_Tile_HeightAtPos, src/map/tile.c:249-259; corner tiles use
+    triangle planes there, bilinear is a close interior approximation)."""
+    nw, ne, sw, se = corner_heights(m)
+    th, tw = nw.shape
+    out = np.empty((2 * th, 2 * tw), np.float32)
+    quads = {(0, 0): (0.25, 0.25), (0, 1): (0.75, 0.25),
+             (1, 0): (0.25, 0.75), (1, 1): (0.75, 0.75)}
+    for (qr, qc), (fw, fh) in quads.items():
+        out[qr::2, qc::2] = (nw * (1 - fw) * (1 - fh) + ne * fw * (1 - fh)
+                             + sw * (1 - fw) * fh + se * fw * fh)
+    return out
+
+
 def compile_nav_costs(m: MapData) -> tuple[np.ndarray, np.ndarray]:
     """MapData -> (cost_base u8[L, H, W], heights f32[H, W]) at nav
     resolution (2x2 nav tiles per map tile, ref: nav_data.h:45).
@@ -241,15 +279,15 @@ def compile_nav_costs(m: MapData) -> tuple[np.ndarray, np.ndarray]:
     land_ok = m.pathable & (m.base_height >= 0)
     water_ok = m.base_height < 0
 
-    # upsample to nav resolution
+    # upsample to nav resolution; heights are ramp-interpolated
     up = lambda a: np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
     land_ok = up(land_ok)
     water_ok = up(water_ok)
-    heights = up(m.base_height.astype(np.float32) * HEIGHT_SCALE)
+    hu = nav_heights(m)
+    heights = hu * HEIGHT_SCALE
     is_ramp = up(np.isin(m.tile_type, RAMP_TYPES + CORNER_TYPES))
 
     # per-tile height steps to 4-neighbours (in height units)
-    hu = up(m.base_height.astype(np.float32))
     step = np.zeros_like(hu)
     dr = np.abs(np.diff(hu, axis=0))
     dc = np.abs(np.diff(hu, axis=1))

@@ -221,3 +221,34 @@ def test_map_slope_costs_and_cliffs():
     # flat terrain costs 1
     assert ground[10 * 2, 10 * 2] == 1
     assert heights[10 * 2, 40 * 2] > heights[10 * 2, 10 * 2]
+
+
+def test_ramp_heights_interpolate():
+    """Ramp tiles slope between levels instead of sitting flat at base
+    height (ref: M_Tile_HeightAtPos, src/map/tile.c:249; corner tables
+    tile.c:126-179)."""
+    import numpy as np
+    from permafrost_engine_tpu.assets.pfmap import (
+        HEIGHT_SCALE, make_flat_map, nav_heights)
+
+    m = make_flat_map(1, 1)
+    m.base_height[:, 16:] = 4          # plateau east of col 16
+    # a RAMP_WE at (8, 15): low (base 0) on the west, raised on the east
+    m.tile_type[8, 15] = 0x4
+    m.ramp_height[8, 15] = 4
+    h = nav_heights(m)
+    # flat tiles unchanged
+    assert h[16, 2] == 0.0 and h[16, 40] == 4.0
+    # the ramp's two nav columns step up monotonically between the levels
+    west, east = h[16, 30], h[16, 31]
+    assert 0.0 < west < east < 4.0
+    # world-unit heights follow through compile
+    from permafrost_engine_tpu.assets.pfmap import compile_nav_costs
+    cost, heights = compile_nav_costs(m)
+    assert heights[16, 30] == west * HEIGHT_SCALE
+    # the ramp is climbable for ground units (not a cliff)
+    from permafrost_engine_tpu.core.config import COST_IMPASSABLE
+    assert cost[0, 16, 30] != COST_IMPASSABLE
+    assert cost[0, 16, 31] != COST_IMPASSABLE
+    # the sheer cliff next to it is not
+    assert cost[0, 30, 31] == COST_IMPASSABLE or cost[0, 30, 32] == COST_IMPASSABLE
