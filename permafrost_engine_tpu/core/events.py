@@ -49,6 +49,7 @@ class EventType(IntEnum):
     SESSION_LOADED = 26
     SELECTION_CHANGED = 27
     GARRISONED_UNITS_CHANGED = 28
+    ANIM_FINISHED = 29
     SCRIPT_BASE = 0x10000
 
 

@@ -80,8 +80,11 @@ class AnimSystem:
             if st.t >= dur:
                 if st.mode == AnimMode.ONCE:
                     self.engine.bus.notify(
-                        EventType.SCRIPT_BASE - 1,  # ANIM_FINISHED channel
+                        EventType.ANIM_FINISHED,
                         {"uid": uid, "clip": st.clip}, uid=uid)
+                    self.engine.bus.notify(
+                        EventType.ANIM_FINISHED,
+                        {"uid": uid, "clip": st.clip})
                     st.clip = st.idle_clip
                     st.mode = AnimMode.LOOP
                 st.t = st.t % max(dur, 1e-6)

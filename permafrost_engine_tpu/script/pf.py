@@ -470,9 +470,15 @@ def get_render_settings() -> dict:
 
 
 def dump_framebuffer(path: str) -> bool:
-    """Headless: dump the minimap raster (render/draw.py) as .npy."""
+    """Dump the minimap raster (render/draw.py) — a real image when the
+    extension is one (png/bmp/jpg, ref: stb_image_write), else .npy."""
     from permafrost_engine_tpu.render.draw import minimap_raster
-    np.save(path, minimap_raster(_eng()))
+    frame = minimap_raster(_eng())
+    if path.lower().endswith((".png", ".bmp", ".jpg", ".jpeg", ".tga")):
+        from permafrost_engine_tpu.utils.image import write_image
+        write_image(path, frame)
+    else:
+        np.save(path, frame)
     return True
 
 

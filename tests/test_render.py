@@ -122,3 +122,23 @@ def test_anim_system_clip_cycle():
     pal = eng.anim.pose_palettes("m")
     assert pal.shape == (1, 2, 4, 4)
     np.testing.assert_allclose(pal[0, 0], np.eye(4), atol=1e-5)
+
+
+def test_image_io_roundtrip(tmp_path):
+    """stb_image analogue: load/write/resize round-trip (ref:
+    src/lib/public/stb_image.h)."""
+    import numpy as np
+    from permafrost_engine_tpu.utils.image import (
+        load_image, resize_image, write_image)
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((16, 24, 4)) * 255).astype(np.uint8)
+    img[..., 3] = 255
+    p = str(tmp_path / "t.png")
+    write_image(p, img)
+    back = load_image(p, channels=4)
+    np.testing.assert_array_equal(back, img)
+    small = resize_image(back, 12, 8)
+    assert small.shape == (8, 12, 4)
+    grey = load_image(p, channels=1)
+    assert grey.shape == (16, 24, 1)
