@@ -396,7 +396,6 @@ class Economy:
                 bc.progress = min(1.0, bc.progress + b.build_speed)
                 # hp grows with progress (ref: building.c)
                 slot = e.uid_to_slot[b.target_building]
-                import jax.numpy as jnp
                 ents = e.state.ents
                 mh = float(np.asarray(ents.max_hp)[slot])
                 e.state = e.state.replace(ents=ents.replace(
