@@ -18,9 +18,25 @@ _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "permafrost_engine_tpu")
 
 
+def _parser_fingerprint(kind: str) -> str:
+    """Schema fingerprint folded into the key so bakes invalidate when the
+    parsed dataclass changes shape — no manual CACHE_VERSION bumps
+    (ref: the reference's bake format versioning, asset_cache.c)."""
+    import dataclasses
+
+    if kind == "pfmap":
+        from permafrost_engine_tpu.assets.pfmap import MapData as cls
+    elif kind == "pfobj":
+        from permafrost_engine_tpu.assets.pfobj import PFObj as cls
+    else:
+        return "generic"
+    return ",".join(f.name for f in dataclasses.fields(cls))
+
+
 def _key(kind: str, text: str) -> str:
     h = hashlib.sha256(
-        f"{CACHE_VERSION}:{kind}:".encode() + text.encode()).hexdigest()
+        f"{CACHE_VERSION}:{kind}:{_parser_fingerprint(kind)}:".encode()
+        + text.encode()).hexdigest()
     return f"{kind}-{h[:24]}.bake"
 
 
@@ -30,8 +46,8 @@ def load_baked(kind: str, text: str, cache_dir: str | None = None):
     try:
         with open(path, "rb") as f:
             return pickle.load(f)
-    except (OSError, pickle.UnpicklingError, EOFError, AttributeError):
-        return None
+    except Exception:
+        return None   # any corrupt bake falls back to the text parser
 
 
 def store_baked(kind: str, text: str, obj, cache_dir: str | None = None):

@@ -29,7 +29,7 @@ import numpy as np
 from permafrost_engine_tpu.core.config import EngineConfig
 from permafrost_engine_tpu.state.schema import init_state
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _picklable(obj) -> bool:
@@ -130,13 +130,17 @@ def load_session_bytes(data: bytes):
 
     blob = pickle.loads(data)
     host = blob["host"]
-    if host["version"] not in (1, FORMAT_VERSION):
-        raise ValueError(f"unsupported session version {host['version']}")
+    if host["version"] != FORMAT_VERSION:
+        # older blobs can't restore anyway: the flax state schema changed
+        # (FactionTable.chase_slot added, NavState.dirty_chunks removed),
+        # so from_bytes would raise on them — reject with a clear error
+        raise ValueError(
+            f"unsupported session version {host['version']} "
+            f"(expected {FORMAT_VERSION}; the device-state schema is not "
+            f"compatible across versions)")
 
     cfg = EngineConfig(**host["cfg"])
-    terrain = np.asarray(host.get("nav_terrain_cost",
-                                  host.get("nav_cost_base")))
-    engine = Engine(cfg, cost_base=terrain)
+    engine = Engine(cfg, cost_base=np.asarray(host["nav_terrain_cost"]))
     if host.get("map_data") is not None:
         # restores heights + the height-aware tick before state overwrite
         engine.load_map_data(host["map_data"])
@@ -152,11 +156,7 @@ def load_session_bytes(data: bytes):
     engine._next_uid = host["next_uid"]
     engine._free_slots = list(host["free_slots"])
     engine.uid_to_slot = dict(host["uid_to_slot"])
-    if "slot_uid" in host:
-        engine._slot_uid = np.asarray(host["slot_uid"])
-    else:
-        for u, s in engine.uid_to_slot.items():
-            engine._slot_uid[s] = u
+    engine._slot_uid = np.asarray(host["slot_uid"])
     engine._free_flocks = list(host["free_flocks"])
     engine._gslot_owner = dict(host.get("gslot_owner", {}))
     engine._seek_flocks = dict(host.get("seek_flocks", {}))
@@ -168,23 +168,20 @@ def load_session_bytes(data: bytes):
     engine.events = list(host["events"])
 
     nav = engine.nav
-    if "nav_structure_ref" in host:
-        nav.structure_ref = np.asarray(host["nav_structure_ref"])
-        nav._recompute_effective()
+    nav.structure_ref = np.asarray(host["nav_structure_ref"])
+    nav._recompute_effective()
     nav.slot_mirror = np.asarray(host["nav_slot_mirror"])
-    if "nav_los_mirror" in host:
-        nav.los_mirror = np.asarray(host["nav_los_mirror"])
+    nav.los_mirror = np.asarray(host["nav_los_mirror"])
     cache = LruSlab(cfg.field_slab_slots)
     for k, v in host["nav_cache_order"]:
         cache.order[k] = v
     cache.free = list(host["nav_cache_free"])
     nav.flow_cache = cache
-    if "nav_los_order" in host:
-        los = LruSlab(cfg.los_slab_slots)
-        for k, v in host["nav_los_order"]:
-            los.order[k] = v
-        los.free = list(host["nav_los_free"])
-        nav.los_cache = los
+    los = LruSlab(cfg.los_slab_slots)
+    for k, v in host["nav_los_order"]:
+        los.order[k] = v
+    los.free = list(host["nav_los_free"])
+    nav.los_cache = los
     nav.flock_chunks = dict(host.get("nav_flock_chunks", {}))
 
     # host subsystems

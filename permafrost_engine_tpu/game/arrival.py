@@ -52,8 +52,10 @@ def assign_ring_slots(
     offs = ring_offsets(2 * n + 16, spacing)
     cand = goal[None, :] + offs
     h, w = cost_layer.shape
-    r = (cand[:, 1] / NAV_TILE_SIZE).astype(np.int64)
-    c = (cand[:, 0] / NAV_TILE_SIZE).astype(np.int64)
+    # floor, not int-truncation: candidates just past the west/north map
+    # edge must index tile -1 (rejected), not clamp onto tile 0
+    r = np.floor(cand[:, 1] / NAV_TILE_SIZE).astype(np.int64)
+    c = np.floor(cand[:, 0] / NAV_TILE_SIZE).astype(np.int64)
     ok = (r >= 0) & (r < h) & (c >= 0) & (c < w)
     ok[ok] = cost_layer[r[ok], c[ok]] != COST_IMPASSABLE
     cand = cand[ok]

@@ -381,9 +381,14 @@ class Engine:
             layer=fl.layer.at[fid].set(layer),
         )
         self.state = self.state.replace(ents=e, flocks=fl)
+        # same event surface as device-side motion starts (_drain.emit):
+        # events log + global + per-uid bus channels + scheduler waiters
         for u in uids:
-            self.bus.notify(EventType.MOTION_START, {"uid": int(u)},
-                            uid=int(u))
+            payload = {"uid": int(u)}
+            self.events.append(("motion_start", payload))
+            self.bus.notify(EventType.MOTION_START, payload)
+            self.bus.notify(EventType.MOTION_START, payload, uid=int(u))
+            self.sched.post_event(EventType.MOTION_START, payload)
         return ok
 
     def move_in_formation(self, uids: list[int], goal_xz: tuple[float, float],
@@ -914,10 +919,16 @@ class Engine:
         times = []
         for _ in range(n_frames):
             t0 = _time.perf_counter()
-            self.state, _ = self._tick_fn(self.state)
+            self.state, deltas = self._tick_fn(self.state)
             jax.block_until_ready(self.state.ents.pos)
             times.append((_time.perf_counter() - t0) * 1e3)
+            # events from probe frames must not be lost (deaths, corpse
+            # expiries reclaim slots host-side)
+            self._pending_deltas = (
+                deltas if self._pending_deltas is None
+                else merge_deltas(self._pending_deltas, deltas))
         self._frame += n_frames
+        self.flush_deltas()
         arr = np.asarray(times)
         stats = {"ms_p50": float(np.median(arr)),
                  "ms_max": float(arr.max()),

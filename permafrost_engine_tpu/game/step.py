@@ -79,7 +79,8 @@ def _restamp_blockers(cfg: EngineConfig, ents, nav):
     return nav.replace(blockers=blockers)
 
 
-def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
+def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
+                     crowd_kernel=None):
     ents = state.ents
     n = cfg.max_ents
 
@@ -93,14 +94,44 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
 
     # ---- spatial index + neighbours (ref: movement.c:2768-2830) ------------
     collidable = ents.alive & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)
-    sgrid = grid.build_grid(
-        ents.pos, collidable,
-        cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
-        cap=cfg.spatial_cell_cap,
-    )
     slots = jnp.arange(n, dtype=jnp.int32)
-    neigh_idx, neigh_dist, neigh_valid, neigh_pos = grid.knn_query(
-        sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
+    if crowd_kernel is not None:
+        # fused-kernel path (PFTPU_USE_PALLAS=1): buckets carry payload
+        # channels so boids works over the FULL candidate window (masked
+        # sums need no top-k) and the kernel does top-K + HRVO in VMEM
+        ent_static = (
+            ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) == 0)
+            | (ents.movestate == MoveState.ARRIVED))
+        payload = jnp.concatenate([
+            ents.vel,                                           # 0:2
+            ents.radius[:, None],                               # 2
+            ent_static.astype(jnp.float32)[:, None],            # 3
+            ents.flock.astype(jnp.float32)[:, None],            # 4
+            (ents.movestate == MoveState.ARRIVED
+             ).astype(jnp.float32)[:, None],                    # 5
+        ], axis=1)
+        sgrid = grid.build_grid(
+            ents.pos, collidable,
+            cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
+            cap=cfg.spatial_cell_cap, payload=payload)
+        cand, cpos, cpay, cvalid = grid.window_candidates(
+            sgrid, ents.pos, slots)
+        neigh_idx, neigh_valid, neigh_pos = cand, cvalid, cpos
+        neigh_dist = jnp.linalg.norm(cpos - ents.pos[:, None, :], axis=-1)
+        neigh_vel = cpay[..., 0:2]
+        neigh_rad = cpay[..., 2]
+        neigh_static = cpay[..., 3] > 0.5
+        neigh_flock = cpay[..., 4].astype(jnp.int32)
+        neigh_arrived = cpay[..., 5] > 0.5
+    else:
+        sgrid = grid.build_grid(
+            ents.pos, collidable,
+            cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
+            cap=cfg.spatial_cell_cap,
+        )
+        neigh_idx, neigh_dist, neigh_valid, neigh_pos = grid.knn_query(
+            sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
+        neigh_vel = neigh_flock = None
 
     # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
     # combat chasers (MOVING_TO_TARGET, no flock) route through their
@@ -137,18 +168,27 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     vpref = boids.preferred_velocity(
         ents.pos, ents.vel, ents.flock, ents.dest, flow_dir, use_arrive,
         max_speed_tick, neigh_idx, neigh_valid, moving_mask,
-        neigh_pos=neigh_pos)
+        neigh_pos=neigh_pos, neigh_vel=neigh_vel, neigh_flock=neigh_flock)
 
-    # ---- ClearPath solve (ref: clearpath.c:694) ------------------------------
-    ni = jnp.clip(neigh_idx, 0, n - 1)
-    neigh_static = (
-        ((ents.flags[ni] & jnp.uint32(EntityFlags.MOVABLE)) == 0)
-        | (ents.movestate[ni] == MoveState.ARRIVED)
-    )
-    new_vel = clearpath.new_velocities(
-        ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
-        neigh_idx, neigh_valid, neigh_static, moving_mask,
-        neigh_pos=neigh_pos)
+    # ---- HRVO solve (ref: clearpath.c:694) -----------------------------------
+    if crowd_kernel is not None:
+        # fused kernel: exact top-K + cones + pick in VMEM
+        raw = crowd_kernel(
+            ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
+            neigh_pos, neigh_vel, neigh_rad, neigh_valid, neigh_static)
+        new_vel = jnp.where(moving_mask[:, None], raw, vpref)
+    else:
+        ni = jnp.clip(neigh_idx, 0, n - 1)
+        neigh_static = (
+            ((ents.flags[ni] & jnp.uint32(EntityFlags.MOVABLE)) == 0)
+            | (ents.movestate[ni] == MoveState.ARRIVED)
+        )
+        neigh_flock = ents.flock[ni]
+        neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
+        new_vel = clearpath.new_velocities(
+            ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
+            neigh_idx, neigh_valid, neigh_static, moving_mask,
+            neigh_pos=neigh_pos)
 
     # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
     garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0
@@ -156,10 +196,9 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas):
     # ARRIVED lets this entity settle too (see ops/integrate.py)
     neigh_same_flock = (
         neigh_valid
-        & (ents.flock[ni] == ents.flock[:, None])
+        & (neigh_flock == ents.flock[:, None])
         & (ents.flock[:, None] >= 0)
     )
-    neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
     flock_arrived = jnp.any(
         neigh_same_flock & neigh_arrived & (neigh_dist < 10.0), axis=1)
     upd = integ_ops.movement_update(
@@ -233,6 +272,12 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
     fog_period = 10  # 6 Hz — the reference flushes vision lazily/batched
     corpse_period = FRAME_HZ  # 1 Hz
 
+    from permafrost_engine_tpu.ops.crowd_pallas import select_crowd_backend
+    crowd_kernel = select_crowd_backend()
+
+    def move_fn(c, s, d):
+        return movement_substep(c, s, d, crowd_kernel)
+
     def gate(pred, fn, state, deltas):
         return jax.lax.cond(
             pred, lambda args: fn(cfg, *args), lambda args: args,
@@ -248,7 +293,7 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
         state = state.replace(tick=t)
 
         state, deltas = gate(t % move_period == 0,
-                             movement_substep, state, deltas)
+                             move_fn, state, deltas)
         state, deltas = gate(t % combat_period == 0,
                              combat_substep, state, deltas)
         state, deltas = gate(t % proj_period == 0,

@@ -92,6 +92,10 @@ class NavService:
             (cfg.field_h, cfg.field_w), np.int32)
         self._graphs: dict[int, pt.PortalGraph] = {}
         self._islands: dict[int, np.ndarray] = {}   # layer -> host mirror
+        # per-chunk integration backend: XLA min-plus relaxation, or the
+        # VMEM Pallas kernel when PFTPU_USE_PALLAS=1 (flowfield_pallas)
+        from permafrost_engine_tpu.ops.flowfield_pallas import select_backend
+        self._integrate = select_backend()
         self.flow_cache = LruSlab(cfg.field_slab_slots)
         self.los_cache = LruSlab(cfg.los_slab_slots)
         # host mirrors of FlockTable slot tables for eviction scrubbing
@@ -150,16 +154,13 @@ class NavService:
 
     @staticmethod
     def _grow3(x: np.ndarray) -> np.ndarray:
-        """3x3 max dilation (one footprint step: 1 -> 3 -> 5 -> 7)."""
+        """3x3 max dilation (one footprint step: 1 -> 3 -> 5 -> 7),
+        separable row+column passes."""
         h, w = x.shape
-        p = np.pad(x, 1)
-        m = x
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dr == 0 and dc == 0:
-                    continue
-                m = np.maximum(m, p[1 + dr:1 + dr + h, 1 + dc:1 + dc + w])
-        return m
+        p = np.pad(x, ((1, 1), (0, 0)))
+        m = np.maximum(np.maximum(p[:h], p[1:h + 1]), p[2:h + 2])
+        p = np.pad(m, ((0, 0), (1, 1)))
+        return np.maximum(np.maximum(p[:, :w], p[:, 1:w + 1]), p[:, 2:w + 2])
 
     def _recompute_effective(self) -> None:
         """cost_base = terrain with structure cutouts stamped impassable,
@@ -392,7 +393,7 @@ class NavService:
         seeds = np.zeros((2, FIELD_RES, FIELD_RES), bool)
         seeds[0, sr % FIELD_RES, sc % FIELD_RES] = True
         seeds[1, gr % FIELD_RES, gc % FIELD_RES] = True
-        integ = np.asarray(ff.integrate(costs, jnp.asarray(seeds)))
+        integ = np.asarray(self._integrate(costs, jnp.asarray(seeds)))
 
         chunk_seq: list[tuple[tuple[int, int], tuple | None, float]] = []
         # each entry: (chunk, seed_signature, cost_to_goal);
@@ -460,16 +461,25 @@ class NavService:
                 order_chunks.append(chunk)
             groups.setdefault(chunk, []).append((sig, cost))
 
+        # cache keys use the portal's GEOMETRIC identity (side, span), not
+        # its pid: pids renumber globally whenever the portal graph
+        # rebuilds (structure commits), and a pid-keyed entry surviving in
+        # a clean chunk would collide with an unrelated new portal
+        def sig_key(sig, c=None):
+            if sig is None:
+                return ("goal", gr, gc) if c is None else ("goal", 0.0)
+            p = graph.portals[sig[1]]
+            ident = ("portal", p.side, p.lo, p.hi)
+            return ident if c is None else ident + (round(c, 1),)
+
         ordered = []
         for chunk in order_chunks:
             specs = groups[chunk]
             if len(specs) == 1:
-                sig = specs[0][0]
-                key = (layer, chunk, ("goal", gr, gc) if sig is None else sig)
+                key = (layer, chunk, sig_key(specs[0][0]))
             else:
                 key = (layer, chunk, ("multi", (gr, gc)) + tuple(
-                    sorted((s[1] if s is not None else -1, round(c, 1))
-                           for s, c in specs)))
+                    sorted(sig_key(s, c) for s, c in specs)))
             ordered.append((chunk, specs, key))
 
         # cache lookups
@@ -527,8 +537,8 @@ class NavService:
             costs = jnp.where(
                 (jnp.stack(blks) > 0) & ~seeds_j,
                 jnp.uint8(COST_IMPASSABLE), jnp.stack(costs))
-            integ = ff.integrate(costs, seeds_j,
-                                 jnp.asarray(np.stack(cost_arr)))
+            integ = self._integrate(costs, seeds_j,
+                                    jnp.asarray(np.stack(cost_arr)))
             dirs = ff.flow_dirs(integ, costs)
             flow = state.fields.flow.at[jnp.asarray(slots)].set(
                 dirs, mode="drop")

@@ -113,6 +113,8 @@ def preferred_velocity(
     neigh_valid: jax.Array,  # bool[N,K]
     moving: jax.Array,       # bool[N] entities actively moving
     neigh_pos: jax.Array | None = None,  # f32[N,K,2] from knn (avoids a gather)
+    neigh_vel: jax.Array | None = None,  # f32[N,K,2] bucket payload
+    neigh_flock: jax.Array | None = None,  # i32[N,K] bucket payload
 ) -> jax.Array:
     """Combined steering -> preferred velocity for the ClearPath solve.
 
@@ -123,8 +125,10 @@ def preferred_velocity(
     """
     if neigh_pos is None:
         neigh_pos = _gather(pos, neigh_idx)
-    neigh_vel = _gather(vel, neigh_idx)
-    neigh_flock = _gather(flock, neigh_idx)
+    if neigh_vel is None:
+        neigh_vel = _gather(vel, neigh_idx)
+    if neigh_flock is None:
+        neigh_flock = _gather(flock, neigh_idx)
 
     seek = jnp.where(
         use_arrive[..., None],

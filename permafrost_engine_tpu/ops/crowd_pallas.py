@@ -191,7 +191,10 @@ def hrvo_select_pallas(
 
 def select_crowd_backend():
     """The crowd-velocity callable: the fused Pallas kernel when explicitly
-    enabled (directly-attached TPUs), else None (XLA knn+clearpath path)."""
+    enabled (directly-attached TPUs), else None (XLA knn+clearpath path).
+    PFTPU_PALLAS_INTERPRET=1 runs the kernel through the interpreter
+    (CI/CPU validation of the gated path)."""
     if os.environ.get("PFTPU_USE_PALLAS") == "1":
-        return hrvo_select_pallas
+        interpret = os.environ.get("PFTPU_PALLAS_INTERPRET") == "1"
+        return functools.partial(hrvo_select_pallas, interpret=interpret)
     return None

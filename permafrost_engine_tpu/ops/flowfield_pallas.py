@@ -58,12 +58,13 @@ def _shift(x: jax.Array, dr: int, dc: int, fill: float) -> jax.Array:
     return out
 
 
-def _integrate_kernel(cost_ref, seed_ref, out_ref):
+def _integrate_kernel(cost_ref, seed_ref, scost_ref, out_ref):
     cost = cost_ref[0]
     seed = seed_ref[0] != 0
+    scost = scost_ref[0]
     passable = cost != COST_IMPASSABLE
     step = jnp.where(passable, cost.astype(jnp.float32), INF_COST)
-    integ0 = jnp.where(seed & passable, 0.0, INF_COST)
+    integ0 = jnp.where(seed & passable, scost, INF_COST)
 
     pass_shift = {
         (dr, dc): _shift(passable.astype(jnp.float32), dr, dc, 0.0) > 0.5
@@ -93,35 +94,45 @@ def _integrate_kernel(cost_ref, seed_ref, out_ref):
 
     _, integ, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), integ0, jnp.bool_(False)))
-    out_ref[0] = jnp.where(seed & passable, 0.0, integ)
+    out_ref[0] = jnp.where(seed & passable, scost, integ)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def integrate_pallas(cost: jax.Array, seed_mask: jax.Array,
+                     seed_cost: jax.Array | None = None,
                      *, interpret: bool = False) -> jax.Array:
-    """Batched per-chunk integration. cost u8[K, H, W], seed bool[K, H, W]."""
+    """Batched per-chunk integration. cost u8[K, H, W], seed bool[K, H, W],
+    seed_cost optional f32[K, H, W] initial seed values (union fields)."""
     k, h, w = cost.shape
+    if seed_cost is None:
+        seed_cost = jnp.zeros((k, h, w), jnp.float32)
+    ms = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         _integrate_kernel,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=ms),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+                               memory_space=ms),
         out_shape=jax.ShapeDtypeStruct((k, h, w), jnp.float32),
         interpret=interpret,
-    )(cost, seed_mask.astype(jnp.uint8))
+    )(cost, seed_mask.astype(jnp.uint8), seed_cost.astype(jnp.float32))
 
 
 def select_backend():
-    """Return the integration callable to use: the Pallas kernel when
-    explicitly enabled (directly-attached TPUs), else the XLA path."""
+    """Return the per-chunk integration callable: the Pallas kernel when
+    explicitly enabled (directly-attached TPUs; PFTPU_PALLAS_INTERPRET=1
+    for CI validation through the interpreter), else the XLA path."""
     from permafrost_engine_tpu.ops import flowfield as ff
 
     if os.environ.get("PFTPU_USE_PALLAS") == "1":
-        return lambda cost, seeds, **kw: integrate_pallas(cost, seeds)
+        interpret = os.environ.get("PFTPU_PALLAS_INTERPRET") == "1"
+
+        def pallas_integrate(cost, seeds, seed_cost=None, **_kw):
+            return integrate_pallas(cost, seeds, seed_cost,
+                                    interpret=interpret)
+        return pallas_integrate
     return ff.integrate

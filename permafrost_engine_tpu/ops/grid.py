@@ -29,11 +29,14 @@ class SpatialGrid:
     queries fetch candidate coordinates with *row* gathers (one [cap, 2]
     row per cell) instead of per-element arena gathers — element gathers
     run ~1 element/cycle on TPU and dominated the knn cost at 16k entities.
+    `bucket_payload` optionally carries extra per-entity channels the same
+    way (velocity/flock/flags for the fused crowd kernel path).
     """
 
     buckets: jax.Array     # i32[cells_r * cells_c, cap] entity slots or -1
     bucket_xy: jax.Array   # f32[cells_r * cells_c, cap, 2] positions
     cell_of: jax.Array     # i32[N] flat cell id per entity (dead: num_cells)
+    bucket_payload: jax.Array | None  # f32[cells, cap, P] or None
     cells_r: int = flax.struct.field(pytree_node=False)
     cells_c: int = flax.struct.field(pytree_node=False)
 
@@ -53,6 +56,7 @@ def build_grid(
     cells_r: int,
     cells_c: int,
     cap: int,
+    payload: jax.Array | None = None,   # f32[N, P] extra channels
 ) -> SpatialGrid:
     """Bin alive entities into fixed-capacity cell buckets.
 
@@ -78,11 +82,19 @@ def build_grid(
     flat = flat.at[slot_idx].set(order.astype(jnp.int32), mode="drop")
     flat_xy = jnp.full((num_cells * cap, 2), 1e30, jnp.float32)
     flat_xy = flat_xy.at[slot_idx].set(pos[order], mode="drop")
+    flat_pay = None
+    if payload is not None:
+        p = payload.shape[1]
+        flat_pay = jnp.zeros((num_cells * cap, p), jnp.float32)
+        flat_pay = flat_pay.at[slot_idx].set(
+            payload[order].astype(jnp.float32), mode="drop")
+        flat_pay = flat_pay.reshape(num_cells, cap, p)
 
     return SpatialGrid(
         buckets=flat.reshape(num_cells, cap),
         bucket_xy=flat_xy.reshape(num_cells, cap, 2),
         cell_of=cell.astype(jnp.int32),
+        bucket_payload=flat_pay,
         cells_r=cells_r,
         cells_c=cells_c,
     )
@@ -93,6 +105,42 @@ def _window_offsets(window: int) -> jax.Array:
     half = window // 2
     offs = [(dr, dc) for dr in range(-half, half + 1) for dc in range(-half, half + 1)]
     return jnp.array(offs, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def window_candidates(
+    grid: SpatialGrid,
+    query_pos: jax.Array,
+    query_slot: jax.Array,
+    *,
+    window: int = 5,
+):
+    """All bucket candidates in a (window x window)-cell neighbourhood of
+    each query point, via row gathers.
+
+    Returns (cand i32[Q, W2*cap], cpos f32[Q, W2*cap, 2],
+    cpay f32[Q, W2*cap, P] | None, valid bool[Q, W2*cap]); `valid` excludes
+    empty bucket entries and the queryer itself.
+    """
+    cells_r, cells_c = grid.cells_r, grid.cells_c
+    qr, qc = cell_coords(query_pos, cells_r, cells_c)
+    offs = _window_offsets(window)                     # [W2, 2]
+    nr = qr[:, None] + offs[None, :, 0]                # [Q, W2]
+    nc = qc[:, None] + offs[None, :, 1]
+    in_bounds = (nr >= 0) & (nr < cells_r) & (nc >= 0) & (nc < cells_c)
+    ncell = jnp.where(in_bounds, nr * cells_c + nc, 0)
+
+    cand = grid.buckets[ncell]                         # [Q, W2, cap] row-gather
+    cand = jnp.where(in_bounds[..., None], cand, -1)
+    cand = cand.reshape(cand.shape[0], -1)             # [Q, W2*cap]
+    cpos = grid.bucket_xy[ncell]                       # [Q, W2, cap, 2]
+    cpos = cpos.reshape(cand.shape[0], -1, 2)
+    cpay = None
+    if grid.bucket_payload is not None:
+        cpay = grid.bucket_payload[ncell]
+        cpay = cpay.reshape(cand.shape[0], -1, cpay.shape[-1])
+    valid = (cand >= 0) & (cand != query_slot[:, None])
+    return cand, cpos, cpay, valid
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))
@@ -121,24 +169,10 @@ def knn_query(
       (idx i32[Q, k], dist f32[Q, k], valid bool[Q, k], neigh_pos f32[Q, k, 2])
       sorted by distance.
     """
-    cells_r, cells_c = grid.cells_r, grid.cells_c
-    cap = grid.buckets.shape[1]
-    qr, qc = cell_coords(query_pos, cells_r, cells_c)
-    offs = _window_offsets(window)                     # [W2, 2]
-    nr = qr[:, None] + offs[None, :, 0]                # [Q, W2]
-    nc = qc[:, None] + offs[None, :, 1]
-    in_bounds = (nr >= 0) & (nr < cells_r) & (nc >= 0) & (nc < cells_c)
-    ncell = jnp.where(in_bounds, nr * cells_c + nc, 0)
-
-    cand = grid.buckets[ncell]                         # [Q, W2, cap] row-gather
-    cand = jnp.where(in_bounds[..., None], cand, -1)
-    cand = cand.reshape(cand.shape[0], -1)             # [Q, W2*cap]
-    cpos = grid.bucket_xy[ncell]                       # [Q, W2, cap, 2] row-gather
-    cpos = cpos.reshape(cand.shape[0], -1, 2)
-
+    cand, cpos, _, cvalid = window_candidates(
+        grid, query_pos, query_slot, window=window)
     d2 = jnp.sum((cpos - query_pos[:, None, :]) ** 2, axis=-1)
-    invalid = (cand < 0) | (cand == query_slot[:, None])
-    d2 = jnp.where(invalid, jnp.inf, d2)
+    d2 = jnp.where(~cvalid, jnp.inf, d2)
 
     # approx_max_k: TPU-optimized partial reduction (exact top_k does a
     # full per-row sort). Missing a marginal 33rd-nearest neighbour is

@@ -126,6 +126,33 @@ def test_fused_kernel_matches_xla_reference():
         f"worse picks at {np.nonzero(gd > wd + 0.05)[0]}"
 
 
+def test_engine_runs_on_pallas_backends(monkeypatch):
+    """PFTPU_USE_PALLAS=1 routes the movement substep through the fused
+    crowd kernel and field builds through the VMEM integrator; through the
+    interpreter (this relay can't compile Mosaic) a small squad must still
+    path to its goal."""
+    from permafrost_engine_tpu.core.config import EngineConfig, MoveState
+    from permafrost_engine_tpu.game.engine import Engine
+
+    monkeypatch.setenv("PFTPU_USE_PALLAS", "1")
+    monkeypatch.setenv("PFTPU_PALLAS_INTERPRET", "1")
+    cfg = EngineConfig(max_ents=16, chunks_r=1, chunks_c=1, num_layers=1,
+                       max_flocks=4, max_projectiles=8,
+                       field_slab_slots=8, los_slab_slots=8)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(0)
+    uids = eng.spawn_batch(
+        (rng.random((4, 2)) * 30 + 40).astype(np.float32), max_speed=60.0)
+    assert eng.move(uids, (200.0, 200.0))
+    for _ in range(80):
+        eng.step(6)
+        if all(eng.movestate_of(u) == MoveState.ARRIVED for u in uids):
+            break
+    assert all(eng.movestate_of(u) == MoveState.ARRIVED for u in uids)
+    for u in uids:
+        assert np.linalg.norm(eng.pos_of(u) - np.asarray([200.0, 200.0])) < 40
+
+
 def test_fused_kernel_avoids_collisions():
     """Behavioural check: two units driven head-on pick velocities that
     keep them apart (the HRVO property, ref: clearpath.c)."""
