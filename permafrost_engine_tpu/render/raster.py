@@ -1,0 +1,322 @@
+"""TPU-native triangle rasterizer: the render backend's shader stack as
+batched XLA kernels.
+
+The reference renders through OpenGL: a render thread replays recorded
+GL commands into 40 GLSL shader passes (ref: /root/reference/src/render/,
+shaders/). A TPU has no raster units, so this module re-designs the
+backend as data-parallel compute, following the same sort+segment pattern
+as the engine's spatial grid (ops/grid.py):
+
+  1. project   — world -> clip -> screen, winding-normalized
+  2. bin       — each triangle emits (tile, near-depth) keys; one sort
+                 groups them; per-tile ranks keep the NEAREST K triangles
+                 (depth-ordered keys make the K-cap a back-to-front drop,
+                 so overflow degrades like a far-geometry LOD, not noise)
+  3. raster    — per 16x16 pixel tile, barycentric coverage of its K
+                 candidates in VMEM-sized chunks; z-buffered G-buffer out
+                 (tri id + screen barycentrics); oversized triangles take
+                 a brute-force path over the full image (bounded count)
+  4. shade     — deferred: row-gather vertex attributes by tri id,
+                 perspective-correct interpolation, lambert + shadow-map
+                 test + distance fog; sky for uncovered pixels
+
+Depth is interpolated in NDC (linear in screen space, so plain
+barycentrics are exact for the z-test); attributes use perspective-
+correct weights (bary * 1/w, renormalized).
+
+The same kernel renders the shadow pass (depth-only, light ortho) and
+water reflections (scene re-rastered under a mirror matrix; the
+winding normalization in `project` makes mirrored geometry "just work"),
+mirroring the reference's depth-pass and reflection-FBO passes
+(ref: src/render/gl_shadows.c, gl_water.c).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 16          # pixels per tile side
+SPAN = 4           # max tile span on the fast path (else brute-force path)
+ZQ = 1024          # depth quantization buckets inside the sort key
+
+
+# ---------------------------------------------------------------------------
+# Projection
+# ---------------------------------------------------------------------------
+
+
+def project(tris: jax.Array, vp: jax.Array, w: int, h: int):
+    """World-space triangles -> screen space.
+
+    tris: f32[T, 3, 3] world xyz. vp: f32[4, 4] view-projection.
+    Returns (xy f32[T,3,2] pixel coords, z f32[T,3] ndc depth,
+    inv_w f32[T,3], valid bool[T]). Triangles with any vertex behind the
+    near plane are rejected (no near clipping — RTS cameras look down, a
+    documented simplification). Winding is normalized to CCW so mirrored
+    passes (water reflection) need no state flip.
+    """
+    hom = jnp.concatenate([tris, jnp.ones(tris.shape[:2] + (1,), tris.dtype)],
+                          axis=-1)                        # [T,3,4]
+    clip = jnp.einsum("ij,tvj->tvi", vp, hom)             # [T,3,4]
+    cw = clip[..., 3]
+    valid = jnp.all(cw > 1e-4, axis=1)
+    inv_w = 1.0 / jnp.maximum(cw, 1e-6)
+    ndc = clip[..., :3] * inv_w[..., None]                # [T,3,3]
+    x = (ndc[..., 0] * 0.5 + 0.5) * w
+    y = (0.5 - ndc[..., 1] * 0.5) * h                     # y down
+    xy = jnp.stack([x, y], axis=-1)                       # [T,3,2]
+    z = ndc[..., 2]
+
+    # normalize winding to CCW in screen space (y-down): signed area > 0
+    area = _edge(xy[:, 0], xy[:, 1], xy[:, 2])
+    flip = area < 0
+    xy = jnp.where(flip[:, None, None], xy[:, ::-1], xy)
+    z = jnp.where(flip[:, None], z[:, ::-1], z)
+    inv_w = jnp.where(flip[:, None], inv_w[:, ::-1], inv_w)
+    valid = valid & (jnp.abs(area) > 1e-6)
+    # cull fully off-screen triangles early (keeps bins dense)
+    xs, ys = xy[..., 0], xy[..., 1]
+    off = ((jnp.max(xs, 1) < 0) | (jnp.min(xs, 1) >= w)
+           | (jnp.max(ys, 1) < 0) | (jnp.min(ys, 1) >= h))
+    return xy, z, inv_w, valid & ~off, flip
+
+
+def _edge(a, b, p):
+    """Signed edge function: >0 when p is left of a->b (y-down CCW)."""
+    return ((p[..., 0] - a[..., 0]) * (b[..., 1] - a[..., 1])
+            - (p[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0]))
+
+
+# ---------------------------------------------------------------------------
+# Binning + raster -> G-buffer
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig", "kc"))
+def raster_gbuffer(xy: jax.Array, z: jax.Array, valid: jax.Array,
+                   *, h: int, w: int, k: int = 96, kbig: int = 64,
+                   kc: int = 16):
+    """Rasterize screen-space triangles into a G-buffer.
+
+    xy f32[T,3,2], z f32[T,3] (ndc), valid bool[T]. h, w multiples of 16.
+    Returns (zbuf f32[h,w] (+inf empty), tri i32[h,w] (-1 empty),
+    bary f32[h,w,3] screen-space barycentrics).
+    """
+    t_n = xy.shape[0]
+    kc = min(kc, k)
+    k = max(kc, (k // kc) * kc)              # k must chunk evenly
+    kbig = min(kbig, t_n)                    # top_k bound
+    nbig = -(-kbig // kc)                    # big chunks (ids padded)
+    th, tw = h // TILE, w // TILE
+    tiles = th * tw
+
+    xs, ys = xy[..., 0], xy[..., 1]
+    tx0 = jnp.clip(jnp.floor(jnp.min(xs, 1) / TILE), 0, tw - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(jnp.max(xs, 1) / TILE), 0, tw - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(jnp.min(ys, 1) / TILE), 0, th - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(jnp.max(ys, 1) / TILE), 0, th - 1).astype(jnp.int32)
+    small = valid & (tx1 - tx0 < SPAN) & (ty1 - ty0 < SPAN)
+    big = valid & ~small
+
+    # near depth -> sort bucket (ndc z in [-1, 1])
+    nearz = jnp.min(z, 1)
+    zq = jnp.clip(((nearz * 0.5 + 0.5) * (ZQ - 1)), 0, ZQ - 1).astype(jnp.int32)
+
+    # --- fast path: emit SPAN*SPAN (tile, depth) keys per triangle ------------
+    dr = jnp.arange(SPAN, dtype=jnp.int32)
+    tr = ty0[:, None] + dr[None, :]                         # [T, S]
+    tc = tx0[:, None] + dr[None, :]
+    ok_r = small[:, None] & (tr <= ty1[:, None])
+    ok_c = tc <= tx1[:, None]
+    pair_ok = ok_r[:, :, None] & ok_c[:, None, :]           # [T, S, S]
+    tile_id = tr[:, :, None] * tw + tc[:, None, :]
+    tile_id = jnp.where(pair_ok, tile_id, tiles)            # sentinel sorts last
+    key = (tile_id * ZQ + zq[:, None, None]).reshape(-1)
+    tri_of_pair = jnp.broadcast_to(
+        jnp.arange(t_n, dtype=jnp.int32)[:, None, None],
+        (t_n, SPAN, SPAN)).reshape(-1)
+    key, tri_sorted = jax.lax.sort((key, tri_of_pair), num_keys=1)
+    tile_sorted = key // ZQ
+
+    # rank within each tile's run via a scan (no gathers)
+    p_n = key.shape[0]
+    idx = jnp.arange(p_n, dtype=jnp.int32)
+    changed = jnp.concatenate([jnp.array([True]),
+                               tile_sorted[1:] != tile_sorted[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(changed, idx, 0))
+    rank = idx - run_start
+    keep = (rank < k) & (tile_sorted < tiles)
+    slot = jnp.where(keep, tile_sorted * k + rank, tiles * k)
+    table = jnp.full((tiles * k + 1,), -1, jnp.int32)
+    table = table.at[slot].set(tri_sorted, mode="drop")[:-1].reshape(tiles, k)
+
+    # --- per-tile raster over K candidates, in chunks of kc --------------------
+    v01 = xy.reshape(t_n, 6)                                 # row-gather source
+    zrow = z                                                 # [T,3]
+
+    lx = (jnp.arange(TILE, dtype=jnp.float32) + 0.5)
+    px = (jnp.arange(tw, dtype=jnp.float32)[:, None] * TILE + lx[None, :])
+    py = (jnp.arange(th, dtype=jnp.float32)[:, None] * TILE + lx[None, :])
+    # pixel centers per tile: [tiles, TILE*TILE]
+    pxx = jnp.broadcast_to(px[None, :, None, :], (th, tw, TILE, TILE))
+    pyy = jnp.broadcast_to(py[:, None, :, None], (th, tw, TILE, TILE))
+    pix_x = pxx.reshape(tiles, TILE * TILE)
+    pix_y = pyy.reshape(tiles, TILE * TILE)
+
+    inf = jnp.float32(jnp.inf)
+    zbest = jnp.full((tiles, TILE * TILE), inf)
+    tbest = jnp.full((tiles, TILE * TILE), -1, jnp.int32)
+    bbest = jnp.zeros((tiles, TILE * TILE, 3), jnp.float32)
+
+    def chunk_body(c, carry):
+        zb, tb, bb = carry
+        ids = jax.lax.dynamic_slice(table, (0, c * kc), (tiles, kc))
+        safe = jnp.maximum(ids, 0)
+        vv = v01[safe]                                       # [tiles, kc, 6]
+        zz = zrow[safe]                                      # [tiles, kc, 3]
+        zw, tw_, bw = _cover_chunk(vv, zz, ids, pix_x, pix_y)
+        better = zw < zb
+        return (jnp.where(better, zw, zb),
+                jnp.where(better, tw_, tb),
+                jnp.where(better[..., None], bw, bb))
+
+    zbest, tbest, bbest = jax.lax.fori_loop(
+        0, k // kc, chunk_body, (zbest, tbest, bbest))
+
+    # --- big-triangle brute-force path -----------------------------------------
+    big_score = jnp.where(big, ZQ - zq, 0)   # nearest-first, 0 = invalid
+    big_val, big_idx = jax.lax.top_k(big_score, kbig)
+    big_ids = jnp.where(big_val > 0, big_idx.astype(jnp.int32), -1)
+    big_ids = jnp.pad(big_ids, (0, nbig * kc - kbig), constant_values=-1)
+
+    def big_body(c, carry):
+        zb, tb, bb = carry
+        ids = jax.lax.dynamic_slice(big_ids, (c * kc,), (kc,))
+        safe = jnp.maximum(ids, 0)
+        vv = jnp.broadcast_to(v01[safe][None], (tiles, kc, 6))
+        zz = jnp.broadcast_to(zrow[safe][None], (tiles, kc, 3))
+        idt = jnp.broadcast_to(ids[None], (tiles, kc))
+        zw, tw_, bw = _cover_chunk(vv, zz, idt, pix_x, pix_y)
+        better = zw < zb
+        return (jnp.where(better, zw, zb),
+                jnp.where(better, tw_, tb),
+                jnp.where(better[..., None], bw, bb))
+
+    zbest, tbest, bbest = jax.lax.fori_loop(
+        0, nbig, big_body, (zbest, tbest, bbest))
+
+    def untile(a):
+        s = a.shape[2:]
+        return (a.reshape((th, tw, TILE, TILE) + s)
+                .transpose((0, 2, 1, 3) + tuple(4 + i for i in range(len(s))))
+                .reshape((h, w) + s))
+
+    return untile(zbest), untile(tbest), untile(bbest)
+
+
+def _cover_chunk(vv, zz, ids, pix_x, pix_y):
+    """Coverage of a [tiles, kc] triangle chunk over [tiles, P] pixels.
+    Returns per-pixel (z, tri, bary) of the nearest covering triangle."""
+    ax, ay = vv[..., 0, None], vv[..., 1, None]              # [tiles,kc,1]
+    bx, by = vv[..., 2, None], vv[..., 3, None]
+    cx, cy = vv[..., 4, None], vv[..., 5, None]
+    px = pix_x[:, None, :]                                   # [tiles,1,P]
+    py = pix_y[:, None, :]
+    e0 = (px - bx) * (cy - by) - (py - by) * (cx - bx)       # opp. vertex a
+    e1 = (px - cx) * (ay - cy) - (py - cy) * (ax - cx)       # opp. vertex b
+    e2 = (px - ax) * (by - ay) - (py - ay) * (bx - ax)       # opp. vertex c
+    area = jnp.maximum(e0 + e1 + e2, 1e-9)
+    inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (ids >= 0)[..., None]
+    b0, b1, b2 = e0 / area, e1 / area, e2 / area
+    zpix = (b0 * zz[..., 0, None] + b1 * zz[..., 1, None]
+            + b2 * zz[..., 2, None])
+    zpix = jnp.where(inside, zpix, jnp.inf)                  # [tiles,kc,P]
+    win = jnp.argmin(zpix, axis=1)                           # [tiles,P]
+    zw = jnp.min(zpix, axis=1)
+    tw_ = jnp.take_along_axis(ids[..., None],
+                              win[:, None, :], axis=1)[:, 0, :]
+    bw = jnp.stack([
+        jnp.take_along_axis(b, win[:, None, :], axis=1)[:, 0, :]
+        for b in (b0, b1, b2)], axis=-1)
+    return zw, jnp.where(jnp.isfinite(zw), tw_, -1), bw
+
+
+# ---------------------------------------------------------------------------
+# Deferred shading
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def shade_gbuffer(tri: jax.Array, bary: jax.Array, inv_w: jax.Array,
+                  attrs: jax.Array, light_dir: jax.Array,
+                  shadow_z: jax.Array, light_vp: jax.Array,
+                  fog_grid: jax.Array, fog_scale: jax.Array,
+                  sky_params: jax.Array, cam_rays: jax.Array):
+    """Shade the G-buffer.
+
+    tri i32[h,w], bary f32[h,w,3], inv_w f32[T,3],
+    attrs f32[T,3,9] per-vertex (world xyz, normal xyz, rgb),
+    shadow_z f32[sh,sw] light-space depth map, light_vp f32[4,4],
+    fog_grid u8[fh,fw] (0 unexplored / 1 fogged / 2 visible; all-2 when
+    fog is off), fog_scale f32[2] world->fog-grid scale,
+    sky_params f32[2,3] (zenith rgb, horizon rgb), cam_rays f32[h,w,3].
+    Returns f32[h,w,3] linear color.
+    """
+    h, w = tri.shape
+    t_n = attrs.shape[0]
+    flat_tri = tri.reshape(-1)
+    safe = jnp.clip(flat_tri, 0, t_n - 1)
+    av = attrs.reshape(t_n, 27)[safe].reshape(-1, 3, 9)      # row gather
+    iw = inv_w[safe]                                         # [HW,3]
+    b = bary.reshape(-1, 3)
+    pw = b * iw
+    pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-9)
+    a = jnp.einsum("pv,pvc->pc", pw, av)                     # [HW,9]
+    wpos, nrm, rgb = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+
+    # directional light + shadow-map test (ref: gl_shadows.c depth pass)
+    lam = jnp.maximum(-jnp.einsum("pc,c->p", nrm, light_dir), 0.0)
+    lh = jnp.concatenate([wpos, jnp.ones((wpos.shape[0], 1))], -1)
+    lc = lh @ light_vp.T
+    sh, sw = shadow_z.shape
+    sx = jnp.clip(((lc[:, 0] * 0.5 + 0.5) * sw).astype(jnp.int32), 0, sw - 1)
+    sy = jnp.clip(((0.5 - lc[:, 1] * 0.5) * sh).astype(jnp.int32), 0, sh - 1)
+    smp = shadow_z.reshape(-1)[sy * sw + sx]
+    # bias ~3 texels of depth slope: ndc depth spans 2 over the ortho box,
+    # so one texel of a 45-degree slope is ~2/res in ndc (res-dependent,
+    # extent-independent); the reference uses glPolygonOffset equivalently
+    bias = 6.0 / sw
+    lit = (lc[:, 2] <= smp + bias) | (lam <= 0.0)
+    shade = 0.42 + 0.58 * lam * jnp.where(lit, 1.0, 0.25)
+    col = rgb * shade[:, None]
+
+    # fog-of-war tint (ref: map tinting via R_GL_MapUpdateFog)
+    fh, fw = fog_grid.shape
+    fr = jnp.clip((wpos[:, 2] * fog_scale[0]).astype(jnp.int32), 0, fh - 1)
+    fc = jnp.clip((wpos[:, 0] * fog_scale[1]).astype(jnp.int32), 0, fw - 1)
+    fs = fog_grid.reshape(-1)[fr * fw + fc].astype(jnp.float32)
+    col = col * jnp.clip(fs * 0.5, 0.0, 1.0)[:, None]
+
+    # sky background (ref: gl_skybox.c): gradient over the view-ray
+    ray = cam_rays.reshape(-1, 3)
+    up = jnp.clip(ray[:, 1] * 2.0 + 0.35, 0.0, 1.0)[:, None]
+    sky = sky_params[1][None, :] * (1 - up) + sky_params[0][None, :] * up
+    col = jnp.where((flat_tri >= 0)[:, None], col, sky)
+    return col.reshape(h, w, 3)
+
+
+def camera_rays(cam, w: int, h: int) -> np.ndarray:
+    """Per-pixel world-space view directions (for the sky gradient)."""
+    front, right, up = cam.basis()
+    tan = np.tan(cam.fov / 2)
+    xs = (np.arange(w) + 0.5) / w * 2 - 1
+    ys = 1 - (np.arange(h) + 0.5) / h * 2
+    d = (front[None, None] + right[None, None] * (xs[None, :, None] * tan * cam.aspect)
+         + up[None, None] * (ys[:, None, None] * tan))
+    return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)

@@ -1,0 +1,451 @@
+"""Scene assembly: engine state -> rendered frames via the TPU rasterizer.
+
+The reference's G_Render records GL commands for terrain, batched skinned
+entities, water (reflection FBO), shadows (light depth pass), skybox and
+overlays (ref: /root/reference/src/game/game.c:2251-2359, src/render/).
+Here the same passes are expressed as raster/shade kernel invocations over
+one concatenated triangle soup:
+
+  terrain   — height-field mesh with slope/height materials (gl_terrain.c)
+  entities  — per-instance procedural meshes (soldier/building/resource)
+              transformed by the cull_and_emit model matrices; real PFObj
+              meshes with pose-palette skinning ride the same path
+  shadow    — depth-only raster from the sun's ortho view (gl_shadows.c)
+  water     — plane + planar reflection: the scene re-rastered under a
+              mirror matrix, sampled at the same pixel (gl_water.c)
+  sky       — per-ray gradient fallback (gl_skybox.c)
+  overlays  — healthbars / selection circles composited on host
+              (gl_statusbar.c, gl_ui.c draw-lists)
+
+All device passes are jit-compiled with static shapes; a SceneRenderer
+caches the terrain mesh and compiled shapes across frames.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from permafrost_engine_tpu.core.config import EntityFlags, FogState
+from permafrost_engine_tpu.render import raster
+from permafrost_engine_tpu.render.draw import cull_and_emit
+
+SUN_DIR = np.array([-0.45, -0.8, -0.35], np.float32)
+SUN_DIR /= np.linalg.norm(SUN_DIR)
+SKY = np.array([[0.35, 0.55, 0.85], [0.78, 0.82, 0.88]], np.float32)
+
+GRASS = np.array([0.30, 0.46, 0.22], np.float32)
+ROCK = np.array([0.46, 0.42, 0.38], np.float32)
+SAND = np.array([0.70, 0.65, 0.45], np.float32)
+WATER_DEEP = np.array([0.10, 0.22, 0.40], np.float32)
+
+FACTION_RGB = np.array([
+    [0.25, 0.45, 0.95], [0.95, 0.25, 0.25], [0.25, 0.85, 0.25],
+    [0.95, 0.85, 0.25], [0.75, 0.25, 0.95], [0.25, 0.85, 0.85],
+    [0.95, 0.55, 0.05], [0.60, 0.60, 0.60],
+] * 2, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Procedural instance meshes (triangle soup, unit-scale)
+# ---------------------------------------------------------------------------
+
+
+def _soldier_mesh() -> np.ndarray:
+    """Hexagonal bipyramid 'pawn': 12 tris, ~1u radius, 3.2u tall."""
+    ang = np.linspace(0, 2 * np.pi, 7)[:6]
+    ring = np.stack([np.cos(ang) * 0.8, np.full(6, 1.2), np.sin(ang) * 0.8], 1)
+    top = np.array([0.0, 3.2, 0.0])
+    bot = np.array([0.0, 0.0, 0.0])
+    tris = []
+    for i in range(6):
+        a, b = ring[i], ring[(i + 1) % 6]
+        tris.append([top, a, b])
+        tris.append([bot, b, a])
+    return np.asarray(tris, np.float32)
+
+
+def _box_mesh() -> np.ndarray:
+    """Unit box (12 tris), base at y=0, 2u wide, 2.5u tall."""
+    x, y, z = 1.0, 2.5, 1.0
+    c = np.array([[-x, 0, -z], [x, 0, -z], [x, 0, z], [-x, 0, z],
+                  [-x, y, -z], [x, y, -z], [x, y, z], [-x, y, z]], np.float32)
+    quads = [(0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6),
+             (3, 0, 4, 7), (4, 5, 6, 7), (1, 0, 3, 2)]
+    tris = []
+    for a, b, cc, d in quads:
+        tris.append([c[a], c[b], c[cc]])
+        tris.append([c[a], c[cc], c[d]])
+    return np.asarray(tris, np.float32)
+
+
+def _cone_mesh() -> np.ndarray:
+    """Hex cone (resource node): 12 tris (6 side + 6 base)."""
+    ang = np.linspace(0, 2 * np.pi, 7)[:6]
+    ring = np.stack([np.cos(ang) * 1.2, np.zeros(6), np.sin(ang) * 1.2], 1)
+    top = np.array([0.0, 2.4, 0.0])
+    bot = np.array([0.0, 0.0, 0.0])
+    tris = []
+    for i in range(6):
+        a, b = ring[i], ring[(i + 1) % 6]
+        tris.append([top, a, b])
+        tris.append([bot, b, a])
+    return np.asarray(tris, np.float32)
+
+
+MESH_TRIS = 12  # every bank entry is padded to this many triangles
+
+
+def _mesh_bank() -> np.ndarray:
+    bank = [_soldier_mesh(), _box_mesh(), _cone_mesh()]
+    out = np.zeros((len(bank), MESH_TRIS, 3, 3), np.float32)
+    for i, m in enumerate(bank):
+        out[i, :len(m)] = m[:MESH_TRIS]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Terrain
+# ---------------------------------------------------------------------------
+
+
+def terrain_mesh(heights: np.ndarray, nav_tile: float = 4.0, step: int = 2):
+    """Height-field -> (verts f32[T,3,3], normals, colors). Vertices sit at
+    nav-tile corners every `step` nav tiles (step=2 -> map-tile quads,
+    ref: gl_tile.c tile patches). Colors blend grass/rock/sand by
+    height+slope (the splat-material analogue, ref: terrain.frag)."""
+    hs = heights[::step, ::step]
+    gh, gw = hs.shape
+    sz = nav_tile * step
+    xs = np.arange(gw) * sz
+    zs = np.arange(gh) * sz
+    vx, vz = np.meshgrid(xs, zs)
+    v = np.stack([vx, hs, vz], -1).astype(np.float32)        # [gh,gw,3]
+
+    # smooth normals from central differences
+    gx = np.gradient(hs, sz, axis=1)
+    gz = np.gradient(hs, sz, axis=0)
+    n = np.stack([-gx, np.ones_like(hs), -gz], -1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+
+    slope = np.clip(np.hypot(gx, gz) * 1.6, 0, 1)[..., None]
+    hnorm = np.clip(hs / 12.0, 0, 1)[..., None]
+    col = GRASS * (1 - slope) + ROCK * slope
+    col = col * (1 - 0.25 * hnorm) + ROCK * 0.25 * hnorm
+    if (heights < -0.01).any():     # beach/bed bands only on maps with water
+        col = np.where(hs[..., None] < 0.5, SAND, col)
+        col = np.where(hs[..., None] < -0.5, WATER_DEEP, col)
+    col = col.astype(np.float32)
+
+    a = v[:-1, :-1]; b = v[:-1, 1:]; c = v[1:, 1:]; d = v[1:, :-1]
+    na = n[:-1, :-1]; nb = n[:-1, 1:]; nc = n[1:, 1:]; nd = n[1:, :-1]
+    ca = col[:-1, :-1]; cb = col[:-1, 1:]; cc = col[1:, 1:]; cd = col[1:, :-1]
+    t1 = np.stack([a, b, c], -2); t2 = np.stack([a, c, d], -2)
+    n1 = np.stack([na, nb, nc], -2); n2 = np.stack([na, nc, nd], -2)
+    c1 = np.stack([ca, cb, cc], -2); c2 = np.stack([ca, cc, cd], -2)
+    verts = np.concatenate([t1.reshape(-1, 3, 3), t2.reshape(-1, 3, 3)])
+    norms = np.concatenate([n1.reshape(-1, 3, 3), n2.reshape(-1, 3, 3)])
+    cols = np.concatenate([c1.reshape(-1, 3, 3), c2.reshape(-1, 3, 3)])
+    return verts, norms, cols
+
+
+# ---------------------------------------------------------------------------
+# Entity instance assembly (device)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("maxi",))
+def assemble_instances(mats, visible, scale, mesh_id, color, bank, *,
+                       maxi: int):
+    """Select up to `maxi` visible instances and expand their bank meshes
+    into world-space triangles with flat normals and per-vertex colors.
+    mats f32[N,4,4], visible bool[N], scale f32[N], mesh_id i32[N],
+    color f32[N,3], bank f32[M,MESH_TRIS,3,3].
+    Returns (verts f32[maxi*MESH_TRIS,3,3], attrs f32[...,3,9])."""
+    n = mats.shape[0]
+    score, idx = jax.lax.top_k(visible.astype(jnp.int32), maxi)
+    take = score > 0
+    m = mats[idx]                                             # row gathers
+    s = jnp.where(take, scale[idx], 0.0)
+    mid = jnp.clip(mesh_id[idx], 0, bank.shape[0] - 1)
+    col = color[idx]
+
+    mesh = bank.reshape(bank.shape[0], -1)[mid]               # [maxi, 12*9]
+    mesh = mesh.reshape(maxi, MESH_TRIS, 3, 3)
+    local = mesh * s[:, None, None, None]
+    hom = jnp.concatenate(
+        [local, jnp.ones(local.shape[:-1] + (1,), local.dtype)], -1)
+    world = jnp.einsum("nij,ntvj->ntvi", m, hom)[..., :3]
+
+    e1 = world[..., 1, :] - world[..., 0, :]
+    e2 = world[..., 2, :] - world[..., 0, :]
+    fn = jnp.cross(e1, e2)
+    fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-6)
+    fn = jnp.broadcast_to(fn[..., None, :], world.shape)
+    cols = jnp.broadcast_to(col[:, None, None, :], world.shape)
+    verts = world.reshape(-1, 3, 3)
+    attrs = jnp.concatenate([verts, fn.reshape(-1, 3, 3),
+                             cols.reshape(-1, 3, 3)], -1)
+    return verts, attrs
+
+
+# ---------------------------------------------------------------------------
+# Full-frame renderer
+# ---------------------------------------------------------------------------
+
+
+def _ortho_vp(lo, hi, light_dir):
+    """Ortho view-projection from the sun covering the world AABB."""
+    center = (lo + hi) / 2
+    ext = float(np.linalg.norm(hi - lo)) / 2 + 1.0
+    eye = center - light_dir * ext
+    f = light_dir
+    r = np.cross(f, [0.0, 1.0, 0.0]); r /= max(np.linalg.norm(r), 1e-9)
+    u = np.cross(r, f)
+    view = np.eye(4, dtype=np.float32)
+    view[0, :3], view[1, :3], view[2, :3] = r, u, -f
+    view[:3, 3] = -view[:3, :3] @ eye
+    # view-space z spans [0, -2*ext]; map it onto ndc z in [-1, 1]
+    proj = np.diag([1 / ext, 1 / ext, -1 / ext, 1]).astype(np.float32)
+    proj[2, 3] = -1.0
+    return proj @ view
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig"))
+def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None):
+    xy, z, inv_w, valid, flip = raster.project(verts, vp, w, h)
+    if keep is not None:
+        valid = valid & keep                  # reflection clip plane analogue
+    attrs = jnp.where(flip[:, None, None], attrs[:, ::-1], attrs)
+    zbuf, tri, bary = raster.raster_gbuffer(xy, z, valid, h=h, w=w,
+                                            k=k, kbig=kbig)
+    return zbuf, tri, bary, inv_w, attrs
+
+
+class SceneRenderer:
+    """Caches terrain geometry + compiled passes; renders u8 frames."""
+
+    def __init__(self, engine, w: int = 640, h: int = 384, *,
+                 maxi: int = 1024, shadow_res: int = 256,
+                 shadows: bool = True, reflections: bool = True,
+                 terrain_step: int = 2):
+        self.engine = engine
+        self.w, self.h = w, h
+        self.maxi = min(maxi, engine.cfg.max_ents)
+        self.shadow_res = shadow_res
+        self.shadows = shadows
+        self.bank = jnp.asarray(_mesh_bank())
+        self._terrain_key = None
+        self._build_terrain(terrain_step)
+        self.water_level = 0.0
+        self.reflections = reflections and bool(
+            (engine.heights < -0.01).any())
+        self._light_vp = jnp.asarray(_ortho_vp(
+            np.array([0.0, float(engine.heights.min()) - 1, 0.0]),
+            np.array([engine.cfg.world_w,
+                      float(engine.heights.max()) + 8.0,
+                      engine.cfg.world_h]), SUN_DIR))
+        self._shadow_z = None
+        self._shadow_frame = -1
+
+    def _build_terrain(self, step: int) -> None:
+        hts = self.engine.heights
+        v, n, c = terrain_mesh(hts, step=step)
+        self.t_verts = jnp.asarray(v)
+        self.t_attrs = jnp.asarray(
+            np.concatenate([v, n, c], -1).astype(np.float32))
+        self._terrain_key = (hts.shape, float(hts.sum()), step)
+        self._terrain_step = step
+
+    def _maybe_refresh_terrain(self) -> None:
+        hts = self.engine.heights
+        key = (hts.shape, float(hts.sum()), self._terrain_step)
+        if key != self._terrain_key:
+            self._build_terrain(self._terrain_step)
+
+    # -- scene triangle soup -------------------------------------------------
+
+    def _entity_tris(self, alpha: float):
+        eng = self.engine
+        e = eng.state.ents
+        from permafrost_engine_tpu.render.camera import Camera
+        cam_stub = getattr(eng, "_scene_cam", None) or Camera()
+        planes = jnp.asarray(cam_stub.frustum_planes())
+        visible, mats, _hp, _lod = cull_and_emit(
+            e.pos, e.prev_pos, jnp.float32(alpha), e.height, e.facing,
+            e.sel_radius, e.alive, e.flags, e.hp, e.max_hp, planes,
+            jnp.asarray(cam_stub.pos, jnp.float32),
+            jnp.asarray([1e6, 1e6], jnp.float32))
+        flags = e.flags
+        is_bld = (flags & jnp.uint32(EntityFlags.BUILDING)) != 0
+        is_res = (flags & jnp.uint32(EntityFlags.RESOURCE)) != 0
+        mesh_id = jnp.where(is_bld, 1, jnp.where(is_res, 2, 0))
+        fac = jnp.clip(e.faction.astype(jnp.int32), 0, len(FACTION_RGB) - 1)
+        color = jnp.asarray(FACTION_RGB)[fac]
+        color = jnp.where(is_res[:, None],
+                          jnp.asarray([0.2, 0.7, 0.3], jnp.float32), color)
+        return assemble_instances(mats, visible, e.sel_radius, mesh_id,
+                                  color, self.bank, maxi=self.maxi)
+
+    def scene_soup(self, camera, alpha: float = 1.0):
+        self._maybe_refresh_terrain()
+        self.engine._scene_cam = camera
+        ev, ea = self._entity_tris(alpha)
+        verts = jnp.concatenate([self.t_verts, ev])
+        attrs = jnp.concatenate([self.t_attrs, ea])
+        return verts, attrs
+
+    # -- passes ----------------------------------------------------------------
+
+    def _shadow_pass(self, verts):
+        zbuf, _t, _b, _iw, _a = _raster_pass(
+            verts, jnp.zeros(verts.shape[:2] + (9,), verts.dtype),
+            self._light_vp, h=self.shadow_res, w=self.shadow_res,
+            k=160, kbig=64)
+        return zbuf
+
+    def _fog_grid(self, faction_pov):
+        eng = self.engine
+        if faction_pov is None:
+            return jnp.full((2, 2), int(FogState.VISIBLE), jnp.uint8), \
+                jnp.asarray([2.0 / max(eng.cfg.world_h, 1),
+                             2.0 / max(eng.cfg.world_w, 1)], jnp.float32)
+        fog = eng.state.fog.state[faction_pov].astype(jnp.uint8)
+        fh, fw = fog.shape
+        return fog, jnp.asarray([fh / eng.cfg.world_h,
+                                 fw / eng.cfg.world_w], jnp.float32)
+
+    def _shade(self, camera, tri, bary, inv_w, attrs, shadow_z, fog,
+               fog_scale, w, h):
+        rays = jnp.asarray(raster.camera_rays(camera, w, h))
+        return raster.shade_gbuffer(
+            tri, bary, inv_w, attrs, jnp.asarray(SUN_DIR), shadow_z,
+            self._light_vp, fog, fog_scale, jnp.asarray(SKY), rays)
+
+    def render(self, camera, *, faction_pov=None, alpha: float = 1.0,
+               overlays: bool = True) -> np.ndarray:
+        """Render one frame -> u8[h, w, 3]."""
+        w, h = self.w, self.h
+        verts, attrs = self.scene_soup(camera, alpha)
+        vp = jnp.asarray((camera.proj_matrix()
+                          @ camera.view_matrix()).astype(np.float32))
+
+        if self.shadows:
+            frame = int(self.engine.state.tick)
+            if self._shadow_z is None or frame != self._shadow_frame:
+                self._shadow_z = self._shadow_pass(verts)
+                self._shadow_frame = frame
+            shadow_z = self._shadow_z
+        else:
+            shadow_z = jnp.full((2, 2), jnp.inf, jnp.float32)
+
+        fog, fog_scale = self._fog_grid(faction_pov)
+        zbuf, tri, bary, inv_w, pattrs = _raster_pass(
+            verts, attrs, vp, h=h, w=w)
+        col = self._shade(camera, tri, bary, inv_w, pattrs, shadow_z,
+                          fog, fog_scale, w, h)
+
+        if self.reflections:
+            col = self._water_composite(camera, verts, attrs, vp, zbuf,
+                                        col, shadow_z, fog, fog_scale)
+
+        col = jnp.clip(col, 0.0, 1.0) ** (1.0 / 2.2)     # linear -> sRGB-ish
+        img = np.asarray(jnp.clip(col * 255.0, 0, 255).astype(jnp.uint8))
+        if overlays:
+            img = self._overlays(img, camera, alpha)
+        return img
+
+    def _water_composite(self, camera, verts, attrs, vp, zbuf, col,
+                         shadow_z, fog, fog_scale):
+        """Water plane + planar reflection (ref: gl_water.c reflection FBO:
+        the scene re-rendered under a mirror matrix is sampled at the same
+        pixel)."""
+        w, h, wl = self.w, self.h, self.water_level
+        eng = self.engine
+        # the water plane needs no raster: intersect each pixel ray with
+        # y = wl analytically and depth-test the hit against the scene
+        rays_np = raster.camera_rays(camera, w, h)
+        rays = jnp.asarray(rays_np)
+        cam_pos = jnp.asarray(camera.pos, jnp.float32)
+        t = (wl - cam_pos[1]) / jnp.where(
+            jnp.abs(rays[..., 1]) < 1e-5, -1e-5, rays[..., 1])
+        wpt = cam_pos[None, None] + rays * t[..., None]
+        hom = jnp.concatenate([wpt, jnp.ones(wpt.shape[:2] + (1,))], -1)
+        clip = jnp.einsum("ij,hwj->hwi", vp, hom)
+        z_ndc = clip[..., 2] / jnp.maximum(clip[..., 3], 1e-6)
+        inb = ((wpt[..., 0] >= 0) & (wpt[..., 0] <= eng.cfg.world_w)
+               & (wpt[..., 2] >= 0) & (wpt[..., 2] <= eng.cfg.world_h))
+        water_vis = (t > 0) & (clip[..., 3] > 1e-4) & inb & (z_ndc < zbuf)
+
+        mirror = np.diag([1.0, -1.0, 1.0, 1.0]).astype(np.float32)
+        mirror[1, 3] = 2.0 * wl
+        vp_r = vp @ jnp.asarray(mirror)
+        # clip-plane analogue: below-water geometry must not occlude the
+        # mirrored view (the GL path uses glClipPlane in the FBO pass)
+        above = jnp.any(verts[..., 1] > wl - 0.25, axis=1)
+        _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r, h=h, w=w,
+                                                 keep=above)
+        refl = self._shade(camera, tri2, bary2, iw2, a2, shadow_z,
+                           fog, fog_scale, w, h)
+
+        fresnel = jnp.asarray(
+            np.clip(0.25 + 0.6 * (1 + rays_np[..., 1]) ** 2, 0, 0.9)
+            .astype(np.float32))[..., None]
+        deep = jnp.asarray(WATER_DEEP)[None, None]
+        water_col = deep * (1 - fresnel) + refl * fresnel
+        return jnp.where(water_vis[..., None], water_col, col)
+
+    # -- host overlays (healthbars / selection, ref: gl_statusbar.c) ---------
+
+    def _overlays(self, img: np.ndarray, camera, alpha: float) -> np.ndarray:
+        eng = self.engine
+        e = eng.state.ents
+        alive = np.asarray(e.alive)
+        if not alive.any():
+            return img
+        hp = np.asarray(e.hp)[alive]
+        max_hp = np.asarray(e.max_hp)[alive]
+        pos = np.asarray(e.pos)[alive]
+        hgt = np.asarray(e.height)[alive]
+        hurt = (hp < max_hp) & (max_hp > 0)
+        sel = np.zeros(len(alive), bool)
+        for u in list(eng.selection.selection):
+            s = eng.uid_to_slot.get(int(u))
+            if s is not None:
+                sel[s] = True
+        sel = sel[alive]
+        if not (hurt.any() or sel.any()):
+            return img
+        vp = camera.proj_matrix() @ camera.view_matrix()
+        p = np.stack([pos[:, 0], hgt + 4.0, pos[:, 1],
+                      np.ones(len(pos))], 1)
+        c = p @ vp.T
+        ok = c[:, 3] > 1e-3
+        x = (c[:, 0] / np.maximum(c[:, 3], 1e-6) * 0.5 + 0.5) * self.w
+        y = (0.5 - c[:, 1] / np.maximum(c[:, 3], 1e-6) * 0.5) * self.h
+        xi = x.astype(int); yi = y.astype(int)
+        on = ok & (xi >= 6) & (xi < self.w - 6) & (yi >= 2) & (yi < self.h - 2)
+        img = img.copy()
+        for i in np.nonzero(on & hurt)[0]:
+            frac = float(hp[i] / max(max_hp[i], 1e-6))
+            full = int(10 * np.clip(frac, 0, 1))
+            img[yi[i] - 2, xi[i] - 5:xi[i] + 5] = (60, 60, 60)
+            img[yi[i] - 2, xi[i] - 5:xi[i] - 5 + full] = (80, 220, 80)
+        for i in np.nonzero(on & sel)[0]:
+            img[yi[i] + 1, xi[i] - 5:xi[i] + 5] = (240, 240, 240)
+        return img
+
+
+def render_frame(engine, camera, w: int = 640, h: int = 384,
+                 **kw) -> np.ndarray:
+    """One-shot convenience wrapper (caches the renderer on the engine)."""
+    key = (w, h)
+    cache = getattr(engine, "_scene_renderers", None)
+    if cache is None:
+        cache = engine._scene_renderers = {}
+    if key not in cache:
+        cache[key] = SceneRenderer(engine, w, h, **kw)
+    return cache[key].render(camera)

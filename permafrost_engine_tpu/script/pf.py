@@ -376,12 +376,15 @@ def get_active_camera() -> Camera:
 
 
 def set_active_camera(cam: Camera) -> None:
+    # identity, not ==: Camera is a dataclass with ndarray fields, whose
+    # __eq__ returns arrays (ambiguous truth value)
     ctx = context()
-    if cam in ctx.cameras:
-        ctx.active_camera = ctx.cameras.index(cam)
-    else:
-        ctx.cameras.append(cam)
-        ctx.active_camera = len(ctx.cameras) - 1
+    for i, c in enumerate(ctx.cameras):
+        if c is cam:
+            ctx.active_camera = i
+            return
+    ctx.cameras.append(cam)
+    ctx.active_camera = len(ctx.cameras) - 1
 
 
 def set_rts_camera_zoom_enabled(on: bool) -> None:
@@ -469,11 +472,17 @@ def get_render_settings() -> dict:
     return {k: s.get(k) for k in s.names() if k.startswith("pf.video.")}
 
 
-def dump_framebuffer(path: str) -> bool:
-    """Dump the minimap raster (render/draw.py) — a real image when the
-    extension is one (png/bmp/jpg, ref: stb_image_write), else .npy."""
-    from permafrost_engine_tpu.render.draw import minimap_raster
-    frame = minimap_raster(_eng())
+def dump_framebuffer(path: str, minimap: bool = False) -> bool:
+    """Dump a rendered frame from the active camera through the TPU
+    rasterizer (render/scene.py; pass minimap=True for the top-down
+    minimap raster instead). Writes a real image when the extension is
+    one (png/bmp/jpg, ref: stb_image_write), else .npy."""
+    if minimap:
+        from permafrost_engine_tpu.render.draw import minimap_raster
+        frame = minimap_raster(_eng())
+    else:
+        from permafrost_engine_tpu.render.scene import render_frame
+        frame = render_frame(_eng(), get_active_camera())
     if path.lower().endswith((".png", ".bmp", ".jpg", ".jpeg", ".tga")):
         from permafrost_engine_tpu.utils.image import write_image
         write_image(path, frame)
