@@ -192,6 +192,38 @@ def assemble_instances(mats, visible, scale, mesh_id, color, bank, *,
     return verts, attrs
 
 
+@jax.jit
+def skin_instances(palettes, mats, ok, verts, wj, wv, cols):
+    """GPU-skinning: blend pose palettes per vertex, then instance-
+    transform (ref: shaders/vertex/skinned.glsl over the anim texture,
+    src/render/gl_anim.c). palettes f32[n,J,4,4], mats f32[n,4,4],
+    ok bool[n], verts f32[V,3] (triangle soup), wj i32[V,4], wv f32[V,4],
+    cols f32[V,3]. Returns (tris f32[n*V/3,3,3], attrs f32[...,3,9])."""
+    n, v = mats.shape[0], verts.shape[0]
+    safe = jnp.maximum(wj, 0)
+    wvv = jnp.where(wj >= 0, wv, 0.0)                    # [V,4]
+    pv = palettes[:, safe]                               # [n,V,4,4,4]
+    m = jnp.einsum("nvkab,vk->nvab", pv, wvv)
+    unweighted = (wvv.sum(-1) <= 1e-6)
+    m = m + jnp.eye(4)[None, None] * unweighted[None, :, None, None]
+    hom = jnp.concatenate([verts, jnp.ones((v, 1), verts.dtype)], -1)
+    sk = jnp.einsum("nvab,vb->nva", m, hom)              # [n,V,4]
+    world = jnp.einsum("nab,nvb->nva", mats, sk)[..., :3]
+    world = jnp.where(ok[:, None, None], world, 0.0)     # degenerate pad
+
+    tris = world.reshape(n, v // 3, 3, 3)
+    e1 = tris[..., 1, :] - tris[..., 0, :]
+    e2 = tris[..., 2, :] - tris[..., 0, :]
+    fn = jnp.cross(e1, e2)
+    fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-6)
+    fn = jnp.broadcast_to(fn[..., None, :], tris.shape)
+    cc = jnp.broadcast_to(cols.reshape(1, v // 3, 3, 3), tris.shape)
+    tris = tris.reshape(-1, 3, 3)
+    attrs = jnp.concatenate([tris, fn.reshape(-1, 3, 3),
+                             cc.reshape(-1, 3, 3)], -1)
+    return tris, attrs
+
+
 # ---------------------------------------------------------------------------
 # Full-frame renderer
 # ---------------------------------------------------------------------------
@@ -231,10 +263,11 @@ class SceneRenderer:
     def __init__(self, engine, w: int = 640, h: int = 384, *,
                  maxi: int = 1024, shadow_res: int = 256,
                  shadows: bool = True, reflections: bool = True,
-                 terrain_step: int = 2):
+                 terrain_step: int = 2, model_cap: int = 32):
         self.engine = engine
         self.w, self.h = w, h
         self.maxi = min(maxi, engine.cfg.max_ents)
+        self.model_cap = model_cap
         self.shadow_res = shadow_res
         self.shadows = shadows
         self.bank = jnp.asarray(_mesh_bank())
@@ -279,6 +312,13 @@ class SceneRenderer:
             e.sel_radius, e.alive, e.flags, e.hp, e.max_hp, planes,
             jnp.asarray(cam_stub.pos, jnp.float32),
             jnp.asarray([1e6, 1e6], jnp.float32))
+
+        model_parts, handled = self._model_tris(mats)
+        if handled:
+            excl = np.zeros(eng.cfg.max_ents, bool)
+            excl[list(handled)] = True
+            visible = visible & ~jnp.asarray(excl)
+
         flags = e.flags
         is_bld = (flags & jnp.uint32(EntityFlags.BUILDING)) != 0
         is_res = (flags & jnp.uint32(EntityFlags.RESOURCE)) != 0
@@ -287,8 +327,76 @@ class SceneRenderer:
         color = jnp.asarray(FACTION_RGB)[fac]
         color = jnp.where(is_res[:, None],
                           jnp.asarray([0.2, 0.7, 0.3], jnp.float32), color)
-        return assemble_instances(mats, visible, e.sel_radius, mesh_id,
-                                  color, self.bank, maxi=self.maxi)
+        pv, pa = assemble_instances(mats, visible, e.sel_radius, mesh_id,
+                                    color, self.bank, maxi=self.maxi)
+        parts = [(pv, pa)] + model_parts
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+
+    def _model_dev(self, key: str, model):
+        """Device-resident mesh data per PFObj (verts/weights/colors)."""
+        cache = getattr(self, "_model_cache", None)
+        if cache is None:
+            cache = self._model_cache = {}
+        if key not in cache:
+            v = np.asarray(model.verts, np.float32)
+            cols = np.full((len(v), 3), 0.75, np.float32)
+            if model.materials:
+                diff = np.asarray([m.diffuse for m in model.materials],
+                                  np.float32)
+                mi = np.clip(model.vert_mat, 0, len(diff) - 1)
+                cols = diff[mi]
+            cache[key] = (jnp.asarray(v),
+                          jnp.asarray(model.weight_joints),
+                          jnp.asarray(model.weight_vals),
+                          jnp.asarray(cols))
+        return cache[key]
+
+    def _model_tris(self, mats):
+        """Skinned real-mesh instances for entities with registered PFObj
+        models (ref: gl_anim.c batched skinned draws). Counts are padded
+        to power-of-two buckets to bound jit retraces."""
+        eng = self.engine
+        anim = eng.anim
+        out, handled = [], set()
+        alive = None
+        for key in sorted(anim.models):
+            model = anim.models[key]
+            v_n = len(getattr(model, "verts", ()))
+            if v_n < 3 or v_n % 3:
+                continue
+            uids_all = [u for u, st in anim.states.items()
+                        if st.model == key]
+            if not uids_all:
+                continue
+            if alive is None:
+                alive = np.asarray(eng.state.ents.alive)
+            slots, rows = [], []
+            for i, u in enumerate(uids_all):
+                s = eng.uid_to_slot.get(u)
+                if s is not None and alive[s]:
+                    slots.append(s)
+                    rows.append(i)
+            slots, rows = slots[:self.model_cap], rows[:self.model_cap]
+            if not slots:
+                continue
+            pal = anim.pose_palettes(key)
+            if pal is None:      # rigid model: identity palette, 1 joint
+                pal = np.broadcast_to(
+                    np.eye(4, dtype=np.float32),
+                    (len(uids_all), 1, 4, 4))
+            n = len(slots)
+            bucket = max(4, 1 << (n - 1).bit_length())
+            ok = np.zeros(bucket, bool)
+            ok[:n] = True
+            slots = np.asarray(slots + [0] * (bucket - n), np.int32)
+            rows = np.asarray(rows + [0] * (bucket - n), np.int32)
+            handled.update(int(s) for s in slots[:n])
+            tris, attrs = skin_instances(
+                jnp.asarray(pal[rows]), mats[jnp.asarray(slots)],
+                jnp.asarray(ok), *self._model_dev(key, model))
+            out.append((tris, attrs))
+        return out, handled
 
     def scene_soup(self, camera, alpha: float = 1.0):
         self._maybe_refresh_terrain()

@@ -233,3 +233,66 @@ def test_pf_dump_framebuffer(tmp_path, scene_setup):
     finally:
         ctx.engine = old_eng
         ctx.cameras = old_cams
+
+
+def test_skinned_model_renders_and_animates():
+    """Entities with a registered PFObj render their real mesh, skinned by
+    the pose palettes (ref: gl_anim.c + skinned.glsl over the anim
+    texture); advancing the clip visibly moves the mesh."""
+    from permafrost_engine_tpu.assets.pfobj import AnimClip, Material, PFObj
+    from permafrost_engine_tpu.core.config import EngineConfig
+    from permafrost_engine_tpu.game.engine import Engine
+    from permafrost_engine_tpu.render.camera import Camera
+    from permafrost_engine_tpu.render.scene import SceneRenderer, _box_mesh
+
+    cfg = EngineConfig(max_ents=8)
+    eng = Engine(cfg)
+    eng.add_faction(0)
+    uids = eng.spawn_batch(np.array([[450.0, 450.0]], np.float32), faction=0)
+
+    # 2-joint arm: all verts weighted to joint 1; the clip swings joint 1
+    # from upright to 90-degrees sideways
+    soup = (_box_mesh().reshape(-1, 3) * np.array([1.0, 3.0, 1.0])).astype(
+        np.float32)
+    v = len(soup)
+    frames = 9
+    rots = np.zeros((frames, 2, 4), np.float32)
+    rots[:, 0] = [0, 0, 0, 1]
+    for f in range(frames):
+        half = np.radians(90.0 * f / (frames - 1)) / 2
+        rots[f, 1] = [0, 0, np.sin(half), np.cos(half)]   # rot about z
+    clip = AnimClip("swing", frames,
+                    np.zeros((frames, 2, 3), np.float32), rots,
+                    np.ones((frames, 2, 3), np.float32))
+    model = PFObj(
+        verts=soup, uvs=np.zeros((v, 2), np.float32),
+        normals=np.zeros((v, 3), np.float32),
+        weight_joints=np.concatenate(
+            [np.ones((v, 1), np.int32), np.full((v, 3), -1, np.int32)], 1),
+        weight_vals=np.concatenate(
+            [np.ones((v, 1), np.float32), np.zeros((v, 3), np.float32)], 1),
+        vert_mat=np.zeros(v, np.int32),
+        materials=[Material("m", 1.0, (0.8, 0.1, 0.8), (0, 0, 0), "")],
+        joint_parents=np.array([-1, 0], np.int32), joint_names=["r", "arm"],
+        bind_trans=np.zeros((2, 3), np.float32),
+        bind_rots=np.tile(np.array([0, 0, 0, 1], np.float32), (2, 1)),
+        bind_scales=np.ones((2, 3), np.float32),
+        clips={"swing": clip, "idle": clip}, bbox=None)
+    eng.anim.load_model("arm", model)
+    eng.anim.register(int(uids[0]), model="arm", idle_clip="swing")
+
+    cam = Camera(pos=np.array([450.0, 10.0, 480.0]), pitch=-10.0, yaw=90.0,
+                 aspect=1.0)
+    r = SceneRenderer(eng, 128, 128, shadows=False, reflections=False)
+    img0 = r.render(cam)
+    purple0 = ((img0[..., 0] > 120) & (img0[..., 2] > 120)
+               & (img0[..., 1] < 110))
+    assert purple0.sum() > 10                      # the mesh is visible
+
+    eng.anim.states[int(uids[0])].t = frames / 24.0 * 0.99  # end of swing
+    img1 = r.render(cam)
+    purple1 = ((img1[..., 0] > 120) & (img1[..., 2] > 120)
+               & (img1[..., 1] < 110))
+    assert purple1.sum() > 10
+    # the swing moved the silhouette
+    assert (purple0 != purple1).sum() > 20
