@@ -81,6 +81,26 @@ class Camera:
         n = np.linalg.norm(planes[:, :3], axis=1, keepdims=True)
         return planes / np.maximum(n, 1e-9)
 
+    def screen_ray(self, px: float, py: float, w: int, h: int) -> np.ndarray:
+        """World-space direction of the ray through pixel (px, py) on a
+        w x h viewport (ref: map/raycast.c mouse unprojection)."""
+        front, right, up = self.basis()
+        tan = math.tan(self.fov / 2)
+        nx = (px + 0.5) / w * 2 - 1
+        ny = 1 - (py + 0.5) / h * 2
+        d = front + right * (nx * tan * self.aspect) + up * (ny * tan)
+        return d / np.linalg.norm(d)
+
+    def ground_point(self, px: float, py: float, w: int, h: int,
+                     ground_y: float = 0.0):
+        """Pixel -> intersection with the y = ground_y plane, or None."""
+        d = self.screen_ray(px, py, w, h)
+        if d[1] >= -1e-5:
+            return None
+        t = (ground_y - self.pos[1]) / d[1]
+        hit = self.pos + d * t
+        return (float(hit[0]), float(hit[1]), float(hit[2]))
+
     # -- control (ref: cam_control.c RTS pan/zoom) -----------------------------------
 
     def pan(self, dx: float, dz: float) -> None:

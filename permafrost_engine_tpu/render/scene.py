@@ -464,7 +464,20 @@ class SceneRenderer:
         img = np.asarray(jnp.clip(col * 255.0, 0, 255).astype(jnp.uint8))
         if overlays:
             img = self._overlays(img, camera, alpha)
+            img = self._compose_ui(img)
         return img
+
+    def _compose_ui(self, img: np.ndarray) -> np.ndarray:
+        """Composite shown pf UI windows (ref: gl_ui.c draw pass)."""
+        try:
+            from permafrost_engine_tpu.script import pf
+            ctx = pf.context()
+        except Exception:
+            return img
+        if ctx.engine is not self.engine or not ctx.ui_windows:
+            return img
+        from permafrost_engine_tpu.render.ui_compose import compose_ui
+        return compose_ui(img, ctx.ui_windows, ctx.ui.virtual_resolution)
 
     def _water_composite(self, camera, verts, attrs, vp, zbuf, col,
                          shadow_z, fog, fog_scale):

@@ -537,6 +537,122 @@ def get_key_name(scancode: int) -> str:
     return f"KEY_{scancode}"
 
 
+# ---------------------------------------------------------------------------
+# Input injection — the SDL-event pipeline analogue (ref: main.c
+# process_sdl_events -> ui/event dispatch -> G_Sel_Update / move orders).
+# Coordinates are in the UI virtual resolution (the engine's one screen
+# space; real front-ends scale their window into it).
+# ---------------------------------------------------------------------------
+
+
+def _ground_under(x: float, y: float):
+    ctx = context()
+    vw, vh = ctx.ui.virtual_resolution
+    return get_active_camera().ground_point(x, y, vw, vh)
+
+
+def _sel_arrays():
+    e = _eng().state.ents
+    return (_eng()._slot_uid, np.asarray(e.pos), np.asarray(e.sel_radius),
+            np.asarray(e.flags), np.asarray(e.alive))
+
+
+def inject_mouse_motion(x: float, y: float) -> None:
+    """Move the cursor: updates mouse_pos and the hovered entity."""
+    ctx = context()
+    ctx.mouse_pos = (x, y)
+    wp = _ground_under(x, y)
+    if wp is not None and ctx.engine is not None:
+        uids, pos, rad, flags, alive = _sel_arrays()
+        ctx.engine.selection.update_hovered((wp[0], wp[2]), uids, pos, rad,
+                                            flags, alive)
+
+
+def inject_mouse_click(x: float, y: float, button: int = 1) -> str:
+    """Dispatch a click: UI first (widget routing), then armed click-mode
+    orders, then unit selection / click-move. Returns what consumed it:
+    'ui' | 'order:<mode>' | 'select' | 'move' | 'none'."""
+    ctx = context()
+    ctx.mouse_pos = (x, y)
+    if ctx.ui.route_click(ctx.ui_windows, (x, y), ctx.ui.virtual_resolution):
+        return "ui"
+    eng = ctx.engine
+    wp = _ground_under(x, y)
+    if eng is None or wp is None:
+        return "none"
+    xz = (wp[0], wp[2])
+    sel = list(eng.selection.selection)
+    from permafrost_engine_tpu.core.events import EventType
+
+    if button == 1:
+        armed = [m for m in ("move", "attack", "build", "gather", "pick_up",
+                             "drop_off", "transport", "evict", "rally_point")
+                 if getattr(ctx.click_modes, m, False)]
+        if armed:
+            mode = armed[0]
+            setattr(ctx.click_modes, mode, False)     # one-shot arm
+            hovered = eng.selection.hovered
+            eng.bus.notify(EventType.ORDER_ISSUED,
+                           {"mode": mode, "pos": wp, "target": hovered,
+                            "selection": sel})
+            if sel:
+                if mode == "move":
+                    eng.move(sel, xz)
+                elif mode == "attack":
+                    eng.seek_enemies(sel)
+            return f"order:{mode}"
+        uids, pos, rad, flags, alive = _sel_arrays()
+        if eng.selection.enabled:
+            eng.selection.click_select(xz, uids, pos, rad, flags, alive,
+                                       additive=shift_pressed())
+        return "select"
+
+    if button == 3 and getattr(ctx.click_modes, "click_move_enabled", True) \
+            and sel:
+        movable = [u for u in sel
+                   if eng.uid_to_slot.get(u) is not None]
+        if movable:
+            eng.move(movable, xz)
+            eng.bus.notify(EventType.ORDER_ISSUED,
+                           {"mode": "move", "pos": wp, "target": None,
+                            "selection": movable})
+            return "move"
+    return "none"
+
+
+def inject_mouse_drag(x0: float, y0: float, x1: float, y1: float) -> list:
+    """Box selection between two virtual-resolution corners
+    (ref: G_Sel drag box, src/game/selection.c)."""
+    ctx = context()
+    eng = ctx.engine
+    a = _ground_under(x0, y0)
+    b = _ground_under(x1, y1)
+    if eng is None or a is None or b is None or not eng.selection.enabled:
+        return []
+    uids, pos, rad, flags, alive = _sel_arrays()
+    return eng.selection.box_select(
+        (a[0], a[2]), (b[0], b[2]), uids, pos, flags, alive,
+        additive=shift_pressed())
+
+
+def inject_key_down(scancode: int) -> None:
+    context().keys_down.add(int(scancode))
+
+
+def inject_key_up(scancode: int) -> None:
+    context().keys_down.discard(int(scancode))
+
+
+def inject_text_input(text: str) -> bool:
+    """Feed typed characters to the focused UI text edit ('\\b' erases,
+    newline commits/unfocuses)."""
+    ctx = context()
+    any_routed = False
+    for ch in text:
+        any_routed = ctx.ui.route_char(ch) or any_routed
+    return any_routed
+
+
 def get_active_font() -> str:
     return context().ui.active_font
 

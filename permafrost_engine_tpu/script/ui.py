@@ -81,6 +81,7 @@ class Window:
 
     def _render(self) -> list[tuple]:
         self.draw_list = []
+        self._slider_ix = 0
         self.update()
         return self.draw_list
 
@@ -121,8 +122,12 @@ class Window:
 
     def slider_float(self, minv: float, value: float, maxv: float,
                      step: float) -> float:
+        """Sliders are keyed by their ordinal within the window (they carry
+        no label); input routing writes the same key."""
+        ix = getattr(self, "_slider_ix", 0)
+        self._slider_ix = ix + 1
         self.draw_list.append(("slider", minv, value, maxv, step))
-        return self._widget_state.get(("slider", len(self.draw_list)), value)
+        return self._widget_state.get(("slider", ix), value)
 
     def progress(self, cur: int, maxv: int, modifiable: bool = False) -> int:
         self.draw_list.append(("progress", cur, maxv))
@@ -143,17 +148,133 @@ class Window:
         self.draw_list.append(("spacer", cols))
 
 
+TITLE_H = 28      # virtual-resolution title-bar height
+PAD = 6           # inner padding / inter-widget gap
+
+
+def layout_window(win: Window, draw_list: list[tuple] | None = None
+                  ) -> list[tuple]:
+    """Replay a window's draw list into placed widgets.
+
+    Returns [(kind, payload, (x, y, w, h))] in virtual-resolution coords —
+    the single geometry pass shared by the pixel compositor
+    (render/ui_compose.py) and input routing (ref: nuklear computes the
+    same row/column layout internally, src/lib/public/nuklear.h)."""
+    if draw_list is None:
+        draw_list = win._render()
+    wx, wy, ww, wh = win.rect
+    placed: list[tuple] = []
+    y = wy + (TITLE_H if win.flags & WINDOW_TITLE else 0) + PAD
+    row = ("dynamic", 24, 1)
+    col = 0
+    for item in draw_list:
+        if item[0] == "row":
+            row = item[1]
+            col = 0
+            continue
+        if row[0] == "static":
+            _, rh, rw, cols = row
+        else:
+            _, rh, cols = row
+            rw = (ww - 2 * PAD - (cols - 1) * PAD) / max(cols, 1)
+        if col >= cols:                      # wrap to a new implicit row
+            col = 0
+            y += rh + PAD
+        x = wx + PAD + col * (rw + PAD)
+        span = int(item[1]) if item[0] == "spacer" else 1
+        placed.append((item[0], item, (x, y, rw * span, rh)))
+        col += span
+        if col >= cols:
+            col = 0
+            y += rh + PAD
+    return placed
+
+
 class UISystem:
-    """Per-frame window rendering + draw-list export."""
+    """Per-frame window rendering + draw-list export + input routing."""
 
     def __init__(self):
         self.virtual_resolution = (1920, 1080)
         self.active_font = "default"
         self.fonts = {"default"}
         self.text_edit_focus = False
+        self.focused_text: tuple | None = None     # (window, key)
 
     def render_all(self, windows: dict[str, Window]) -> dict[str, list]:
         return {name: w._render() for name, w in windows.items() if w.shown}
+
+    # -- input routing (ref: ui.c event dispatch + nuklear widget logic) ----
+
+    def to_virtual(self, pos, screen_size) -> tuple[float, float]:
+        vw, vh = self.virtual_resolution
+        sw, sh = screen_size
+        return pos[0] * vw / max(sw, 1), pos[1] * vh / max(sh, 1)
+
+    def window_at(self, windows: dict[str, Window], vx: float, vy: float
+                  ) -> Window | None:
+        for w in reversed(list(windows.values())):   # latest shown on top
+            x, y, ww, wh = w.rect
+            if w.shown and x <= vx <= x + ww and y <= vy <= y + wh:
+                return w
+        return None
+
+    def route_click(self, windows: dict[str, Window], pos, screen_size
+                    ) -> bool:
+        """Dispatch a mouse click to the widget under it. Returns True when
+        the click landed on UI (callers then skip world picking, mirroring
+        the reference's mouse_over_ui gate)."""
+        vx, vy = self.to_virtual(pos, screen_size)
+        win = self.window_at(windows, vx, vy)
+        if win is None:
+            self.text_edit_focus = False
+            self.focused_text = None
+            return False
+        slider_ix = -1
+        for kind, item, (x, y, w, h) in layout_window(win):
+            if kind == "slider":
+                slider_ix += 1
+            if not (x <= vx <= x + w and y <= vy <= y + h):
+                continue
+            if kind == "button":
+                win._widget_state[("click", item[1])] = True
+            elif kind == "checkbox":
+                cur = win._widget_state.get(("check", item[1]), item[2])
+                win._widget_state[("check", item[1])] = not cur
+            elif kind == "option":
+                win._widget_state[("option", item[1])] = True
+            elif kind == "slider":
+                _, minv, _cur, maxv, step = item
+                frac = (vx - x) / max(w, 1e-6)
+                val = minv + frac * (maxv - minv)
+                if step > 0:
+                    val = minv + round((val - minv) / step) * step
+                win._widget_state[("slider", slider_ix)] = \
+                    min(max(val, minv), maxv)
+            elif kind == "text_edit":
+                self.text_edit_focus = True
+                self.focused_text = (win, item[1])
+                return True
+            break
+        if self.focused_text and self.focused_text[0] is win:
+            pass      # clicking elsewhere in the window keeps focus
+        return True
+
+    def route_char(self, ch: str) -> bool:
+        """Feed a character (or '\\b' backspace) to the focused text edit."""
+        if not self.focused_text:
+            return False
+        win, key = self.focused_text
+        cur = win._widget_state.get(("text", key), "")
+        if ch == "\b":
+            cur = cur[:-1]
+        elif ch in ("\r", "\n"):
+            self.text_edit_focus = False
+            self.focused_text = None
+            return True
+        else:
+            cur += ch
+        win._widget_state[("text", key)] = cur
+        return True
 
 
 def _ctx():
