@@ -163,3 +163,43 @@ def test_world_click_selects_and_orders(world):
     sel = pf.inject_mouse_drag(vw / 2 - 300, vh / 2 - 300,
                                vw / 2 + 300, vh / 2 + 300)
     assert int(uids[0]) in sel
+
+
+def test_live_viewer_server_produces_frames_and_routes_input():
+    """tools/live_viewer.py: the windowing layer over the render contract
+    (frame producer + input forwarding), exercised without sockets."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import live_viewer as lv
+    from permafrost_engine_tpu.script import pf
+
+    ctx = pf.context()
+    old = ctx.engine
+    try:
+        eng, cam, a_uids = lv.default_scenario(8)
+        srv = lv.LiveServer(eng, cam, w=128, h=128, fps=30.0)
+        # one producer iteration inline (no thread): step + render + encode
+        srv.running = False
+        from PIL import Image
+        import io as _io
+        with srv.lock:
+            eng.step(2)
+            img = srv.renderer.render(cam)
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
+        assert len(buf.getvalue()) > 500
+        # input routing: a click lands in world coordinates
+        # hover straight over unit 0, low enough that the -89-degree pitch
+        # offset stays inside its 1u selection radius
+        cam.pos = np.array([float(np.asarray(eng.state.ents.pos)[0, 0]),
+                            12.0,
+                            float(np.asarray(eng.state.ents.pos)[0, 1])])
+        cam.pitch, cam.yaw = -89.0, 90.0
+        srv.handle_input({"type": "motion", "x": 0.5, "y": 0.5})
+        srv.handle_input({"type": "click", "x": 0.5, "y": 0.5, "button": 1})
+        assert eng.selection.selection  # the unit under the cursor selected
+        before = cam.pos.copy()
+        srv.handle_input({"type": "pan", "dx": 10, "dy": 0})
+        assert not np.allclose(cam.pos, before)
+    finally:
+        ctx.engine = old
