@@ -93,6 +93,75 @@ def _parse_slashed(tok: str, n: int = 3) -> list[float]:
     return [float(p) for p in parts]
 
 
+def quat_to_euler_xyz(q: np.ndarray) -> tuple[float, float, float]:
+    """Quaternion (x, y, z, w) -> XYZ-order Euler degrees (the writer's
+    inverse of euler_xyz_to_quat)."""
+    x, y, z, w = (float(v) for v in q)
+    sinr = 2 * (w * x + y * z)
+    cosr = 1 - 2 * (x * x + y * y)
+    rx = math.atan2(sinr, cosr)
+    sinp = max(-1.0, min(1.0, 2 * (w * y - z * x)))
+    ry = math.asin(sinp)
+    siny = 2 * (w * z + x * y)
+    cosy = 1 - 2 * (y * y + z * z)
+    rz = math.atan2(siny, cosy)
+    return math.degrees(rx), math.degrees(ry), math.degrees(rz)
+
+
+def write_pfobj(m: PFObj) -> str:
+    """Serialize a PFObj back to the ASCII format (ref: docs/pfobj.txt;
+    the Blender addon's export path, /root/reference/tools/blender_addon).
+    parse_pfobj(write_pfobj(m)) round-trips."""
+    def f3(v, n=3):
+        return "/".join(f"{float(x):.6f}" for x in v[:n])
+
+    clips = list(m.clips.values())
+    has_bb = bool(clips) and clips[0].bboxes is not None
+    out = [
+        "version 1.0",
+        f"num_verts {len(m.verts)}",
+        f"num_joints {m.num_joints}",
+        f"num_material {len(m.materials)}",
+        f"num_as {len(clips)}",
+        "frame_counts " + " ".join(str(c.frames) for c in clips),
+        f"has_collision {int(has_bb)}",
+    ]
+    for i in range(len(m.verts)):
+        out.append("v " + " ".join(f"{x:.6f}" for x in m.verts[i]))
+        out.append("vt " + " ".join(f"{x:.6f}" for x in m.uvs[i]))
+        out.append("vn " + " ".join(f"{x:.6f}" for x in m.normals[i]))
+        out.append("vw " + " ".join(
+            f"{int(m.weight_joints[i, k])}/{float(m.weight_vals[i, k]):.6f}"
+            for k in range(4)))
+        out.append(f"vm {int(m.vert_mat[i])}")
+    for mat in m.materials:
+        out += [f"material {mat.name}",
+                f"\tambient {mat.ambient:.6f}",
+                "\tdiffuse " + " ".join(f"{x:.6f}" for x in mat.diffuse),
+                "\tspecular " + " ".join(f"{x:.6f}" for x in mat.specular),
+                f"\ttexture {mat.texture or '__none__'}"]
+    for j in range(m.num_joints):
+        rx, ry, rz = quat_to_euler_xyz(m.bind_rots[j])
+        out.append(
+            f"j {int(m.joint_parents[j]) + 1} {m.joint_names[j]} "
+            f"{f3(m.bind_scales[j])} {rx:.6f}/{ry:.6f}/{rz:.6f} "
+            f"{f3(m.bind_trans[j])}")
+    for c in clips:
+        out.append(f"as {c.name} {c.frames}")
+        for f in range(c.frames):
+            for j in range(m.num_joints):
+                rx, ry, rz = quat_to_euler_xyz(c.rots[f, j])
+                out.append(f"\t{j + 1} {f3(c.scales[f, j])} "
+                           f"{rx:.6f}/{ry:.6f}/{rz:.6f} {f3(c.trans[f, j])}")
+        if has_bb:
+            for f in range(c.frames):
+                bb = c.bboxes[f]
+                out.append(f"\tx_bounds {bb[0][0]:.6f} {bb[1][0]:.6f}")
+                out.append(f"\ty_bounds {bb[0][1]:.6f} {bb[1][1]:.6f}")
+                out.append(f"\tz_bounds {bb[0][2]:.6f} {bb[1][2]:.6f}")
+    return "\n".join(out) + "\n"
+
+
 def parse_pfobj(text: str) -> PFObj:
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
     it = iter(lines)
