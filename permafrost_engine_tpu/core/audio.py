@@ -107,6 +107,100 @@ class AudioSystem:
     def resume(self) -> None:
         self._paused_at = None
 
+    # -- offline mixdown (the OpenAL output path, rendered headless) -------------
+    #
+    # There is no audio device here, so the device half of al_audio.c is an
+    # offline mix: sources scheduled on the engine's 60 Hz clock, positional
+    # attenuation + stereo panning relative to a listener, per-bus volumes,
+    # 16-bit stereo WAV out. Real .wav assets are used when found in
+    # `search_dirs`; unknown names get a deterministic synthesized tone so
+    # the pipeline is exercisable without assets.
+
+    SAMPLE_RATE = 22050
+    EFFECT_TICKS = 120                 # effect lifetime (~2 s; see tick())
+
+    def _source_pcm(self, name: str, seconds: float,
+                    search_dirs=()) -> "np.ndarray":
+        import os
+        import numpy as np
+        n = int(seconds * self.SAMPLE_RATE)
+        for d in search_dirs:
+            p = os.path.join(d, name if name.endswith(".wav")
+                             else name + ".wav")
+            if os.path.exists(p):
+                import wave
+                with wave.open(p, "rb") as w:
+                    raw = np.frombuffer(w.readframes(w.getnframes()),
+                                        np.int16).astype(np.float32) / 32768
+                    if w.getnchannels() > 1:
+                        raw = raw.reshape(-1, w.getnchannels()).mean(1)
+                reps = max(1, -(-n // max(len(raw), 1)))
+                return np.tile(raw, reps)[:n]
+        # deterministic placeholder: enveloped two-partial tone per name
+        rng = np.random.default_rng(abs(hash(name)) % (2 ** 32))
+        f0 = 160.0 + rng.random() * 500.0
+        t = np.arange(n) / self.SAMPLE_RATE
+        env = np.exp(-t * (1.5 + rng.random() * 3))
+        sig = env * (np.sin(2 * np.pi * f0 * t)
+                     + 0.4 * np.sin(2 * np.pi * f0 * 2.01 * t))
+        return sig.astype(np.float32) * 0.6
+
+    def render_wav(self, path: str, seconds: float = 2.0,
+                   listener_pos=(0.0, 0.0, 0.0), search_dirs=()) -> int:
+        """Mix the currently-audible sources into a stereo WAV.
+
+        Returns the number of sources mixed. Positional effects attenuate
+        with distance and pan by x-offset from the listener (ref:
+        al_effect.c positional sources; AL_POSITION + listener)."""
+        import wave
+        import numpy as np
+        n = int(seconds * self.SAMPLE_RATE)
+        mix = np.zeros((n, 2), np.float32)
+
+        def add(name, gain_l, gain_r, elapsed_ticks=0):
+            """Mix a source that started `elapsed_ticks` ago: its remainder
+            plays from the window start (pause/resume keeps the delta)."""
+            src_off = int(elapsed_ticks / 60.0 * self.SAMPLE_RATE)
+            pcm = self._source_pcm(name, seconds + src_off / self.SAMPLE_RATE,
+                                   search_dirs)
+            seg = pcm[src_off:src_off + n]
+            mix[:len(seg), 0] += seg * gain_l
+            mix[:len(seg), 1] += seg * gain_r
+
+        count = 0
+        if self.playing and self.current:
+            g = self.master_volume * self.music_volume * 0.5
+            add(self.current, g, g)
+            count += 1
+        for ch in self.channels:
+            if ch.name:
+                g = self.master_volume * self.effect_volume
+                add(ch.name, g, g, max(0, self._tick - ch.started_tick))
+                count += 1
+        lx, _, lz = listener_pos
+        for p in self.positional:
+            dx = p.pos[0] - lx
+            dz = (p.pos[1] if len(p.pos) == 2 else p.pos[2]) - lz
+            dist = (dx * dx + dz * dz) ** 0.5
+            att = 1.0 / (1.0 + dist / 24.0)
+            pan = max(-1.0, min(1.0, dx / 60.0))
+            g = self.master_volume * self.effect_volume * att
+            gl = g * (0.5 * (1 - pan) + 0.5 * (1 - abs(pan)))
+            gr = g * (0.5 * (1 + pan) + 0.5 * (1 - abs(pan)))
+            add(p.name, gl, gr, max(0, self._tick - p.started_tick))
+            count += 1
+
+        peak = float(np.abs(mix).max())
+        if peak > 1.0:
+            mix /= peak
+        pcm16 = (mix * 32767).astype(np.int16)
+        with wave.open(path, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(self.SAMPLE_RATE)
+            w.writeframes(pcm16.tobytes())
+        return count
+
     # -- save/load ----------------------------------------------------------------
 
     def snapshot(self) -> dict:

@@ -1377,6 +1377,16 @@ def play_global_effect(name: str, interrupt: bool = False,
     return _eng().audio.play_global_effect(name, interrupt, channel)
 
 
+def dump_audio(path: str, seconds: float = 2.0) -> int:
+    """Mix the currently-audible sources into a stereo WAV from the active
+    camera's listening position — the offline render of the OpenAL output
+    path (device playback has no analogue in a headless container)."""
+    cam = get_active_camera()
+    return _eng().audio.render_wav(
+        path, seconds, listener_pos=tuple(cam.pos),
+        search_dirs=(context().basedir,))
+
+
 # ---------------------------------------------------------------------------
 # Combat / movement orders
 # ---------------------------------------------------------------------------

@@ -180,3 +180,62 @@ def test_sched_task_state_is_picklable():
     sched.tick()
     blob = pickle.dumps(sched.tasks[tid].state)
     assert pickle.loads(blob) == {"progress": 3}
+
+
+def test_audio_mixdown_wav(tmp_path):
+    """Offline OpenAL-output analogue: positional attenuation + panning
+    into a stereo WAV (ref: src/audio/al_effect.c positional sources)."""
+    import wave
+
+    import numpy as np
+
+    from permafrost_engine_tpu.core.audio import AudioSystem
+
+    au = AudioSystem()
+    au.play_music("theme")
+    au.play_global_effect("horn")
+    au.play_effect("clang", (30.0, 0.0))        # east of the listener
+    p = str(tmp_path / "mix.wav")
+    n = au.render_wav(p, seconds=1.0, listener_pos=(0.0, 10.0, 0.0))
+    assert n == 3
+    with wave.open(p, "rb") as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == AudioSystem.SAMPLE_RATE
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    pcm = pcm.reshape(-1, 2).astype(np.float32)
+    assert np.abs(pcm).max() > 1000              # audible signal
+    # a positional-only mix pans right for an eastern source
+    au2 = AudioSystem()
+    au2.play_effect("clang", (30.0, 0.0))
+    p2 = str(tmp_path / "pan.wav")
+    au2.render_wav(p2, seconds=0.5, listener_pos=(0.0, 10.0, 0.0))
+    with wave.open(p2, "rb") as w:
+        pcm2 = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    pcm2 = pcm2.reshape(-1, 2).astype(np.float32)
+    assert np.abs(pcm2[:, 1]).mean() > np.abs(pcm2[:, 0]).mean() * 1.2
+    # attenuation: a distant copy is quieter
+    au3 = AudioSystem()
+    au3.play_effect("clang", (300.0, 0.0))
+    p3 = str(tmp_path / "far.wav")
+    au3.render_wav(p3, seconds=0.5, listener_pos=(0.0, 10.0, 0.0))
+    with wave.open(p3, "rb") as w:
+        pcm3 = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert np.abs(pcm3.astype(np.float32)).mean() < \
+        np.abs(pcm2).mean() * 0.5
+    # an effect started in the past resumes mid-source
+    au4 = AudioSystem()
+    au4.play_global_effect("horn")
+    au4.tick(60)                                  # one second elapses
+    p4 = str(tmp_path / "late.wav")
+    au4.render_wav(p4, seconds=0.5)
+    with wave.open(p4, "rb") as w:
+        pcm4 = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    au5 = AudioSystem()
+    au5.play_global_effect("horn")
+    p5 = str(tmp_path / "fresh.wav")
+    au5.render_wav(p5, seconds=0.5)
+    with wave.open(p5, "rb") as w:
+        pcm5 = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    # the late window catches the decayed tail -> quieter than the onset
+    assert np.abs(pcm4.astype(np.float32)).mean() < \
+        np.abs(pcm5.astype(np.float32)).mean()
