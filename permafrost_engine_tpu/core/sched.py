@@ -14,10 +14,22 @@ request protocol, without assembly context switches:
         ev = yield AwaitEvent(EventType.MOTION_END)
 
 Determinism: tasks run in creation order each tick, a fixed quota per
-tick. Tasks carry a `state` dict that session save persists (generators
-themselves are not picklable in CPython — mid-execution fiber pickling,
-ref py_task.c:654, is out of scope; tasks restart from their entry with
-their persisted state on load).
+tick.
+
+Mid-execution persistence (the py_pickle.c/py_task.c:654 analogue):
+CPython 3 cannot pickle a live generator frame, so suspended tasks are
+persisted by DETERMINISTIC REPLAY instead — the scheduler records every
+value fed into the generator (the resume log) plus the results of any
+world mutations routed through `task.effect(fn, *args)` (the effect
+log). On session load the generator is re-created and fast-forwarded by
+replaying the logs: recorded resume values are fed back in and effect()
+returns recorded results without re-executing, so the frame lands back
+on the exact yield it was suspended at, locals reconstructed by the
+task's own code. Requirements (documented contract): the code between
+yields must be deterministic given the same resume values, and world
+mutations must go through effect(). Tasks that exceed the replay-log cap
+or yield unpicklable values fall back to restart-from-entry with their
+persisted `state` dict (the previous behavior).
 """
 
 from __future__ import annotations
@@ -76,10 +88,18 @@ class WhoIs:
 _RUNNING, _READY, _BLOCKED_RECV, _BLOCKED_REPLY, _BLOCKED_EVENT, _SLEEPING, _DONE = range(7)
 
 
+REPLAY_LOG_CAP = 2048   # resumes; beyond this a task is restart-only
+
+
+class ReplayMismatch(RuntimeError):
+    """Replay diverged from the recorded run (non-deterministic task)."""
+
+
 class Task:
     def __init__(self, tid: int, fn: Callable, args: tuple, name: str | None):
         self.tid = tid
         self.fn = fn
+        self.args = args
         self.name = name or fn.__name__
         self.state: dict = {}           # picklable user state
         self.gen: Generator = fn(self, *args)
@@ -89,6 +109,25 @@ class Task:
         self.wake_tick = 0
         self.send_value: Any = None     # value passed into next resume
         self.result: Any = None
+        # mid-execution persistence (deterministic replay)
+        self.replayable = True
+        self.resume_log: list = []      # values sent into the generator
+        self.request_log: list[str] = []  # yielded request type names
+        self.effect_log: list = []      # recorded effect() results
+        self.replaying = False
+        self._replay_effects: deque = deque()
+
+    def effect(self, fn: Callable, *args, **kw):
+        """Run a world mutation exactly once across save/replay: executed
+        live, skipped on replay with the recorded result returned."""
+        if self.replaying:
+            if not self._replay_effects:
+                raise ReplayMismatch(f"task {self.tid}: effect underflow")
+            return self._replay_effects.popleft()
+        res = fn(*args, **kw)
+        if self.replayable:
+            self.effect_log.append(res)
+        return res
 
 
 class Scheduler:
@@ -164,6 +203,13 @@ class Scheduler:
     def _resume(self, t: Task) -> bool:
         """Advance a task one request. Returns True if it stays READY."""
         val, t.send_value = t.send_value, None
+        if t.replayable and not t.replaying:
+            t.resume_log.append(val)
+            if len(t.resume_log) > REPLAY_LOG_CAP:
+                t.replayable = False
+                t.resume_log = []
+                t.request_log = []
+                t.effect_log = []
         try:
             req = t.gen.send(val)
         except StopIteration as e:
@@ -177,6 +223,8 @@ class Scheduler:
                     w.send_value = None
             return False
 
+        if t.replayable and not t.replaying:
+            t.request_log.append(type(req).__name__)
         if isinstance(req, Yield):
             t.status = _SLEEPING
             t.wake_tick = self._tick + 1
@@ -219,3 +267,97 @@ class Scheduler:
         else:
             raise TypeError(f"task {t.tid} yielded non-request {req!r}")
         return False
+
+    # -- mid-execution persistence (deterministic replay) -----------------------
+
+    def snapshot(self) -> dict:
+        """Serializable scheduler image. Replayable live tasks carry their
+        resume/effect logs; others degrade to restart-from-entry records."""
+        import pickle
+        tasks = []
+        for t in self.tasks.values():
+            if t.status == _DONE:
+                continue
+            rec = {
+                "tid": t.tid, "name": t.name, "state": t.state,
+                "fn": t.fn, "args": t.args,
+                "status": t.status,
+                "wake_delta": max(0, t.wake_tick - self._tick),
+                "inbox": list(t.inbox),
+                "reply_waiters": list(t.reply_waiters),
+                "awaited_events": [ev for ev, tids in
+                                   self._event_waiters.items()
+                                   if t.tid in tids],
+            }
+            if t.replayable:
+                rec.update(resume_log=t.resume_log,
+                           request_log=t.request_log,
+                           effect_log=t.effect_log)
+            try:
+                pickle.dumps(rec, protocol=4)
+            except Exception:
+                # retry without the logs (some yielded value unpicklable)
+                rec.pop("resume_log", None)
+                rec.pop("request_log", None)
+                rec.pop("effect_log", None)
+                try:
+                    pickle.dumps(rec, protocol=4)
+                except Exception:
+                    continue        # closure/lambda entry: drop (documented)
+            tasks.append(rec)
+        return {"tick": self._tick, "next_tid": self._next_tid,
+                "names": dict(self._names), "tasks": tasks}
+
+    def restore(self, snap: dict) -> int:
+        """Rebuild tasks from a snapshot(); returns how many resumed
+        mid-execution (vs restarted from entry)."""
+        self.tasks.clear()
+        self._event_waiters.clear()
+        self._tick = snap.get("tick", 0)
+        self._next_tid = snap.get("next_tid", 1)
+        self._names = dict(snap.get("names", {}))
+        resumed = 0
+        for rec in snap.get("tasks", []):
+            t = Task(rec["tid"], rec["fn"], tuple(rec["args"]), rec["name"])
+            t.state = rec.get("state", {})
+            replayed = False
+            if "resume_log" in rec:
+                try:
+                    self._replay(t, rec["resume_log"], rec["request_log"],
+                                 rec["effect_log"])
+                    replayed = True
+                    resumed += 1
+                except Exception:
+                    # non-deterministic replay: fresh generator, keep state
+                    t.gen = t.fn(t, *t.args)
+                    t.replaying = False
+                    t.resume_log, t.request_log, t.effect_log = [], [], []
+            if replayed:
+                t.status = rec["status"]
+                t.wake_tick = self._tick + rec.get("wake_delta", 0)
+                t.inbox = deque(tuple(m) for m in rec.get("inbox", []))
+                t.reply_waiters = deque(rec.get("reply_waiters", []))
+                for ev in rec.get("awaited_events", []):
+                    self._event_waiters.setdefault(int(ev), []).append(t.tid)
+            self.tasks[t.tid] = t
+        return resumed
+
+    def _replay(self, t: Task, resume_log: list, request_log: list,
+                effect_log: list) -> None:
+        """Fast-forward a fresh generator through its recorded history."""
+        t.replaying = True
+        t._replay_effects = deque(effect_log)
+        try:
+            for i, val in enumerate(resume_log):
+                req = t.gen.send(val)
+                if type(req).__name__ != request_log[i]:
+                    raise ReplayMismatch(
+                        f"task {t.tid}: request {i} was {request_log[i]}, "
+                        f"replayed {type(req).__name__}")
+            if t._replay_effects:
+                raise ReplayMismatch(f"task {t.tid}: effect overflow")
+        finally:
+            t.replaying = False
+        t.resume_log = list(resume_log)
+        t.request_log = list(request_log)
+        t.effect_log = list(effect_log)

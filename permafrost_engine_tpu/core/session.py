@@ -103,13 +103,10 @@ def save_session_bytes(engine) -> bytes:
         "anim_models": {k: v for k, v in engine.anim.models.items()
                         if _picklable(v)},
         "audio": engine.audio.__dict__,
-        # scheduler tasks restart from entry with their original args;
-        # closures/lambdas that cannot pickle are dropped
-        "sched_tasks": [
-            (t.fn, t.args, t.name)
-            for t in engine.sched.tasks.values()
-            if _picklable((t.fn, t.args))
-        ],
+        # scheduler image: replayable tasks resume mid-execution via their
+        # resume/effect logs; others restart from entry with their state
+        # (ref: py_task.c:654 mid-execution fiber pickling)
+        "sched": engine.sched.snapshot(),
     }
     if hasattr(engine, "settings"):
         host["settings"] = engine.settings.snapshot()
@@ -201,8 +198,11 @@ def load_session_bytes(data: bytes):
         engine.anim.models.update(host.get("anim_models", {}))
     if "audio" in host:
         engine.audio.__dict__.update(host["audio"])
-    for fn, args, name in host.get("sched_tasks", []):
-        engine.sched.create(fn, *args, name=name)
+    if "sched" in host:
+        engine.sched.restore(host["sched"])
+    else:   # legacy snapshots: restart-from-entry records
+        for fn, args, name in host.get("sched_tasks", []):
+            engine.sched.create(fn, *args, name=name)
 
     if "settings" in host and hasattr(engine, "settings"):
         engine.settings.restore(host["settings"])

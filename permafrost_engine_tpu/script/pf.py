@@ -1235,7 +1235,17 @@ def save_session(path: str) -> bool:
 
 def load_session(path: str) -> bool:
     from permafrost_engine_tpu.core.session import load_session as _load
-    context().engine = _load(os.path.join(context().basedir, path))
+    ctx = context()
+    ctx.engine = _load(os.path.join(ctx.basedir, path))
+    # rebind restored pf.Task instances (their _entry bound methods came
+    # back through the scheduler snapshot)
+    ctx.tasks = {}
+    for tid, t in ctx.engine.sched.tasks.items():
+        owner = getattr(t.fn, "__self__", None)
+        if isinstance(owner, Task):
+            owner.tid = tid
+            owner.state = t.state
+            ctx.tasks[tid] = owner
     return True
 
 

@@ -37,6 +37,17 @@ class Task:
         self._task = task
         return (yield from self.__run__())
 
+    def effect(self, fn, *args, **kw):
+        """World mutations that must survive session replay go through
+        here (executed live, skipped + result-replayed on session load;
+        see core/sched.py mid-execution persistence)."""
+        return self._task.effect(fn, *args, **kw)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d.pop("_task", None)            # scheduler half is rebuilt on load
+        return d
+
     def __run__(self):
         yield self.yield_()
 

@@ -222,6 +222,7 @@ def test_pf_dump_framebuffer(tmp_path, scene_setup):
     from permafrost_engine_tpu.script import pf
     ctx = pf.context()
     old_eng, old_cams = ctx.engine, list(ctx.cameras)
+    old_active = ctx.active_camera
     try:
         ctx.engine = eng
         pf.set_active_camera(cam)
@@ -233,6 +234,7 @@ def test_pf_dump_framebuffer(tmp_path, scene_setup):
     finally:
         ctx.engine = old_eng
         ctx.cameras = old_cams
+        ctx.active_camera = old_active
 
 
 def test_skinned_model_renders_and_animates():
