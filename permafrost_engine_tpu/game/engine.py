@@ -31,6 +31,30 @@ from permafrost_engine_tpu.nav.service import NavService
 from permafrost_engine_tpu.state.schema import GameState, init_state
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("f_n", "cr", "cc"))
+def _chunk_sig_kernel(pos, alive, faction, *, f_n: int, cr: int, cc: int):
+    """Per-(faction, chunk) presence signature i32[f_n, cr, cc]: folds the
+    unit count and quantized tile positions, changing whenever any unit
+    moves a tile / dies / spawns there (the per-faction blocker-count
+    analogue, ref: nav_data.h:118-158)."""
+    from permafrost_engine_tpu.core.config import FIELD_RES
+
+    tile = (pos / NAV_TILE_SIZE).astype(jnp.int32)
+    crd = jnp.clip(tile[:, 1] // FIELD_RES, 0, cr - 1)
+    ccd = jnp.clip(tile[:, 0] // FIELD_RES, 0, cc - 1)
+    f = jnp.clip(faction, 0, f_n - 1)
+    idx = jnp.where(alive, f * (cr * cc) + crd * cc + ccd, f_n * cr * cc)
+    counts = jnp.zeros((f_n * cr * cc + 1,), jnp.int32).at[idx].add(
+        1, mode="drop")
+    psum = jnp.zeros((f_n * cr * cc + 1,), jnp.int32).at[idx].add(
+        tile[:, 0] + 8191 * tile[:, 1], mode="drop")
+    sig = counts[:-1] * jnp.int32(1_000_003) + psum[:-1]
+    return sig.reshape(f_n, cr, cc)
+
+
 class Engine:
     def __init__(self, cfg: EngineConfig | None = None, *, seed: int = 0,
                  cost_base: np.ndarray | None = None):
@@ -81,6 +105,10 @@ class Engine:
         self._inflight_deltas = None  # async host copy started, not yet read
         self.drain_period = 6      # frames between event fetches (~100 ms)
         self._seek_flocks: dict[int, tuple] = {}
+        # per-field snapshots of the per-faction chunk signatures (the
+        # blocker-count invalidation state, ref: nav_data.h:118-158)
+        self._field_sigs: dict = {}
+        self._nav_version = 0
         self.seek_refresh_period = 30  # frames between seek-field rebuilds
         # global-field slot ownership: gslot -> flock id, insertion-ordered
         # so eviction is FIFO when the slab is full (two live flocks must
@@ -147,6 +175,7 @@ class Engine:
         state, dirty = self.nav.commit_structures(self.state)
         if dirty is not None:
             self.state = state
+            self._nav_version += 1        # cost edits invalidate seek fields
             self._replan_flocks(dirty)
 
     def _replan_flocks(self, dirty: set[int] | None) -> None:
@@ -494,11 +523,13 @@ class Engine:
                 # faction chase field (pseudo-fid -(faction+1))
                 fac = -old - 1
                 self._chase_gslot.pop(fac, None)
+                self._field_sigs.pop(("chase", fac), None)
                 ft = self.state.factions
                 self.state = self.state.replace(factions=ft.replace(
                     chase_slot=ft.chase_slot.at[fac].set(-1)))
             else:
                 self._seek_flocks.pop(old, None)
+                self._field_sigs.pop(old, None)
                 fl = self.state.flocks
                 self.state = self.state.replace(flocks=fl.replace(
                     global_slot=fl.global_slot.at[old].set(-1)))
@@ -579,13 +610,47 @@ class Engine:
         self.state = self.state.replace(ents=e, flocks=fl)
         return True
 
-    def refresh_seek_fields(self) -> None:
-        """Rebuild live enemy-seek fields (enemies move; the reference
-        invalidates + rebuilds them via async field tasks each move tick)."""
+    def _faction_chunk_sigs(self) -> np.ndarray:
+        """Per-(faction, chunk) presence signatures — the per-faction
+        blocker-count analogue (ref: nav_data.h:118-158 per-faction
+        blocker refcounts drive enemy-seek field invalidation,
+        fieldcache.h neighbour-enemy-seek rules). The signature folds the
+        unit count and quantized tile positions, so it changes whenever
+        any unit of that faction moves a tile, dies, or spawns in a chunk."""
+        e = self.state.ents
+        return np.asarray(_chunk_sig_kernel(
+            e.pos, e.alive, e.faction.astype(jnp.int32),
+            f_n=self.cfg.max_factions, cr=self.cfg.chunks_r,
+            cc=self.cfg.chunks_c))
+
+    def _enemies_changed(self, key, faction: int, sigs: np.ndarray) -> bool:
+        """Did any faction at war with `faction` change its chunk
+        signature since `key`'s field was last built?"""
+        enemies = [g for g in self._host_factions
+                   if self._host_diplomacy[faction, g] == 2]
+        if not enemies:
+            return False
+        prev = self._field_sigs.get(key)
+        if (prev is None or prev[0] != self._nav_version or any(
+                not np.array_equal(prev[1][g], sigs[g]) for g in enemies)):
+            self._field_sigs[key] = (self._nav_version, sigs.copy())
+            return True
+        return False
+
+    def refresh_seek_fields(self, sigs: np.ndarray | None = None) -> None:
+        """Rebuild live enemy-seek fields whose enemy factions actually
+        changed (moved a tile / died / spawned) since the last build —
+        change-driven invalidation instead of a blind timer (ref:
+        nav.c per-faction blocker counts + N_FC enemy-seek invalidation)."""
         active = np.asarray(self.state.flocks.active)
+        if sigs is None:
+            sigs = self._faction_chunk_sigs()
         for fid, (faction, layer, gslot) in list(self._seek_flocks.items()):
             if not active[fid]:
                 del self._seek_flocks[fid]
+                self._field_sigs.pop(fid, None)
+                continue
+            if not self._enemies_changed(fid, faction, sigs):
                 continue
             self.state = self.nav.build_enemy_seek_field(
                 self.state, faction, layer, gslot, flock_id=fid)
@@ -613,6 +678,7 @@ class Engine:
             self.nav.los_mirror[f, :] = -1
             self.nav.flock_chunks.pop(f, None)
             self._seek_flocks.pop(f, None)
+            self._field_sigs.pop(f, None)
             self._free_flocks.append(f)
         for gs, owner in list(self._gslot_owner.items()):
             if owner in freed:
@@ -647,12 +713,15 @@ class Engine:
         d = ft.diplomacy.at[f1, f2].set(dstate).at[f2, f1].set(dstate)
         self.state = self.state.replace(factions=ft.replace(diplomacy=d))
 
-    def _refresh_chase_fields(self) -> None:
+    def _refresh_chase_fields(self, sigs: np.ndarray | None = None) -> None:
         """Rebuild each warring faction's enemy-seek chase field — combat
         chasers (MOVING_TO_TARGET) follow it around walls instead of
-        straight-lining at their target (ref: field.c:1209-1678)."""
+        straight-lining at their target (ref: field.c:1209-1678). Rebuilds
+        are change-driven by the per-faction chunk signatures."""
         from permafrost_engine_tpu.core.config import DiplomacyState
 
+        if sigs is None:
+            sigs = self._faction_chunk_sigs()
         for f in sorted(self._host_factions):
             at_war = any(
                 self._host_diplomacy[f, g] == DiplomacyState.WAR
@@ -660,12 +729,15 @@ class Engine:
             if not at_war:
                 continue
             slot = self._chase_gslot.get(f)
-            if slot is None:
+            fresh = slot is None
+            if fresh:
                 slot = self._alloc_gslot(-(f + 1))
                 self._chase_gslot[f] = slot
                 cs = self.state.factions.chase_slot.at[f].set(slot)
                 self.state = self.state.replace(
                     factions=self.state.factions.replace(chase_slot=cs))
+            if not self._enemies_changed(("chase", f), f, sigs) and not fresh:
+                continue
             self.state = self.nav.build_enemy_seek_field(
                 self.state, f, 0, slot)
 
@@ -807,10 +879,13 @@ class Engine:
                 self.anim.tick(self.economy_period / 60.0)
             self.audio.tick(self.economy_period)
         if self._frame % self.seek_refresh_period == 0:
-            if self._seek_flocks:
-                self.refresh_seek_fields()
-            if np.any(self._host_diplomacy == 2):   # any war declared
-                self._refresh_chase_fields()
+            any_war = bool(np.any(self._host_diplomacy == 2))
+            if self._seek_flocks or any_war:
+                sigs = self._faction_chunk_sigs()   # one fetch per cadence
+                if self._seek_flocks:
+                    self.refresh_seek_fields(sigs)
+                if any_war:
+                    self._refresh_chase_fields(sigs)
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

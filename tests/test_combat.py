@@ -176,3 +176,52 @@ def test_fog_height_aware():
     assert fog0[tr, 38] != FogState.VISIBLE          # up on the plateau: no
     assert fog1[tr, 38] == FogState.VISIBLE          # plateau unit sees home
     assert fog1[tr, 26] == FogState.VISIBLE          # and down the cliff
+
+
+def test_seek_field_invalidation_is_change_driven(monkeypatch):
+    """Per-faction blocker-count analogue: enemy-seek fields rebuild only
+    when an enemy faction's chunk signature changes (moved a tile, died,
+    spawned) — not on a blind timer (ref: nav_data.h:118-158 per-faction
+    blocker counts; fieldcache.h enemy-seek invalidation)."""
+    eng = two_faction_engine()
+    hunters = eng.spawn_batch(np.array([[40.0, 40.0]], np.float32),
+                              faction=0, max_speed=0.0)
+    prey = eng.spawn_batch(np.array([[200.0, 200.0]], np.float32),
+                           faction=1, max_speed=0.0)
+    assert eng.seek_enemies(hunters)
+
+    builds = []
+    orig = eng.nav.build_enemy_seek_field
+
+    def counting(*a, **kw):
+        builds.append(kw.get("flock_id"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(eng.nav, "build_enemy_seek_field", counting)
+
+    # first cadence: the seek + chase fields build once (fresh snapshots)
+    eng.step(eng.seek_refresh_period)
+    static_builds = len(builds)
+    # further cadences with a static world: NO rebuilds
+    eng.step(eng.seek_refresh_period * 3)
+    assert len(builds) == static_builds
+
+    # teleport the prey a chunk-tile away: signature changes -> rebuild
+    slot = eng.uid_to_slot[int(prey[0])]
+    e = eng.state.ents
+    import jax.numpy as jnp
+    eng.state = eng.state.replace(ents=e.replace(
+        pos=e.pos.at[slot].set(jnp.asarray([120.0, 120.0]))))
+    eng.step(eng.seek_refresh_period)
+    assert len(builds) > static_builds
+
+    moved_builds = len(builds)
+    eng.step(eng.seek_refresh_period * 2)   # static again
+    assert len(builds) == moved_builds
+
+    # killing the enemy changes the signature too
+    eng.state = eng.state.replace(ents=eng.state.ents.replace(
+        hp=eng.state.ents.hp.at[slot].set(0.0),
+        alive=eng.state.ents.alive.at[slot].set(False)))
+    eng.step(eng.seek_refresh_period)
+    assert len(builds) > moved_builds
