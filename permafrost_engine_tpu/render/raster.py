@@ -256,11 +256,16 @@ def shade_gbuffer(tri: jax.Array, bary: jax.Array, inv_w: jax.Array,
                   attrs: jax.Array, light_dir: jax.Array,
                   shadow_z: jax.Array, light_vp: jax.Array,
                   fog_grid: jax.Array, fog_scale: jax.Array,
-                  sky_params: jax.Array, cam_rays: jax.Array):
+                  sky_params: jax.Array, cam_rays: jax.Array,
+                  atlas: jax.Array | None = None,
+                  tex_table: jax.Array | None = None,
+                  tex_size: int = 64):
     """Shade the G-buffer.
 
     tri i32[h,w], bary f32[h,w,3], inv_w f32[T,3],
-    attrs f32[T,3,9] per-vertex (world xyz, normal xyz, rgb),
+    attrs f32[T,3,9|14] per-vertex (world xyz, normal xyz, rgb tint
+    [, uv, tex_a, tex_b, blend] — texture ids index `tex_table` rows into
+    `atlas`, sampled wrapped and mixed by blend; id < 0 samples white),
     shadow_z f32[sh,sw] light-space depth map, light_vp f32[4,4],
     fog_grid u8[fh,fw] (0 unexplored / 1 fogged / 2 visible; all-2 when
     fog is off), fog_scale f32[2] world->fog-grid scale,
@@ -268,17 +273,42 @@ def shade_gbuffer(tri: jax.Array, bary: jax.Array, inv_w: jax.Array,
     Returns f32[h,w,3] linear color.
     """
     h, w = tri.shape
-    t_n = attrs.shape[0]
+    t_n, _, c_n = attrs.shape
     flat_tri = tri.reshape(-1)
     safe = jnp.clip(flat_tri, 0, t_n - 1)
-    av = attrs.reshape(t_n, 27)[safe].reshape(-1, 3, 9)      # row gather
+    av = attrs.reshape(t_n, 3 * c_n)[safe].reshape(-1, 3, c_n)  # row gather
     iw = inv_w[safe]                                         # [HW,3]
     b = bary.reshape(-1, 3)
     pw = b * iw
     pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-9)
-    a = jnp.einsum("pv,pvc->pc", pw, av)                     # [HW,9]
+    a = jnp.einsum("pv,pvc->pc", pw, av)                     # [HW,C]
     wpos, nrm, rgb = a[:, 0:3], a[:, 3:6], a[:, 6:9]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+
+    if c_n >= 14 and atlas is not None:
+        # wrapped nearest-sample of the shared atlas (ref: terrain splat +
+        # model texture sampling in the GLSL passes; quilting feeds the
+        # terrain tiles like gl_image_quilt.c)
+        uv = a[:, 9:11]
+        blend = jnp.clip(a[:, 13:14], 0.0, 1.0)
+        ah, aw = atlas.shape[:2]
+        flat_atlas = atlas.reshape(-1, 3)
+
+        def sample(tid):
+            ok = tid >= 0
+            base = tex_table[jnp.clip(tid, 0, tex_table.shape[0] - 1)]
+            fu = uv[:, 0] - jnp.floor(uv[:, 0])
+            fv = uv[:, 1] - jnp.floor(uv[:, 1])
+            y = base[:, 0] + jnp.minimum(
+                (fv * tex_size).astype(jnp.int32), tex_size - 1)
+            x = base[:, 1] + jnp.minimum(
+                (fu * tex_size).astype(jnp.int32), tex_size - 1)
+            s = flat_atlas[y * aw + x]
+            return jnp.where(ok[:, None], s, 1.0)
+
+        tex_a = av[:, 0, 11].astype(jnp.int32)   # constant per triangle
+        tex_b = av[:, 0, 12].astype(jnp.int32)
+        rgb = rgb * (sample(tex_a) * (1 - blend) + sample(tex_b) * blend)
 
     # directional light + shadow-map test (ref: gl_shadows.c depth pass)
     lam = jnp.maximum(-jnp.einsum("pc,c->p", nrm, light_dir), 0.0)

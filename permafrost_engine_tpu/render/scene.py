@@ -112,11 +112,18 @@ def _mesh_bank() -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+ATTR_C = 14   # wpos3 + normal3 + tint3 + uv2 + tex_a + tex_b + blend
+TEX_GRASS, TEX_ROCK, TEX_SAND = 0, 1, 2
+TEX_WORLD_SCALE = 48.0     # world units per texture repeat
+
+
 def terrain_mesh(heights: np.ndarray, nav_tile: float = 4.0, step: int = 2):
-    """Height-field -> (verts f32[T,3,3], normals, colors). Vertices sit at
-    nav-tile corners every `step` nav tiles (step=2 -> map-tile quads,
-    ref: gl_tile.c tile patches). Colors blend grass/rock/sand by
-    height+slope (the splat-material analogue, ref: terrain.frag)."""
+    """Height-field -> (verts f32[T,3,3], normals, tints, uvs, texsel).
+    Vertices sit at nav-tile corners every `step` nav tiles (step=2 ->
+    map-tile quads, ref: gl_tile.c tile patches). Tints blend grass/rock/
+    sand by height+slope and texsel [..., (tex_a, tex_b, blend)] selects
+    the detail maps the shader mixes (the splat-material analogue, ref:
+    terrain shaders + gl_image_quilt.c variation)."""
     hs = heights[::step, ::step]
     gh, gw = hs.shape
     sz = nav_tile * step
@@ -135,26 +142,41 @@ def terrain_mesh(heights: np.ndarray, nav_tile: float = 4.0, step: int = 2):
     hnorm = np.clip(hs / 12.0, 0, 1)[..., None]
     col = GRASS * (1 - slope) + ROCK * slope
     col = col * (1 - 0.25 * hnorm) + ROCK * 0.25 * hnorm
+    tex = np.zeros((gh, gw, 3), np.float32)
+    tex[..., 0] = TEX_GRASS
+    tex[..., 1] = TEX_ROCK
+    tex[..., 2] = slope[..., 0]
     if (heights < -0.01).any():     # beach/bed bands only on maps with water
-        col = np.where(hs[..., None] < 0.5, SAND, col)
+        sandy = hs < 0.5
+        col = np.where(sandy[..., None], SAND, col)
+        tex[sandy] = (TEX_SAND, TEX_SAND, 0.0)
         col = np.where(hs[..., None] < -0.5, WATER_DEEP, col)
     col = col.astype(np.float32)
+    uv = np.stack([vx / TEX_WORLD_SCALE, vz / TEX_WORLD_SCALE],
+                  -1).astype(np.float32)
 
-    a = v[:-1, :-1]; b = v[:-1, 1:]; c = v[1:, 1:]; d = v[1:, :-1]
-    na = n[:-1, :-1]; nb = n[:-1, 1:]; nc = n[1:, 1:]; nd = n[1:, :-1]
-    ca = col[:-1, :-1]; cb = col[:-1, 1:]; cc = col[1:, 1:]; cd = col[1:, :-1]
-    t1 = np.stack([a, b, c], -2); t2 = np.stack([a, c, d], -2)
-    n1 = np.stack([na, nb, nc], -2); n2 = np.stack([na, nc, nd], -2)
-    c1 = np.stack([ca, cb, cc], -2); c2 = np.stack([ca, cc, cd], -2)
-    verts = np.concatenate([t1.reshape(-1, 3, 3), t2.reshape(-1, 3, 3)])
-    norms = np.concatenate([n1.reshape(-1, 3, 3), n2.reshape(-1, 3, 3)])
-    cols = np.concatenate([c1.reshape(-1, 3, 3), c2.reshape(-1, 3, 3)])
-    return verts, norms, cols
+    def quads(field):
+        a = field[:-1, :-1]; b = field[:-1, 1:]
+        c = field[1:, 1:]; d = field[1:, :-1]
+        t1 = np.stack([a, b, c], -2)
+        t2 = np.stack([a, c, d], -2)
+        last = field.shape[-1]
+        return np.concatenate([t1.reshape(-1, 3, last),
+                               t2.reshape(-1, 3, last)])
+
+    return quads(v), quads(n), quads(col), quads(uv), quads(tex)
 
 
 # ---------------------------------------------------------------------------
 # Entity instance assembly (device)
 # ---------------------------------------------------------------------------
+
+
+def _pad_attrs(verts, normals, tints):
+    """(wpos, normal, tint) -> full attr channels with texturing off."""
+    pad = jnp.zeros(verts.shape[:-1] + (ATTR_C - 9,), verts.dtype)
+    pad = pad.at[..., 2].set(-1.0).at[..., 3].set(-1.0)   # tex_a, tex_b
+    return jnp.concatenate([verts, normals, tints, pad], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("maxi",))
@@ -187,18 +209,18 @@ def assemble_instances(mats, visible, scale, mesh_id, color, bank, *,
     fn = jnp.broadcast_to(fn[..., None, :], world.shape)
     cols = jnp.broadcast_to(col[:, None, None, :], world.shape)
     verts = world.reshape(-1, 3, 3)
-    attrs = jnp.concatenate([verts, fn.reshape(-1, 3, 3),
-                             cols.reshape(-1, 3, 3)], -1)
+    attrs = _pad_attrs(verts, fn.reshape(-1, 3, 3), cols.reshape(-1, 3, 3))
     return verts, attrs
 
 
 @jax.jit
-def skin_instances(palettes, mats, ok, verts, wj, wv, cols):
+def skin_instances(palettes, mats, ok, verts, wj, wv, cols, uvs, texid):
     """GPU-skinning: blend pose palettes per vertex, then instance-
     transform (ref: shaders/vertex/skinned.glsl over the anim texture,
     src/render/gl_anim.c). palettes f32[n,J,4,4], mats f32[n,4,4],
     ok bool[n], verts f32[V,3] (triangle soup), wj i32[V,4], wv f32[V,4],
-    cols f32[V,3]. Returns (tris f32[n*V/3,3,3], attrs f32[...,3,9])."""
+    cols f32[V,3] material tints, uvs f32[V,2], texid f32[V] atlas id or
+    -1. Returns (tris f32[n*V/3,3,3], attrs f32[...,3,ATTR_C])."""
     n, v = mats.shape[0], verts.shape[0]
     safe = jnp.maximum(wj, 0)
     wvv = jnp.where(wj >= 0, wv, 0.0)                    # [V,4]
@@ -219,8 +241,13 @@ def skin_instances(palettes, mats, ok, verts, wj, wv, cols):
     fn = jnp.broadcast_to(fn[..., None, :], tris.shape)
     cc = jnp.broadcast_to(cols.reshape(1, v // 3, 3, 3), tris.shape)
     tris = tris.reshape(-1, 3, 3)
+    extra = jnp.concatenate([
+        uvs, texid[:, None], texid[:, None],
+        jnp.zeros((v, 1), verts.dtype)], -1)          # uv, tex_a=b, blend 0
+    ee = jnp.broadcast_to(extra.reshape(1, v // 3, 3, 5),
+                          (n, v // 3, 3, 5)).reshape(-1, 3, 5)
     attrs = jnp.concatenate([tris, fn.reshape(-1, 3, 3),
-                             cc.reshape(-1, 3, 3)], -1)
+                             cc.reshape(-1, 3, 3), ee], -1)
     return tris, attrs
 
 
@@ -263,7 +290,13 @@ class SceneRenderer:
     def __init__(self, engine, w: int = 640, h: int = 384, *,
                  maxi: int = 1024, shadow_res: int = 256,
                  shadows: bool = True, reflections: bool = True,
-                 terrain_step: int = 2, model_cap: int = 32):
+                 terrain_step: int = 2, model_cap: int = 32,
+                 quilt_textures: bool = False, foliage_blades: int = 4096,
+                 sprite_cap: int = 64):
+        self.foliage_blades = foliage_blades
+        self.sprite_cap = sprite_cap
+        from permafrost_engine_tpu.render.textures import (TextureAtlas,
+                                                           detail_map)
         self.engine = engine
         self.w, self.h = w, h
         self.maxi = min(maxi, engine.cfg.max_ents)
@@ -271,6 +304,11 @@ class SceneRenderer:
         self.shadow_res = shadow_res
         self.shadows = shadows
         self.bank = jnp.asarray(_mesh_bank())
+        self.atlas = TextureAtlas()
+        for i, kind in enumerate(("grass", "rock", "sand")):
+            self.atlas.add(kind, detail_map(kind, seed=11 * i,
+                                            quilt=quilt_textures))
+        self._atlas_dev = None
         self._terrain_key = None
         self._build_terrain(terrain_step)
         self.water_level = 0.0
@@ -286,12 +324,107 @@ class SceneRenderer:
 
     def _build_terrain(self, step: int) -> None:
         hts = self.engine.heights
-        v, n, c = terrain_mesh(hts, step=step)
+        v, n, c, uv, tex = terrain_mesh(hts, step=step)
         self.t_verts = jnp.asarray(v)
         self.t_attrs = jnp.asarray(
-            np.concatenate([v, n, c], -1).astype(np.float32))
+            np.concatenate([v, n, c, uv, tex], -1).astype(np.float32))
         self._terrain_key = (hts.shape, float(hts.sum()), step)
         self._terrain_step = step
+        self._build_foliage(self.foliage_blades)
+
+    def _build_foliage(self, max_blades: int = 4096) -> None:
+        """Static grass blades scattered over flat grassy terrain (ref:
+        src/map/foliage.c placement + gl_foliage.c instanced draws).
+        Placement uses the map's per-tile cover field when a map is
+        loaded, else flat-grass heuristics; deterministic per map."""
+        hts = self.engine.heights
+        step = 4
+        hs = hts[::step, ::step]
+        gx = np.gradient(hs, axis=1)
+        gz = np.gradient(hs, axis=0)
+        grassy = (np.hypot(gx, gz) < 0.4) & (hs > 0.6)
+        md = getattr(self.engine, "map_data", None)
+        if md is not None and getattr(md, "cover", None) is not None:
+            cov = md.cover
+            ch, cw = cov.shape
+            rr = np.minimum((np.arange(hs.shape[0]) * step) // 2, ch - 1)
+            cc = np.minimum((np.arange(hs.shape[1]) * step) // 2, cw - 1)
+            grassy &= cov[rr][:, cc] > 0
+        ys, xs = np.nonzero(grassy)
+        if not len(ys):
+            self.f_verts = jnp.zeros((0, 3, 3), jnp.float32)
+            self.f_attrs = jnp.zeros((0, 3, ATTR_C), jnp.float32)
+            return
+        rng = np.random.default_rng(1234)
+        per = max(1, max_blades // max(len(ys), 1))
+        k = min(len(ys) * per, max_blades)
+        pick = rng.integers(0, len(ys), k)
+        cell = 4.0 * step
+        bx = xs[pick] * cell + rng.uniform(0, cell, k)
+        bz = ys[pick] * cell + rng.uniform(0, cell, k)
+        by = hs[ys[pick], xs[pick]]
+        lean = rng.uniform(-0.5, 0.5, (k, 2))
+        hgt = rng.uniform(0.8, 1.8, k)
+        base0 = np.stack([bx - 0.25, by, bz], 1)
+        base1 = np.stack([bx + 0.25, by, bz], 1)
+        tip = np.stack([bx + lean[:, 0], by + hgt, bz + lean[:, 1]], 1)
+        verts = np.stack([base0, base1, tip], 1).astype(np.float32)
+        shade = rng.uniform(0.75, 1.2, k).astype(np.float32)
+        col = (GRASS[None] * 1.15) * shade[:, None]
+        attrs = np.zeros((k, 3, ATTR_C), np.float32)
+        attrs[..., 0:3] = verts
+        attrs[..., 4] = 1.0                      # normal: up (lit like turf)
+        attrs[..., 6:9] = col[:, None, :]
+        attrs[..., 11:13] = -1.0                 # untextured
+        self.f_verts = jnp.asarray(verts)
+        self.f_attrs = jnp.asarray(attrs)
+
+    def _sprite_tris(self, camera, cap: int = 64):
+        """Camera-facing billboard quads for pf sprites (ref: src/sprite.c,
+        src/render/gl_sprite.c). Fixed-capacity, degenerate padding."""
+        try:
+            from permafrost_engine_tpu.script import pf
+            sprites = (list(pf._sprites)[:cap]
+                       if pf.context().engine is self.engine else [])
+        except Exception:
+            sprites = []
+        verts = np.zeros((cap * 2, 3, 3), np.float32)
+        attrs = np.zeros((cap * 2, 3, ATTR_C), np.float32)
+        attrs[..., 11:13] = -1.0
+        _f, right, up = camera.basis()
+        for i, s in enumerate(sprites):
+            p = np.asarray(s["pos"], np.float32)
+            if p.shape[0] == 2:
+                p = np.array([p[0], 0.0, p[1]], np.float32)
+            hw, hh = s["w"] / 2, s["h"] / 2
+            a = p - right * hw - up * hh
+            b = p + right * hw - up * hh
+            c = p + right * hw + up * hh
+            d = p - right * hw + up * hh
+            verts[2 * i] = [a, b, c]
+            verts[2 * i + 1] = [a, c, d]
+            rngc = (abs(hash(s["image"])) % 900) / 1000 + 0.1
+            col = np.array([rngc, 1.0 - rngc, 0.85], np.float32)
+            tid = self.atlas.names.get(s["image"], -1)
+            for t in (2 * i, 2 * i + 1):
+                attrs[t, :, 0:3] = verts[t]
+                attrs[t, :, 4] = 1.0
+                attrs[t, :, 6:9] = col
+                if tid >= 0:
+                    attrs[t, :, 11] = tid
+                    attrs[t, :, 12] = tid
+            uvq = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+            attrs[2 * i, :, 9:11] = uvq[[0, 1, 2]]
+            attrs[2 * i + 1, :, 9:11] = uvq[[0, 2, 3]]
+        return jnp.asarray(verts), jnp.asarray(attrs)
+
+    def _atlas_arrays(self):
+        if self._atlas_dev is None or \
+                self._atlas_dev[2] != len(self.atlas.tiles):
+            atlas, table = self.atlas.build()
+            self._atlas_dev = (jnp.asarray(atlas), jnp.asarray(table),
+                               len(self.atlas.tiles))
+        return self._atlas_dev[0], self._atlas_dev[1]
 
     def _maybe_refresh_terrain(self) -> None:
         hts = self.engine.heights
@@ -339,17 +472,34 @@ class SceneRenderer:
         if cache is None:
             cache = self._model_cache = {}
         if key not in cache:
+            import os
             v = np.asarray(model.verts, np.float32)
             cols = np.full((len(v), 3), 0.75, np.float32)
+            texid = np.full(len(v), -1.0, np.float32)
             if model.materials:
                 diff = np.asarray([m.diffuse for m in model.materials],
                                   np.float32)
                 mi = np.clip(model.vert_mat, 0, len(diff) - 1)
                 cols = diff[mi]
+                # material textures load into the shared atlas when the
+                # image file exists (ref: gl_texture.c material loads)
+                mat_tex = np.full(len(model.materials), -1.0, np.float32)
+                base = getattr(self.engine, "basedir", ".")
+                for i, m in enumerate(model.materials):
+                    t = m.texture
+                    if t and t != "__none__":
+                        for cand in (t, os.path.join(base, t)):
+                            if os.path.exists(cand):
+                                mat_tex[i] = self.atlas.add_file(t, cand)
+                                self._atlas_dev = None
+                                break
+                texid = mat_tex[mi]
             cache[key] = (jnp.asarray(v),
                           jnp.asarray(model.weight_joints),
                           jnp.asarray(model.weight_vals),
-                          jnp.asarray(cols))
+                          jnp.asarray(cols),
+                          jnp.asarray(model.uvs.astype(np.float32)),
+                          jnp.asarray(texid))
         return cache[key]
 
     def _model_tris(self, mats):
@@ -402,8 +552,9 @@ class SceneRenderer:
         self._maybe_refresh_terrain()
         self.engine._scene_cam = camera
         ev, ea = self._entity_tris(alpha)
-        verts = jnp.concatenate([self.t_verts, ev])
-        attrs = jnp.concatenate([self.t_attrs, ea])
+        sv, sa = self._sprite_tris(camera, self.sprite_cap)
+        verts = jnp.concatenate([self.t_verts, self.f_verts, ev, sv])
+        attrs = jnp.concatenate([self.t_attrs, self.f_attrs, ea, sa])
         return verts, attrs
 
     # -- passes ----------------------------------------------------------------
@@ -429,9 +580,12 @@ class SceneRenderer:
     def _shade(self, camera, tri, bary, inv_w, attrs, shadow_z, fog,
                fog_scale, w, h):
         rays = jnp.asarray(raster.camera_rays(camera, w, h))
+        atlas, table = self._atlas_arrays()
+        from permafrost_engine_tpu.render.textures import TEX_SIZE
         return raster.shade_gbuffer(
             tri, bary, inv_w, attrs, jnp.asarray(SUN_DIR), shadow_z,
-            self._light_vp, fog, fog_scale, jnp.asarray(SKY), rays)
+            self._light_vp, fog, fog_scale, jnp.asarray(SKY), rays,
+            atlas=atlas, tex_table=table, tex_size=TEX_SIZE)
 
     def render(self, camera, *, faction_pov=None, alpha: float = 1.0,
                overlays: bool = True) -> np.ndarray:
