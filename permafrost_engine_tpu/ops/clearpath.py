@@ -83,13 +83,18 @@ def new_velocities(
          -sin_t * p_hat[..., 0] + cos_t * p_hat[..., 1]], axis=-1)
 
     # ---- candidate set -----------------------------------------------------
-    # vdes, scaled vdes, zero, and vdes projected on every cone edge
-    # (ref: clearpath.c:321-367 candidate construction).
-    w = vpref[:, None, :] - apex                    # [N,K,2]
-    proj_l = apex + rot_l * jnp.maximum(
-        jnp.sum(w * rot_l, axis=-1, keepdims=True), 0.0)
-    proj_r = apex + rot_r * jnp.maximum(
-        jnp.sum(w * rot_r, axis=-1, keepdims=True), 0.0)
+    # vdes, scaled vdes, zero, and vdes projected on cone edges
+    # (ref: clearpath.c:321-367 candidate construction). Projections use
+    # only the nearest KP cones: neighbours arrive distance-sorted from the
+    # knn, and far cones rarely bound the solution — the reference likewise
+    # drops the farthest neighbours under pressure (clearpath.c:390).
+    # Every candidate is still tested against ALL K cones below.
+    kp = min(16, k)
+    w = vpref[:, None, :] - apex[:, :kp]            # [N,KP,2]
+    proj_l = apex[:, :kp] + rot_l[:, :kp] * jnp.maximum(
+        jnp.sum(w * rot_l[:, :kp], axis=-1, keepdims=True), 0.0)
+    proj_r = apex[:, :kp] + rot_r[:, :kp] * jnp.maximum(
+        jnp.sum(w * rot_r[:, :kp], axis=-1, keepdims=True), 0.0)
 
     scales = jnp.array([1.0, 0.75, 0.5, 0.25, 0.0], jnp.float32)
     base = vpref[:, None, :] * scales[None, :, None]          # [N,5,2]

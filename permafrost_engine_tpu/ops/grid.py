@@ -107,6 +107,28 @@ def _window_offsets(window: int) -> jax.Array:
     return jnp.array(offs, jnp.int32)
 
 
+def _prewindow(a: jax.Array, cells_r: int, cells_c: int, window: int,
+               fill) -> jax.Array:
+    """[cells_r*cells_c, cap, ...] -> [cells, W2*cap, ...]: every cell's
+    whole (window x window) neighbourhood concatenated, built with W2
+    STATIC pad+slice shifts (pure copies, no gathers). Queries then fetch
+    one wide row per entity instead of W2 narrow ones — row gathers of
+    ~W2*cap*C-float rows are the efficient TPU gather shape (narrow rows
+    waste most of each memory tile)."""
+    half = window // 2
+    tail = a.shape[1:]
+    g = a.reshape((cells_r, cells_c) + tail)
+    pad = [(half, half), (half, half)] + [(0, 0)] * len(tail)
+    gp = jnp.pad(g, pad, constant_values=fill)
+    shifts = [
+        gp[dr:dr + cells_r, dc:dc + cells_c]
+        for dr in range(window) for dc in range(window)
+    ]
+    out = jnp.stack(shifts, axis=2)                    # [cr, cc, W2, cap,...]
+    return out.reshape((cells_r * cells_c, window * window * a.shape[1])
+                       + tail[1:])
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
 def window_candidates(
     grid: SpatialGrid,
@@ -116,7 +138,7 @@ def window_candidates(
     window: int = 5,
 ):
     """All bucket candidates in a (window x window)-cell neighbourhood of
-    each query point, via row gathers.
+    each query point.
 
     Returns (cand i32[Q, W2*cap], cpos f32[Q, W2*cap, 2],
     cpay f32[Q, W2*cap, P] | None, valid bool[Q, W2*cap]); `valid` excludes
@@ -124,21 +146,16 @@ def window_candidates(
     """
     cells_r, cells_c = grid.cells_r, grid.cells_c
     qr, qc = cell_coords(query_pos, cells_r, cells_c)
-    offs = _window_offsets(window)                     # [W2, 2]
-    nr = qr[:, None] + offs[None, :, 0]                # [Q, W2]
-    nc = qc[:, None] + offs[None, :, 1]
-    in_bounds = (nr >= 0) & (nr < cells_r) & (nc >= 0) & (nc < cells_c)
-    ncell = jnp.where(in_bounds, nr * cells_c + nc, 0)
+    qcell = qr * cells_c + qc                          # [Q]
 
-    cand = grid.buckets[ncell]                         # [Q, W2, cap] row-gather
-    cand = jnp.where(in_bounds[..., None], cand, -1)
-    cand = cand.reshape(cand.shape[0], -1)             # [Q, W2*cap]
-    cpos = grid.bucket_xy[ncell]                       # [Q, W2, cap, 2]
-    cpos = cpos.reshape(cand.shape[0], -1, 2)
+    wb = _prewindow(grid.buckets, cells_r, cells_c, window, -1)
+    wx = _prewindow(grid.bucket_xy, cells_r, cells_c, window, 1e30)
+    cand = wb[qcell]                                   # ONE wide row gather
+    cpos = wx[qcell]
     cpay = None
     if grid.bucket_payload is not None:
-        cpay = grid.bucket_payload[ncell]
-        cpay = cpay.reshape(cand.shape[0], -1, cpay.shape[-1])
+        wp = _prewindow(grid.bucket_payload, cells_r, cells_c, window, 0.0)
+        cpay = wp[qcell]
     valid = (cand >= 0) & (cand != query_slot[:, None])
     return cand, cpos, cpay, valid
 
