@@ -91,6 +91,68 @@ def _edge(a, b, p):
             - (p[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0]))
 
 
+def clip_near(verts: jax.Array, attrs: jax.Array, vp: jax.Array,
+              eps: float = 1e-3):
+    """Clip triangles against the near plane (clip-space w = eps).
+
+    A GL driver clips mid-pipeline (ref: the fixed-function stage feeding
+    /root/reference/shaders/); `project` instead rejects whole triangles
+    with any vertex behind the eye, which drops near geometry when a
+    low-angle RTS camera sits inside it. This pre-pass splits each
+    crossing triangle into its in-front part — 1 or 2 sub-triangles —
+    branch-free at static shape [2T].
+
+    The intersection parameter t along an edge is computed on clip-space
+    w, and the same t lerps WORLD positions and attributes: the vertex
+    transform is affine, so clip-space and world-space edge parameters
+    coincide (this is why we can clip before projecting).
+
+    verts f32[T,3,3], attrs f32[T,3,A] -> (verts2 f32[2T,3,3],
+    attrs2 f32[2T,3,A], ok2 bool[2T]).
+    """
+    cw = (jnp.einsum("j,tvj->tv", vp[3, :3], verts) + vp[3, 3])   # [T,3]
+    inside = cw > eps
+    n_in = inside.sum(axis=1)                                     # [T]
+
+    # rotate vertex order to a canonical pattern: one inside -> it sits at
+    # slot 0; one outside -> it sits at slot 2 (rotation preserves winding)
+    first_in = jnp.argmax(inside, axis=1)
+    first_out = jnp.argmax(~inside, axis=1)
+    rot = jnp.where(n_in == 1, first_in,
+                    jnp.where(n_in == 2, (first_out + 1) % 3, 0))
+    idx = (jnp.arange(3)[None, :] + rot[:, None]) % 3             # [T,3]
+    vr = jnp.take_along_axis(verts, idx[..., None], axis=1)
+    ar = jnp.take_along_axis(attrs, idx[..., None], axis=1)
+    wr = jnp.take_along_axis(cw, idx, axis=1)
+
+    def lerp_to(i, j):
+        den = wr[:, j] - wr[:, i]
+        t = (eps - wr[:, i]) / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return (vr[:, i] + t * (vr[:, j] - vr[:, i]),
+                ar[:, i] + t * (ar[:, j] - ar[:, i]))
+
+    v01, a01 = lerp_to(0, 1)      # crossing on edge a->b (n_in==1 case)
+    v02, a02 = lerp_to(0, 2)      # crossing on edge a->c (both cases)
+    v12, a12 = lerp_to(1, 2)      # crossing on edge b->c (n_in==2 case)
+
+    one = (n_in == 1)[:, None, None]
+    two = (n_in == 2)[:, None, None]
+    tri1_v = jnp.where(one, jnp.stack([vr[:, 0], v01, v02], 1),
+                       jnp.where(two, jnp.stack([vr[:, 0], vr[:, 1], v12], 1),
+                                 vr))
+    tri1_a = jnp.where(one, jnp.stack([ar[:, 0], a01, a02], 1),
+                       jnp.where(two, jnp.stack([ar[:, 0], ar[:, 1], a12], 1),
+                                 ar))
+    tri2_v = jnp.stack([vr[:, 0], v12, v02], 1)
+    tri2_a = jnp.stack([ar[:, 0], a12, a02], 1)
+
+    verts2 = jnp.concatenate([tri1_v, tri2_v], axis=0)
+    attrs2 = jnp.concatenate([tri1_a, tri2_a], axis=0)
+    ok2 = jnp.concatenate([n_in >= 1, n_in == 2], axis=0)
+    return verts2, attrs2, ok2
+
+
 # ---------------------------------------------------------------------------
 # Binning + raster -> G-buffer
 # ---------------------------------------------------------------------------

@@ -273,8 +273,14 @@ def _ortho_vp(lo, hi, light_dir):
     return proj @ view
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig"))
-def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None):
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig", "clip"))
+def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None,
+                 clip=True):
+    if clip:
+        # split near-plane-crossing triangles instead of rejecting them
+        # (shadow pass skips this: the light ortho has w==1 everywhere)
+        verts, attrs, ok = raster.clip_near(verts, attrs, vp)
+        keep = ok if keep is None else ok & jnp.tile(keep, 2)
     xy, z, inv_w, valid, flip = raster.project(verts, vp, w, h)
     if keep is not None:
         valid = valid & keep                  # reflection clip plane analogue

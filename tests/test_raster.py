@@ -357,3 +357,54 @@ def test_foliage_avoids_steep_and_low_ground():
     assert len(blades) > 0
     # all blades on the grassy west half, none in the lake
     assert (blades[:, 0, 0] < cfg.world_w / 2 + 20).all()
+
+
+def test_near_plane_clipping_keeps_ground_under_low_camera():
+    """A low, near-horizontal camera sits 'inside' the ground quad: every
+    triangle has a vertex behind the eye, so rejection-only projection
+    drops the whole floor. clip_near must recover the in-front part and
+    interpolate attributes exactly (verified against ray-plane hits)."""
+    from permafrost_engine_tpu.render.camera import Camera
+
+    cam = Camera(pos=np.array([0.0, 8.0, 0.0]), pitch=-25.0, yaw=90.0,
+                 aspect=1.0)
+    vp = jnp.asarray((cam.proj_matrix() @ cam.view_matrix())
+                     .astype(np.float32))
+    w = h = 64
+
+    s = 500.0
+    quad = np.array([
+        [[-s, 0, -s], [s, 0, -s], [s, 0, s]],
+        [[-s, 0, -s], [s, 0, s], [-s, 0, s]],
+    ], np.float32)
+    attrs = np.zeros((2, 3, 9), np.float32)
+    attrs[..., 0:3] = quad                      # carry world pos as attrs
+
+    # without clipping: the whole floor is rejected
+    _, _, _, valid0, _ = project(jnp.asarray(quad), vp, w, h)
+    assert int(valid0.sum()) == 0
+
+    verts2, attrs2, ok2 = raster.clip_near(jnp.asarray(quad),
+                                           jnp.asarray(attrs), vp)
+    xy, z, inv_w, valid, flip = project(verts2, vp, w, h)
+    valid = valid & ok2
+    attrs2 = jnp.where(flip[:, None, None], attrs2[:, ::-1], attrs2)
+    assert int(valid.sum()) >= 2
+    zb, tri, bary = raster_gbuffer(xy, z, valid, h=h, w=w, k=16, kbig=8)
+    tri_np, bary_np = np.asarray(tri), np.asarray(bary)
+    covered = tri_np >= 0
+    # the ground fills (at least) the bottom third of the frame
+    assert covered[-h // 3:, :].all()
+
+    # perspective-correct world position at sampled pixels == ray-plane hit
+    rays = raster.camera_rays(cam, w, h)
+    iw_np, a_np = np.asarray(inv_w), np.asarray(attrs2)
+    for (r, c) in [(60, 10), (50, 32), (44, 60), (63, 31)]:
+        t = tri_np[r, c]
+        assert t >= 0
+        pw = bary_np[r, c] * iw_np[t]
+        pw = pw / pw.sum()
+        wp = (pw[:, None] * a_np[t, :, 0:3]).sum(0)
+        ray = rays[r, c]
+        hit = np.array([0.0, 8.0, 0.0]) + ray * (-8.0 / ray[1])
+        assert np.allclose(wp, hit, atol=0.5), (wp, hit)
