@@ -122,12 +122,19 @@ def alive_count(eng: Engine) -> int:
     return int(np.asarray(eng.state.ents.alive).sum())
 
 
-def measure_phase(eng: Engine, windows: int = 3, frames: int = 120) -> float:
-    """Median fps over `windows` timed step() windows."""
+def measure_phase(eng: Engine, windows: int = 3, frames: int = 120,
+                  scan: bool = False) -> float:
+    """Median fps over `windows` timed windows.
+
+    scan=False drives frame-by-frame (`step`) — the interactive mode the
+    headline uses. scan=True drives `step_scan` — the headless-throughput
+    mode (segmented device dispatches at exact host cadences), reported as
+    an aux metric."""
+    drive = eng.step_scan if scan else eng.step
     vals = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        eng.step(frames)
+        drive(frames)
         jax.block_until_ready(eng.state.ents.pos)
         vals.append(frames / (time.perf_counter() - t0))
     return float(np.median(vals))
@@ -162,6 +169,7 @@ def main():
     # let the melee thicken so the windows measure peak engagement
     eng.step_scan(300)
     fps_contact = measure_phase(eng)
+    fps_contact_scan = measure_phase(eng, scan=True)
     alive_contact = alive_count(eng)
 
     # ---- late phase: most of one side dead ------------------------------------
@@ -177,6 +185,7 @@ def main():
         "vs_baseline": round(fps_min / 60.0, 3),
         "fps_march": round(fps_march, 2),
         "fps_contact": round(fps_contact, 2),
+        "fps_contact_scan": round(fps_contact_scan, 2),
         "fps_late": round(fps_late, 2),
         "alive_after_march": alive_march,
         "alive_after_contact": alive_contact,

@@ -26,7 +26,8 @@ from permafrost_engine_tpu.core.events import EventBus, EventType
 from permafrost_engine_tpu.core.perf import Perf
 from permafrost_engine_tpu.core.sched import Scheduler
 from permafrost_engine_tpu.core.settings import Settings
-from permafrost_engine_tpu.game.step import make_tick, make_tick_scan
+from permafrost_engine_tpu.game.step import (make_tick, make_tick_scan,
+                                              merge_deltas)
 from permafrost_engine_tpu.nav.service import NavService
 from permafrost_engine_tpu.state.schema import GameState, init_state
 
