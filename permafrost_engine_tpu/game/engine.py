@@ -26,10 +26,10 @@ from permafrost_engine_tpu.core.events import EventBus, EventType
 from permafrost_engine_tpu.core.perf import Perf
 from permafrost_engine_tpu.core.sched import Scheduler
 from permafrost_engine_tpu.core.settings import Settings
-from permafrost_engine_tpu.game.step import (make_tick, make_tick_scan,
-                                              merge_deltas)
+from permafrost_engine_tpu.game.step import make_tick, make_tick_scan
 from permafrost_engine_tpu.nav.service import NavService
-from permafrost_engine_tpu.state.schema import GameState, init_state
+from permafrost_engine_tpu.state.schema import (GameState, empty_deltas,
+                                                init_state)
 
 
 import functools
@@ -102,10 +102,19 @@ class Engine:
         self.sim_state = 0  # SimState.RUNNING
         self.economy_period = 12   # frames between economy ticks (~5 Hz)
         self._frame = 0
-        self._pending_deltas = None
+        # the device-resident TickDeltas accumulator the tick folds every
+        # frame's events into (one dispatch per frame); swapped for a fresh
+        # empty one at each drain boundary
+        self._make_empty = jax.jit(functools.partial(empty_deltas, self.cfg))
+        self._acc = self._make_empty()
         self._inflight_deltas = None  # async host copy started, not yet read
         self.drain_period = 6      # frames between event fetches (~100 ms)
         self._seek_flocks: dict[int, tuple] = {}
+        self._seek_created: dict[int, int] = {}  # fid -> frame registered
+        # pipelined (sigs, flock_active) snapshot: the cadence handler
+        # consumes the async copy STARTED last cadence instead of stalling
+        # the dispatch pipeline on a fresh synchronous fetch
+        self._sigs_inflight = None
         # per-field snapshots of the per-faction chunk signatures (the
         # blocker-count invalidation state, ref: nav_data.h:118-158)
         self._field_sigs: dict = {}
@@ -556,6 +565,7 @@ class Engine:
         self.state = self.nav.build_enemy_seek_field(
             self.state, faction, layer, gslot, flock_id=fid)
         self._seek_flocks[fid] = (faction, layer, gslot)
+        self._seek_created[fid] = self._frame
 
         e = self.state.ents
         sl = jnp.asarray(slots)
@@ -638,16 +648,25 @@ class Engine:
             return True
         return False
 
-    def refresh_seek_fields(self, sigs: np.ndarray | None = None) -> None:
+    def refresh_seek_fields(self, sigs: np.ndarray | None = None,
+                            active: np.ndarray | None = None,
+                            snap_frame: int | None = None) -> None:
         """Rebuild live enemy-seek fields whose enemy factions actually
         changed (moved a tile / died / spawned) since the last build —
         change-driven invalidation instead of a blind timer (ref:
-        nav.c per-faction blocker counts + N_FC enemy-seek invalidation)."""
-        active = np.asarray(self.state.flocks.active)
+        nav.c per-faction blocker counts + N_FC enemy-seek invalidation).
+
+        `active`/`snap_frame` may come from a pipelined (stale) snapshot;
+        a flock registered after the snapshot must not be treated as dead."""
+        if active is None:
+            active = np.asarray(self.state.flocks.active)
+        if snap_frame is None:
+            snap_frame = self._frame
         if sigs is None:
             sigs = self._faction_chunk_sigs()
         for fid, (faction, layer, gslot) in list(self._seek_flocks.items()):
-            if not active[fid]:
+            if (not active[fid]
+                    and self._seek_created.get(fid, -1) < snap_frame):
                 del self._seek_flocks[fid]
                 self._field_sigs.pop(fid, None)
                 continue
@@ -679,6 +698,7 @@ class Engine:
             self.nav.los_mirror[f, :] = -1
             self.nav.flock_chunks.pop(f, None)
             self._seek_flocks.pop(f, None)
+            self._seek_created.pop(f, None)
             self._field_sigs.pop(f, None)
             self._free_flocks.append(f)
         for gs, owner in list(self._gslot_owner.items()):
@@ -756,8 +776,6 @@ class Engine:
         the analogue of the reference's frame loop (ref: src/main.c:816)."""
         from permafrost_engine_tpu.core.config import SimState
 
-        from permafrost_engine_tpu.game.step import merge_deltas
-
         paused = self.sim_state == SimState.PAUSED_FULL
         for _ in range(n_frames):
             self.perf.begin_tick()
@@ -765,23 +783,22 @@ class Engine:
             self._commit_nav()
             if not paused:
                 with self.perf.scope("device_tick"):
-                    self.state, deltas = self._tick_fn(self.state)
-                # accumulate deltas ON DEVICE; every `drain_period` frames
-                # the merged window starts an ASYNC copy to host and the
-                # PREVIOUS window (whose copy has completed by now) is
-                # consumed. A synchronous device_get here would stall the
-                # whole dispatch pipeline through the remote transport
-                # (~30 ms measured at 10k entities); events arriving one
-                # window late matches the reference's deferred patch
-                # discipline (movement.c:245-262).
+                    # the tick folds this frame's events into the running
+                    # accumulator on device: ONE dispatch per frame
+                    self.state, self._acc = self._tick_fn(self.state,
+                                                          self._acc)
+                # every `drain_period` frames the accumulated window starts
+                # an ASYNC copy to host and the PREVIOUS window (whose copy
+                # has completed by now) is consumed. A synchronous
+                # device_get here would stall the whole dispatch pipeline
+                # through the remote transport (~30 ms measured at 10k
+                # entities); events arriving one window late matches the
+                # reference's deferred patch discipline (movement.c:245-262).
                 with self.perf.scope("drain_deltas"):
-                    self._pending_deltas = (
-                        deltas if self._pending_deltas is None
-                        else merge_deltas(self._pending_deltas, deltas))
                     if self._frame % self.drain_period == 0:
                         ready = self._inflight_deltas
-                        self._inflight_deltas = self._pending_deltas
-                        self._pending_deltas = None
+                        self._inflight_deltas = self._acc
+                        self._acc = self._make_empty()
                         jax.tree_util.tree_map(
                             lambda x: x.copy_to_host_async(),
                             self._inflight_deltas)
@@ -799,9 +816,8 @@ class Engine:
         if self._inflight_deltas is not None:
             self._drain(jax.device_get(self._inflight_deltas))
             self._inflight_deltas = None
-        if self._pending_deltas is not None:
-            self._drain(jax.device_get(self._pending_deltas))
-            self._pending_deltas = None
+        self._drain(jax.device_get(self._acc))
+        self._acc = self._make_empty()
 
     def step_scan(self, n_frames: int) -> None:
         """Advance n frames in batched device dispatches (lax.scan); events
@@ -882,11 +898,32 @@ class Engine:
         if self._frame % self.seek_refresh_period == 0:
             any_war = bool(np.any(self._host_diplomacy == 2))
             if self._seek_flocks or any_war:
-                sigs = self._faction_chunk_sigs()   # one fetch per cadence
-                if self._seek_flocks:
-                    self.refresh_seek_fields(sigs)
-                if any_war:
-                    self._refresh_chase_fields(sigs)
+                # pipelined like the delta drains: start an ASYNC copy of
+                # this cadence's (sigs, flock_active) snapshot and consume
+                # the copy started LAST cadence — a synchronous fetch here
+                # stalls the whole dispatch pipeline (~30 ms through the
+                # remote transport). Fields rebuild one refresh period
+                # late, which only delays heuristic invalidation.
+                e = self.state.ents
+                dev = (_chunk_sig_kernel(
+                    e.pos, e.alive, e.faction.astype(jnp.int32),
+                    f_n=self.cfg.max_factions, cr=self.cfg.chunks_r,
+                    cc=self.cfg.chunks_c),
+                    # device-side copy: the state leaf itself is DONATED
+                    # into the next tick while this copy is in flight
+                    jnp.copy(self.state.flocks.active))
+                for x in dev:
+                    x.copy_to_host_async()
+                prev, self._sigs_inflight = (
+                    self._sigs_inflight, (self._frame, dev))
+                if prev is not None:
+                    snap_frame, (dsig, dact) = prev
+                    sigs = np.asarray(dsig)
+                    if self._seek_flocks:
+                        self.refresh_seek_fields(sigs, np.asarray(dact),
+                                                 snap_frame)
+                    if any_war:
+                        self._refresh_chase_fields(sigs)
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:
@@ -995,14 +1032,11 @@ class Engine:
         times = []
         for _ in range(n_frames):
             t0 = _time.perf_counter()
-            self.state, deltas = self._tick_fn(self.state)
+            # events from probe frames accumulate in _acc as usual (deaths,
+            # corpse expiries reclaim slots host-side on the flush below)
+            self.state, self._acc = self._tick_fn(self.state, self._acc)
             jax.block_until_ready(self.state.ents.pos)
             times.append((_time.perf_counter() - t0) * 1e3)
-            # events from probe frames must not be lost (deaths, corpse
-            # expiries reclaim slots host-side)
-            self._pending_deltas = (
-                deltas if self._pending_deltas is None
-                else merge_deltas(self._pending_deltas, deltas))
         self._frame += n_frames
         self.flush_deltas()
         arr = np.asarray(times)

@@ -93,45 +93,38 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     ) & ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) != 0)
 
     # ---- spatial index + neighbours (ref: movement.c:2768-2830) ------------
+    # Both crowd backends share the payload-carrying grid: neighbour
+    # attributes (vel/radius/static/flock/arrived) ride the bucket payload
+    # channels, so no per-neighbour arena gathers are needed (TPU element
+    # gathers run ~1 elem/cycle), and boids works over the FULL candidate
+    # window as masked sums — no top-k, and cohesion/alignment see every
+    # flockmate the window covers instead of the 32 nearest.
     collidable = ents.alive & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)
     slots = jnp.arange(n, dtype=jnp.int32)
-    if crowd_kernel is not None:
-        # fused-kernel path (PFTPU_USE_PALLAS=1): buckets carry payload
-        # channels so boids works over the FULL candidate window (masked
-        # sums need no top-k) and the kernel does top-K + HRVO in VMEM
-        ent_static = (
-            ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) == 0)
-            | (ents.movestate == MoveState.ARRIVED))
-        payload = jnp.concatenate([
-            ents.vel,                                           # 0:2
-            ents.radius[:, None],                               # 2
-            ent_static.astype(jnp.float32)[:, None],            # 3
-            ents.flock.astype(jnp.float32)[:, None],            # 4
-            (ents.movestate == MoveState.ARRIVED
-             ).astype(jnp.float32)[:, None],                    # 5
-        ], axis=1)
-        sgrid = grid.build_grid(
-            ents.pos, collidable,
-            cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
-            cap=cfg.spatial_cell_cap, payload=payload)
-        cand, cpos, cpay, cvalid = grid.window_candidates(
-            sgrid, ents.pos, slots)
-        neigh_idx, neigh_valid, neigh_pos = cand, cvalid, cpos
-        neigh_dist = jnp.linalg.norm(cpos - ents.pos[:, None, :], axis=-1)
-        neigh_vel = cpay[..., 0:2]
-        neigh_rad = cpay[..., 2]
-        neigh_static = cpay[..., 3] > 0.5
-        neigh_flock = cpay[..., 4].astype(jnp.int32)
-        neigh_arrived = cpay[..., 5] > 0.5
-    else:
-        sgrid = grid.build_grid(
-            ents.pos, collidable,
-            cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
-            cap=cfg.spatial_cell_cap,
-        )
-        neigh_idx, neigh_dist, neigh_valid, neigh_pos = grid.knn_query(
-            sgrid, ents.pos, ents.pos, slots, k=MAX_NEIGHBOURS)
-        neigh_vel = neigh_flock = None
+    ent_static = (
+        ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) == 0)
+        | (ents.movestate == MoveState.ARRIVED))
+    payload = jnp.concatenate([
+        ents.vel,                                           # 0:2
+        ents.radius[:, None],                               # 2
+        ent_static.astype(jnp.float32)[:, None],            # 3
+        ents.flock.astype(jnp.float32)[:, None],            # 4
+        (ents.movestate == MoveState.ARRIVED
+         ).astype(jnp.float32)[:, None],                    # 5
+    ], axis=1)
+    sgrid = grid.build_grid(
+        ents.pos, collidable,
+        cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
+        cap=cfg.spatial_cell_cap, payload=payload)
+    cand, cpos, cpay, cvalid = grid.window_candidates(
+        sgrid, ents.pos, slots)
+    neigh_idx, neigh_valid, neigh_pos = cand, cvalid, cpos
+    neigh_dist = jnp.linalg.norm(cpos - ents.pos[:, None, :], axis=-1)
+    neigh_vel = cpay[..., 0:2]
+    neigh_rad = cpay[..., 2]
+    neigh_static = cpay[..., 3] > 0.5
+    neigh_flock = cpay[..., 4].astype(jnp.int32)
+    neigh_arrived = cpay[..., 5] > 0.5
 
     # ---- desired velocity (ref: movement.c:4166, nav.c:3468) ----------------
     # combat chasers (MOVING_TO_TARGET, no flock) route through their
@@ -178,17 +171,24 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
             neigh_pos, neigh_vel, neigh_rad, neigh_valid, neigh_static)
         new_vel = jnp.where(moving_mask[:, None], raw, vpref)
     else:
-        ni = jnp.clip(neigh_idx, 0, n - 1)
-        neigh_static = (
-            ((ents.flags[ni] & jnp.uint32(EntityFlags.MOVABLE)) == 0)
-            | (ents.movestate[ni] == MoveState.ARRIVED)
-        )
-        neigh_flock = ents.flock[ni]
-        neigh_arrived = ents.movestate[ni] == MoveState.ARRIVED
+        # top-K nearest cones from the CENTRE 3x3 cells only: collision
+        # cones from neighbours >16u away never bind at <=1u/tick speeds,
+        # and the smaller top-k input is 2.8x cheaper
+        sel = jnp.asarray(grid.central_block_cols(5, 3, cfg.spatial_cell_cap))
+        d2c = jnp.sum((cpos[:, sel] - ents.pos[:, None, :]) ** 2, axis=-1)
+        d2c = jnp.where(cvalid[:, sel], d2c, jnp.inf)
+        neg_d2, ti = jax.lax.approx_max_k(
+            -d2c, MAX_NEIGHBOURS, recall_target=0.95, aggregate_to_topk=True)
+
+        def tk(a):
+            i = ti[..., None] if a.ndim == 3 else ti
+            return jnp.take_along_axis(a[:, sel], i, axis=1)
+
         new_vel = clearpath.new_velocities(
             ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
-            neigh_idx, neigh_valid, neigh_static, moving_mask,
-            neigh_pos=neigh_pos)
+            tk(cand), jnp.isfinite(neg_d2), tk(neigh_static), moving_mask,
+            neigh_pos=tk(cpos), neigh_vel=tk(neigh_vel),
+            neigh_rad=tk(neigh_rad))
 
     # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
     garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0
@@ -255,12 +255,19 @@ def fog_substep(cfg: EngineConfig, state: GameState,
 
 
 def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
-    """Build the jitted 60 Hz tick: (state) -> (state, deltas).
+    """Build the jitted 60 Hz tick: (state, acc) -> (state, acc').
+
+    `acc` is the running TickDeltas accumulator: the tick folds this
+    frame's events into it ON DEVICE, so the host loop is exactly one
+    dispatch per frame (a separate per-frame merge dispatch measured
+    ~2 ms/frame of host overhead through the remote transport). The
+    engine swaps the accumulator for a fresh empty one at each drain
+    boundary.
 
     `tile_height` (f32[tiles_h, tiles_w] or None) enables height-aware fog.
     `donate=False` for callers that re-invoke the tick on the SAME state
     object (compile checks, sharding wrappers); the engine always rebinds,
-    so it donates.
+    so it donates both arguments.
 
     Subsystem cadences reproduce the reference's decimated event rates
     (movement 20 Hz, combat 10 Hz, projectiles 30 Hz, corpses 1 Hz —
@@ -286,8 +293,8 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
     # donation lets XLA update the state pytree in place (HBM alias) rather
     # than allocating a fresh ~N-leaf copy every frame; the engine always
     # rebinds self.state to the result, so the consumed input is never read
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def tick(state: GameState):
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def tick(state: GameState, acc: TickDeltas):
         deltas = empty_deltas(cfg)
         t = state.tick + 1
         state = state.replace(tick=t)
@@ -312,7 +319,7 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
             t % fog_period == 0,
             lambda s: fog_substep(cfg, s, tile_height), lambda s: s, state)
 
-        return state, deltas
+        return state, merge_deltas(acc, deltas)
 
     return tick
 
@@ -352,13 +359,12 @@ def make_tick_scan(cfg: EngineConfig, tile_height=None):
 
     @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def step_n(state: GameState, n: int):
-        # fold deltas INSIDE the scan with merge_deltas so the projectile
-        # triple merges jointly (a stacked per-field max would mismatch
-        # target/shooter/cookie when a pool slot is reused mid-window)
+        # the tick itself folds each frame's events into the accumulator
+        # (merge_deltas inside, so the projectile triple merges jointly —
+        # a stacked per-field max would mismatch target/shooter/cookie
+        # when a pool slot is reused mid-window)
         def body(carry, _):
-            s, acc = carry
-            s, d = tick(s)
-            return (s, merge_deltas(acc, d)), None
+            return tick(*carry), None
 
         (state, ds), _ = jax.lax.scan(
             body, (state, empty_deltas(cfg_ref)), None, length=n)

@@ -11,10 +11,12 @@ Usage:
     mesh = make_mesh()
     sharded = make_sharded_tick(cfg, mesh)
     state = shard_state(cfg, mesh, state)
-    state, deltas = sharded(state)
+    state, acc = sharded(state, acc)
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 
@@ -28,32 +30,49 @@ from permafrost_engine_tpu.parallel.mesh import (  # noqa: F401
 )
 
 
+def deltas_shardings(cfg: EngineConfig, mesh):
+    """Shardings for the TickDeltas accumulator: entity-major leaves shard
+    over the ents axis, projectile-pool leaves replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from permafrost_engine_tpu.state.schema import empty_deltas
+
+    repl = NamedSharding(mesh, P())
+    ent_sharded = NamedSharding(mesh, P(ENT_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: ent_sharded if x.shape[:1] == (cfg.max_ents,) else repl,
+        empty_deltas(cfg))
+
+
 def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None,
                       map_sharded: bool = False):
     """Jit the tick with explicit input shardings over `mesh`. With
     `map_sharded`, nav/fog/global-field grids shard their rows too
     (SURVEY §2.9 chunk sharding for map-heavy configs)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from permafrost_engine_tpu.state.schema import empty_deltas, init_state
+    from permafrost_engine_tpu.state.schema import init_state
 
     template = init_state(cfg)
     sh = state_shardings(cfg, mesh, template, map_sharded)
-    repl = NamedSharding(mesh, P())
-    ent_sharded = NamedSharding(mesh, P(ENT_AXIS))
-    deltas_sh = jax.tree_util.tree_map(
-        lambda x: ent_sharded if x.shape[:1] == (cfg.max_ents,) else repl,
-        empty_deltas(cfg))
+    deltas_sh = deltas_shardings(cfg, mesh)
     # out_shardings pinned so grids STAY row-sharded across ticks (XLA
     # would otherwise replicate rebuilt outputs like the blocker restamp)
     return jax.jit(make_tick(cfg, tile_height, donate=False),
-                   in_shardings=(sh,), out_shardings=(sh, deltas_sh))
+                   in_shardings=(sh, deltas_sh),
+                   out_shardings=(sh, deltas_sh))
 
 
 def sharded_engine(engine, mesh, map_sharded: bool = False):
     """Re-home an existing Engine's state + tick onto a mesh in place."""
+    from permafrost_engine_tpu.state.schema import empty_deltas
+
     engine.state = shard_state(engine.cfg, mesh, engine.state, map_sharded)
     engine._tick_fn = make_sharded_tick(
         engine.cfg, mesh, getattr(engine, "_tile_height", None), map_sharded)
+    # the accumulator swapped in at drain boundaries must come out sharded
+    # the same way the tick expects it
+    engine._make_empty = jax.jit(
+        functools.partial(empty_deltas, engine.cfg),
+        out_shardings=deltas_shardings(engine.cfg, mesh))
+    engine._acc = engine._make_empty()
     engine._scan_fn = None
     return engine

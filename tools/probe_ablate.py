@@ -21,16 +21,19 @@ import bench
 from permafrost_engine_tpu.game import step as step_mod
 
 
-def timed_fps(tick, state0, frames=120, windows=3):
+def timed_fps(tick, state0, cfg, frames=120, windows=3):
+    from permafrost_engine_tpu.state.schema import empty_deltas
+
     state = jax.device_put(state0)
+    acc = empty_deltas(cfg)
     # warm (compile)
-    state, d = tick(state)
+    state, acc = tick(state, acc)
     jax.block_until_ready(state.ents.pos)
     vals = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(frames):
-            state, d = tick(state)
+            state, acc = tick(state, acc)
         jax.block_until_ready(state.ents.pos)
         vals.append(frames / (time.perf_counter() - t0))
     return float(np.median(vals))
@@ -67,7 +70,7 @@ def main():
             setattr(step_mod, attr, fn)
         try:
             tick = step_mod.make_tick(eng.cfg, th, donate=False)
-            fps = timed_fps(tick, contact)
+            fps = timed_fps(tick, contact, eng.cfg)
             print(f"{name}: {fps:.1f} fps", flush=True)
         finally:
             step_mod.movement_substep = orig["move"]
