@@ -42,7 +42,10 @@ def new_velocities(
     neigh_valid: jax.Array,  # bool[N,K]
     neigh_static: jax.Array,  # bool[N,K] neighbour is a non-moving obstacle
     active: jax.Array,     # bool[N] entities that should avoid (moving)
-    neigh_pos: jax.Array | None = None,  # f32[N,K,2] from knn (avoids a gather)
+    neigh_pos: jax.Array | None = None,  # f32[N,K,2] from the grid payload
+    neigh_vel: jax.Array | None = None,  # f32[N,K,2] (avoids arena gathers:
+    neigh_rad: jax.Array | None = None,  # f32[N,K]   TPU element gathers run
+                                         # ~1 elem/cycle)
 ) -> jax.Array:
     """Feasible velocity nearest vpref per entity (G_ClearPath_NewVelocity,
     ref: src/game/clearpath.c:694).
@@ -52,8 +55,9 @@ def new_velocities(
     n, k = neigh_idx.shape
     ni = jnp.clip(neigh_idx, 0, n - 1)
     npos = pos[ni] if neigh_pos is None else neigh_pos  # [N,K,2]
-    nvel = jnp.where(neigh_static[..., None], 0.0, vel[ni])
-    nrad = radius[ni]
+    nvel = vel[ni] if neigh_vel is None else neigh_vel
+    nvel = jnp.where(neigh_static[..., None], 0.0, nvel)
+    nrad = radius[ni] if neigh_rad is None else neigh_rad
 
     rel = npos - pos[:, None, :]                    # [N,K,2]
     dist = jnp.linalg.norm(rel, axis=-1)            # [N,K]

@@ -101,3 +101,18 @@ def test_nearest_match_enemy_only():
         d[~enemies] = np.inf
         assert idx[q] == np.argmin(d)
         np.testing.assert_allclose(dist[q], d.min(), rtol=1e-5)
+
+
+def test_central_block_cols_selects_centre_cells():
+    from permafrost_engine_tpu.ops.grid import central_block_cols
+    cap = 3
+    cols = central_block_cols(5, 3, cap)
+    assert len(cols) == 9 * cap
+    # selected blocks are exactly the centre 3x3 of the 5x5 window
+    blocks = sorted(set(int(c) // cap for c in cols))
+    expect = sorted(dr * 5 + dc for dr in (1, 2, 3) for dc in (1, 2, 3))
+    assert blocks == expect
+    # each block contributes its full bucket, in order
+    for b in expect:
+        seg = [c for c in cols if c // cap == b]
+        assert list(seg) == list(range(b * cap, (b + 1) * cap))
