@@ -157,6 +157,8 @@ def load_session_bytes(data: bytes):
     engine._free_flocks = list(host["free_flocks"])
     engine._gslot_owner = dict(host.get("gslot_owner", {}))
     engine._seek_flocks = dict(host.get("seek_flocks", {}))
+    engine._seek_created = {f: 0 for f in engine._seek_flocks}
+    engine._sigs_inflight = None   # pre-load snapshots are meaningless
     engine._chase_gslot = dict(host.get("chase_gslot", {}))
     engine._host_factions = set(host.get("host_factions", set()))
     if "host_diplomacy" in host:

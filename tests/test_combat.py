@@ -199,29 +199,32 @@ def test_seek_field_invalidation_is_change_driven(monkeypatch):
 
     monkeypatch.setattr(eng.nav, "build_enemy_seek_field", counting)
 
-    # first cadence: the seek + chase fields build once (fresh snapshots)
-    eng.step(eng.seek_refresh_period)
+    # signature snapshots are PIPELINED like the delta drains (async copy
+    # consumed one refresh period later), so rebuilds land one period
+    # after the change. Prime: first snapshot + first consume.
+    eng.step(eng.seek_refresh_period * 2)
     static_builds = len(builds)
     # further cadences with a static world: NO rebuilds
     eng.step(eng.seek_refresh_period * 3)
     assert len(builds) == static_builds
 
     # teleport the prey a chunk-tile away: signature changes -> rebuild
+    # (one period late: the changed snapshot is consumed next cadence)
     slot = eng.uid_to_slot[int(prey[0])]
     e = eng.state.ents
     import jax.numpy as jnp
     eng.state = eng.state.replace(ents=e.replace(
         pos=e.pos.at[slot].set(jnp.asarray([120.0, 120.0]))))
-    eng.step(eng.seek_refresh_period)
+    eng.step(eng.seek_refresh_period * 2)
     assert len(builds) > static_builds
 
     moved_builds = len(builds)
-    eng.step(eng.seek_refresh_period * 2)   # static again
+    eng.step(eng.seek_refresh_period * 3)   # static again
     assert len(builds) == moved_builds
 
-    # killing the enemy changes the signature too
+    # killing the enemy changes the signature too (again one period late)
     eng.state = eng.state.replace(ents=eng.state.ents.replace(
         hp=eng.state.ents.hp.at[slot].set(0.0),
         alive=eng.state.ents.alive.at[slot].set(False)))
-    eng.step(eng.seek_refresh_period)
+    eng.step(eng.seek_refresh_period * 2)
     assert len(builds) > moved_builds
