@@ -257,5 +257,12 @@ DIR_UNIT_TABLE = jnp.where(_norm > 0, _DIR_TABLE / jnp.maximum(_norm, 1e-9), 0.0
 
 
 def dir_code_to_vec(codes: jax.Array) -> jax.Array:
-    """Map u8 FlowDir codes to f32 unit vectors [..., 2] (x, z)."""
-    return DIR_UNIT_TABLE[codes.astype(jnp.int32)]
+    """Map u8 FlowDir codes to f32 unit vectors [..., 2] (x, z).
+
+    One-hot contraction instead of a table gather: per-element gathers
+    run ~1 elem/cycle on TPU, while the [.., 9] @ [9, 2] contraction is
+    pure VPU work."""
+    k = DIR_UNIT_TABLE.shape[0]
+    oh = (codes.astype(jnp.int32)[..., None]
+          == jnp.arange(k, dtype=jnp.int32)).astype(jnp.float32)
+    return oh @ DIR_UNIT_TABLE

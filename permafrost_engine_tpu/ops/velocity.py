@@ -19,6 +19,18 @@ from permafrost_engine_tpu.core.config import FIELD_RES, NAV_TILE_SIZE
 from permafrost_engine_tpu.ops.flowfield import dir_code_to_vec
 
 
+def _slab_fetch(slab: jax.Array, row_idx: jax.Array, lr: jax.Array,
+                lc: jax.Array) -> jax.Array:
+    """Fetch slab[row_idx, lr, lc] per entity WITHOUT an element gather:
+    one row gather (the efficient TPU gather shape) + an in-row one-hot
+    extract. Element gathers run ~1 elem/cycle; a 64-u8 row costs the
+    same as one element."""
+    row = slab[row_idx, lr]                                   # [N, W] rows
+    w = slab.shape[2]
+    oh = (jnp.arange(w, dtype=jnp.int32)[None, :] == lc[:, None])
+    return jnp.sum(jnp.where(oh, row, 0).astype(jnp.int32), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("chunks_r", "chunks_c"))
 def flow_velocity(
     pos: jax.Array,          # f32[N,2] world (x,z)
@@ -79,10 +91,10 @@ def flow_velocity(
         slot = field_slot[fl, chunk]                  # [N]
         lr = rc % FIELD_RES
         lc = cc % FIELD_RES
-        code = flow_slab[jnp.maximum(slot, 0), lr, lc]
+        code = _slab_fetch(flow_slab, jnp.maximum(slot, 0), lr, lc)
         has = (slot >= 0) & ~no_flock
         if global_flow is not None:
-            gcode = global_flow[jnp.maximum(gslot, 0), rc, cc]
+            gcode = _slab_fetch(global_flow, jnp.maximum(gslot, 0), rc, cc)
             code = jnp.where(use_global, gcode, code)
             has = has | use_global
         vec = dir_code_to_vec(jnp.where(has, code, 0))
@@ -125,5 +137,6 @@ def dest_los(
     chunk = (r // FIELD_RES) * chunks_c + (c // FIELD_RES)
     fl = jnp.maximum(flock, 0)
     slot = los_slot[fl, chunk]
-    val = los_slab[jnp.maximum(slot, 0), r % FIELD_RES, c % FIELD_RES]
+    val = _slab_fetch(los_slab, jnp.maximum(slot, 0), r % FIELD_RES,
+                      c % FIELD_RES)
     return (flock >= 0) & (slot >= 0) & (val > 0)
