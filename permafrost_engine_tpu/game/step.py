@@ -180,15 +180,22 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         neg_d2, ti = jax.lax.approx_max_k(
             -d2c, MAX_NEIGHBOURS, recall_target=0.95, aggregate_to_topk=True)
 
-        def tk(a):
-            i = ti[..., None] if a.ndim == 3 else ti
-            return jnp.take_along_axis(a[:, sel], i, axis=1)
+        # extract the top-K subset with ONE gather of packed 6-float rows
+        # (six separate take_along_axis calls are six per-element gather
+        # passes; packed, each fetch moves a contiguous 24-byte unit)
+        pack = jnp.concatenate([
+            cpos[:, sel],                                     # 0:2
+            neigh_vel[:, sel],                                # 2:4
+            neigh_rad[:, sel, None],                          # 4
+            neigh_static[:, sel, None].astype(jnp.float32),   # 5
+        ], axis=-1)
+        sub = jnp.take_along_axis(pack, ti[..., None], axis=1)  # [N,K,6]
 
         new_vel = clearpath.new_velocities(
             ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
-            tk(cand), jnp.isfinite(neg_d2), tk(neigh_static), moving_mask,
-            neigh_pos=tk(cpos), neigh_vel=tk(neigh_vel),
-            neigh_rad=tk(neigh_rad))
+            ti, jnp.isfinite(neg_d2), sub[..., 5] > 0.5, moving_mask,
+            neigh_pos=sub[..., 0:2], neigh_vel=sub[..., 2:4],
+            neigh_rad=sub[..., 4])
 
     # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
     garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0

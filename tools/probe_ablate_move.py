@@ -54,19 +54,25 @@ def main():
     n = eng.cfg.max_ents
 
     def no_hrvo(pos, vel, radius, vpref, max_speed, neigh_idx, neigh_valid,
-                neigh_static, moving_mask, neigh_pos=None):
+                neigh_static, moving_mask, **kw):
         return vpref
 
     def no_boids(pos, vel, flock, dest, flow_dir, use_arrive, max_speed_tick,
                  neigh_idx, neigh_valid, moving, **kw):
         return flow_dir * max_speed_tick[:, None]
 
-    def no_neigh(sgrid, pos, query_pos, query_slot, *, k, window=5):
+    def no_neigh(sgrid, query_pos, query_slot, window=5):
+        # constant-shape stand-in for window_candidates: DCE then removes
+        # the grid build + prewindow + wide gathers upstream
         q = query_pos.shape[0]
-        return (jnp.zeros((q, k), jnp.int32),
-                jnp.full((q, k), jnp.inf, jnp.float32),
-                jnp.zeros((q, k), bool),
-                jnp.zeros((q, k, 2), jnp.float32))
+        w2cap = window * window * sgrid.buckets.shape[1]
+        pay_c = (sgrid.bucket_payload.shape[-1]
+                 if sgrid.bucket_payload is not None else 0)
+        cand = jnp.full((q, w2cap), -1, jnp.int32)
+        cpos = jnp.full((q, w2cap, 2), 1e30, jnp.float32)
+        cpay = (jnp.zeros((q, w2cap, pay_c), jnp.float32)
+                if pay_c else None)
+        return cand, cpos, cpay, jnp.zeros((q, w2cap), bool)
 
     def no_flow_vel(pos, flock, field_slot, flow, global_slot, global_flow,
                     ent_gslot, *, chunks_r, chunks_c):
@@ -80,13 +86,13 @@ def main():
         return nav
 
     orig = dict(cp=clearpath.new_velocities, bo=boids.preferred_velocity,
-                knn=grid.knn_query, fv=vel_ops.flow_velocity,
+                wc=grid.window_candidates, fv=vel_ops.flow_velocity,
                 dl=vel_ops.dest_los, rs=step_mod._restamp_blockers)
     variants = [
         ("full", {}),
         ("no_hrvo", [(clearpath, "new_velocities", no_hrvo)]),
         ("no_boids", [(boids, "preferred_velocity", no_boids)]),
-        ("no_neigh", [(grid, "knn_query", no_neigh)]),
+        ("no_neigh", [(grid, "window_candidates", no_neigh)]),
         ("no_fields", [(vel_ops, "flow_velocity", no_flow_vel),
                        (vel_ops, "dest_los", no_los)]),
         ("no_restamp", [(step_mod, "_restamp_blockers", no_restamp)]),
@@ -102,7 +108,7 @@ def main():
         finally:
             clearpath.new_velocities = orig["cp"]
             boids.preferred_velocity = orig["bo"]
-            grid.knn_query = orig["knn"]
+            grid.window_candidates = orig["wc"]
             vel_ops.flow_velocity = orig["fv"]
             vel_ops.dest_los = orig["dl"]
             step_mod._restamp_blockers = orig["rs"]
