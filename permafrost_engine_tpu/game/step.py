@@ -191,6 +191,9 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         ], axis=-1)
         sub = jnp.take_along_axis(pack, ti[..., None], axis=1)  # [N,K,6]
 
+        # ti (window-local indices) stands in for neigh_idx: with every
+        # payload channel supplied, new_velocities never dereferences the
+        # arena by index — it only takes the [N,K] shape from it
         new_vel = clearpath.new_velocities(
             ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
             ti, jnp.isfinite(neg_d2), sub[..., 5] > 0.5, moving_mask,
