@@ -122,6 +122,29 @@ def alive_count(eng: Engine) -> int:
     return int(np.asarray(eng.state.ents.alive).sum())
 
 
+def overlap_fraction(eng: Engine) -> float:
+    """Crowd-quality check: fraction of alive units interpenetrating a
+    neighbour by more than 50% of the combined radius. Guards against
+    avoidance-solver shortcuts that trade correctness for speed (the
+    reference's ClearPath keeps units separated; so must ours)."""
+    from permafrost_engine_tpu.core.config import CombatState
+    live = (np.asarray(eng.state.ents.alive)
+            & (np.asarray(eng.state.ents.combatstate) != CombatState.CORPSE))
+    pos = np.asarray(eng.state.ents.pos)[live]
+    rad = np.asarray(eng.state.ents.radius)[live]
+    n = len(pos)
+    if n < 2:
+        return 0.0
+    bad = np.zeros(n, bool)
+    block = 2048
+    for s in range(0, n, block):
+        d = np.linalg.norm(pos[s:s + block, None] - pos[None, :], axis=-1)
+        comb = (rad[s:s + block, None] + rad[None, :]) * 0.5
+        np.fill_diagonal(d[:, s:s + block], np.inf)
+        bad[s:s + block] |= (d < comb).any(axis=1)
+    return float(bad.mean())
+
+
 def measure_phase(eng: Engine, windows: int = 3, frames: int = 120,
                   scan: bool = False) -> float:
     """Median fps over `windows` timed windows.
@@ -171,6 +194,7 @@ def main():
     fps_contact = measure_phase(eng)
     fps_contact_scan = measure_phase(eng, scan=True)
     alive_contact = alive_count(eng)
+    overlap_frac = overlap_fraction(eng)
 
     # ---- late phase: most of one side dead ------------------------------------
     ff2 = fast_forward_until(eng, lambda a: a < 0.55 * n0)
@@ -189,6 +213,7 @@ def main():
         "fps_late": round(fps_late, 2),
         "alive_after_march": alive_march,
         "alive_after_contact": alive_contact,
+        "overlap_frac_contact": round(overlap_frac, 4),
         "alive_at_end": alive_end,
         "frames_to_contact": 60 + 3 * 120 + ff1,
         "flow_field_rebuild_ms_p50": round(rebuild_p50, 3),
