@@ -101,13 +101,6 @@ def build_grid(
     )
 
 
-def _window_offsets(window: int) -> jax.Array:
-    """Static (window x window) neighbourhood offsets, row-major, i32[W*W, 2]."""
-    half = window // 2
-    offs = [(dr, dc) for dr in range(-half, half + 1) for dc in range(-half, half + 1)]
-    return jnp.array(offs, jnp.int32)
-
-
 def _prewindow(a: jax.Array, cells_r: int, cells_c: int, window: int,
                fill) -> jax.Array:
     """[cells_r*cells_c, cap, ...] -> [cells, W2*cap, ...]: every cell's
