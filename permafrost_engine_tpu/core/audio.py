@@ -136,8 +136,11 @@ class AudioSystem:
                         raw = raw.reshape(-1, w.getnchannels()).mean(1)
                 reps = max(1, -(-n // max(len(raw), 1)))
                 return np.tile(raw, reps)[:n]
-        # deterministic placeholder: enveloped two-partial tone per name
-        rng = np.random.default_rng(abs(hash(name)) % (2 ** 32))
+        # deterministic placeholder: enveloped two-partial tone per name.
+        # crc32, not hash(): str hash is randomized per process and would
+        # break cross-run mixdown determinism / golden-file comparisons.
+        import zlib
+        rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
         f0 = 160.0 + rng.random() * 500.0
         t = np.arange(n) / self.SAMPLE_RATE
         env = np.exp(-t * (1.5 + rng.random() * 3))

@@ -167,7 +167,9 @@ class MoveState(IntEnum):
     SEEK_ENEMIES = 4
     ARRIVING_TO_CELL = 5
     SURROUND_ENTITY = 6
-    ENTER_PORTAL = 7
+    # (the reference's ENTERING_PORTAL state has no counterpart: union flow
+    #  fields span every chunk of the path, so there is no per-portal
+    #  hand-off stage — movement.c:118-144 vs ops/flowfield.py union fields)
 
 
 class CombatState(IntEnum):
@@ -249,7 +251,9 @@ class EngineConfig:
     max_factions: int = MAX_FACTIONS
     field_slab_slots: int = 256      # device-resident flow-field LRU slab
     los_slab_slots: int = 256        # device-resident LOS-field slab
-    global_field_slots: int = 8      # whole-map fields (enemy-seek/surround)
+    global_field_slots: int = 16     # whole-map fields (enemy-seek/surround/
+                                     # chase); sized ~max_factions so warring
+                                     # factions' chase fields never thrash
     spatial_cell_cap: int = 16       # entities per spatial-grid cell bucket
     move_hz: int = 20
     combat_hz: int = 10

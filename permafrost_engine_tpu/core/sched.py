@@ -322,15 +322,21 @@ class Scheduler:
             t.state = rec.get("state", {})
             replayed = False
             if "resume_log" in rec:
+                # A failed (non-deterministic) replay leaves t.state as the
+                # half-completed body mutated it; keep a pristine copy so the
+                # restart-from-entry fallback sees the snapshotted state.
+                import copy
+                pristine = copy.deepcopy(t.state)
                 try:
                     self._replay(t, rec["resume_log"], rec["request_log"],
                                  rec["effect_log"])
                     replayed = True
                     resumed += 1
                 except Exception:
-                    # non-deterministic replay: fresh generator, keep state
+                    # non-deterministic replay: fresh generator, snapshot state
                     t.gen = t.fn(t, *t.args)
                     t.replaying = False
+                    t.state = pristine
                     t.resume_log, t.request_log, t.effect_log = [], [], []
             if replayed:
                 t.status = rec["status"]

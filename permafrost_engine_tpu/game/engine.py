@@ -119,6 +119,8 @@ class Engine:
         # blocker-count invalidation state, ref: nav_data.h:118-158)
         self._field_sigs: dict = {}
         self._nav_version = 0
+        self._diplo_version = 0   # bumped on set_diplomacy: a new war must
+                                  # rebuild seek fields even if nobody moved
         self.seek_refresh_period = 30  # frames between seek-field rebuilds
         # global-field slot ownership: gslot -> flock id, insertion-ordered
         # so eviction is FIFO when the slab is full (two live flocks must
@@ -519,16 +521,25 @@ class Engine:
             depth_off += block_depth(cells, direction) + 2.0 * spacing
         return any_cells
 
+    def _touch_gslot(self, gslot: int) -> None:
+        """Mark a global-field slot recently-used (LRU order = dict order)."""
+        if gslot in self._gslot_owner:
+            fid = self._gslot_owner.pop(gslot)
+            self._gslot_owner[gslot] = fid
+
     def _alloc_gslot(self, fid: int) -> int:
         """Allocate a global-field slab slot for flock `fid`, evicting the
-        oldest owner when the slab is full (its flock falls back to
-        direct-seek until refreshed)."""
+        least-recently-refreshed owner when the slab is full (its flock
+        falls back to direct-seek until refreshed). Evictions are counted
+        in nav.stats["gslot_evictions"]."""
         free = set(range(self.cfg.global_field_slots)) - set(self._gslot_owner)
         if free:
             gslot = min(free)
         else:
             gslot, old = next(iter(self._gslot_owner.items()))
             del self._gslot_owner[gslot]
+            self.nav.stats["gslot_evictions"] = (
+                self.nav.stats.get("gslot_evictions", 0) + 1)
             if old < 0:
                 # faction chase field (pseudo-fid -(faction+1))
                 fac = -old - 1
@@ -642,9 +653,10 @@ class Engine:
         if not enemies:
             return False
         prev = self._field_sigs.get(key)
-        if (prev is None or prev[0] != self._nav_version or any(
+        ver = (self._nav_version, self._diplo_version)
+        if (prev is None or prev[0] != ver or any(
                 not np.array_equal(prev[1][g], sigs[g]) for g in enemies)):
-            self._field_sigs[key] = (self._nav_version, sigs.copy())
+            self._field_sigs[key] = (ver, sigs.copy())
             return True
         return False
 
@@ -672,6 +684,7 @@ class Engine:
                 continue
             if not self._enemies_changed(fid, faction, sigs):
                 continue
+            self._touch_gslot(gslot)
             self.state = self.nav.build_enemy_seek_field(
                 self.state, faction, layer, gslot, flock_id=fid)
 
@@ -729,6 +742,8 @@ class Engine:
         ))
 
     def set_diplomacy(self, f1: int, f2: int, dstate: int) -> None:
+        if self._host_diplomacy[f1, f2] != dstate:
+            self._diplo_version += 1
         self._host_diplomacy[f1, f2] = self._host_diplomacy[f2, f1] = dstate
         ft = self.state.factions
         d = ft.diplomacy.at[f1, f2].set(dstate).at[f2, f1].set(dstate)
@@ -759,6 +774,7 @@ class Engine:
                     factions=self.state.factions.replace(chase_slot=cs))
             if not self._enemies_changed(("chase", f), f, sigs) and not fresh:
                 continue
+            self._touch_gslot(slot)
             self.state = self.nav.build_enemy_seek_field(
                 self.state, f, 0, slot)
 
@@ -776,8 +792,10 @@ class Engine:
         the analogue of the reference's frame loop (ref: src/main.c:816)."""
         from permafrost_engine_tpu.core.config import SimState
 
-        paused = self.sim_state == SimState.PAUSED_FULL
         for _ in range(n_frames):
+            # re-read each frame: a task pausing mid-window must take
+            # effect at frame granularity like the reference (main.c:86-98)
+            paused = self.sim_state == SimState.PAUSED_FULL
             self.perf.begin_tick()
             self._frame += 1
             self._commit_nav()

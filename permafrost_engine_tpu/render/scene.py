@@ -602,7 +602,10 @@ class SceneRenderer:
                           @ camera.view_matrix()).astype(np.float32))
 
         if self.shadows:
-            frame = int(self.engine.state.tick)
+            # Host-side frame counter, NOT state.tick: a scalar device->host
+            # fetch costs ~490 ms through the axon relay and would stall the
+            # dispatch pipeline once per rendered frame.
+            frame = self.engine._frame
             if self._shadow_z is None or frame != self._shadow_frame:
                 self._shadow_z = self._shadow_pass(verts)
                 self._shadow_frame = frame

@@ -5,7 +5,7 @@ The reference keeps per-entity state in uid-keyed hash tables
 fiber tasks. Here the whole simulation state is one immutable pytree of
 fixed-shape arrays in HBM, and a tick is a pure function
 ``(state) -> (state', deltas)``. Host-side code maps UIDs to arena slots
-(see game/registry.py) and issues commands by functionally patching small
+(``Engine.uid_to_slot``) and issues commands by functionally patching small
 slices between ticks — the reference's command-queue discipline
 (ref: src/game/movement.c:371-395).
 
