@@ -395,6 +395,12 @@ class Engine:
         fid = self._free_flocks.pop()
         start = tuple(np.asarray(self.state.ents.pos)[slots].mean(axis=0))
 
+        # a fresh order must see live unit blockers (parked-unit plugs flip
+        # portal-edge states, ref: nav.c:655-693); when no path flock was
+        # alive the pipelined cadence snapshot is missing/stale, so sync it
+        # here — event-rate, like the path request's own integrations
+        if self.nav._blocker_snap is None or not self.nav.flock_chunks:
+            self.nav.update_blockers(np.asarray(self.state.nav.blockers))
         self.state, ok, eff_goal = self.nav.request_path(
             self.state, fid, start, goal_xz, layer)
 
@@ -915,33 +921,45 @@ class Engine:
             self.audio.tick(self.economy_period)
         if self._frame % self.seek_refresh_period == 0:
             any_war = bool(np.any(self._host_diplomacy == 2))
-            if self._seek_flocks or any_war:
+            want_blockers = bool(self.nav.flock_chunks)
+            if self._seek_flocks or any_war or want_blockers:
                 # pipelined like the delta drains: start an ASYNC copy of
-                # this cadence's (sigs, flock_active) snapshot and consume
-                # the copy started LAST cadence — a synchronous fetch here
-                # stalls the whole dispatch pipeline (~30 ms through the
-                # remote transport). Fields rebuild one refresh period
-                # late, which only delays heuristic invalidation.
+                # this cadence's (sigs, flock_active, blockers) snapshot and
+                # consume the copy started LAST cadence — a synchronous
+                # fetch here stalls the whole dispatch pipeline (~30 ms
+                # through the remote transport). Fields rebuild one refresh
+                # period late, which only delays heuristic invalidation.
                 e = self.state.ents
                 dev = (_chunk_sig_kernel(
                     e.pos, e.alive, e.faction.astype(jnp.int32),
                     f_n=self.cfg.max_factions, cr=self.cfg.chunks_r,
                     cc=self.cfg.chunks_c),
-                    # device-side copy: the state leaf itself is DONATED
-                    # into the next tick while this copy is in flight
-                    jnp.copy(self.state.flocks.active))
+                    # device-side copies: the state leaves themselves are
+                    # DONATED into the next tick while the copy is in flight
+                    jnp.copy(self.state.flocks.active),
+                    jnp.copy(self.state.nav.blockers)
+                    if want_blockers else None)
                 for x in dev:
-                    x.copy_to_host_async()
+                    if x is not None:
+                        x.copy_to_host_async()
                 prev, self._sigs_inflight = (
                     self._sigs_inflight, (self._frame, dev))
                 if prev is not None:
-                    snap_frame, (dsig, dact) = prev
+                    snap_frame, (dsig, dact, dblk) = prev
                     sigs = np.asarray(dsig)
                     if self._seek_flocks:
                         self.refresh_seek_fields(sigs, np.asarray(dact),
                                                  snap_frame)
                     if any_war:
                         self._refresh_chase_fields(sigs)
+                    if dblk is not None:
+                        # corridors plugged/unplugged by parked units flip
+                        # portal-edge states: flocks pathing through the
+                        # flipped chunks replan around (or back through)
+                        # them (ref: nav.c:655-693 blocker-aware islands)
+                        changed = self.nav.update_blockers(np.asarray(dblk))
+                        if changed:
+                            self._replan_flocks(changed)
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

@@ -106,8 +106,20 @@ class NavService:
         self.flock_chunks: dict[int, set[int]] = {}
         # chunks dirtied by structure stamps awaiting commit_structures
         self._pending_dirty: set[int] = set()
+        # live-unit blocker integration (ref: nav_data.h:142-158 blocker-
+        # aware local islands + blocked portal-edge states, nav.c:655-693):
+        # host snapshot of state.nav.blockers, refreshed at the engine's
+        # field-refresh cadence, from which per-layer blocked portal-edge
+        # sets are derived lazily and compared for replan triggering
+        self._blocker_snap: np.ndarray | None = None
+        self._blocker_epoch = 0
+        # layer -> (epoch, blocked edges frozenset[(pid, qid)],
+        #           buried portal pids frozenset)
+        self._edge_cache: dict[int, tuple[int, frozenset, frozenset]] = {}
         self.stats = {"hits": 0, "misses": 0, "requests": 0, "failed": 0,
-                      "retargeted": 0, "invalidations": 0}
+                      "retargeted": 0, "invalidations": 0,
+                      "blocked_edges": 0, "blocker_replans": 0,
+                      "chunks_rebuilt": 0}
 
     # -- portal graphs -------------------------------------------------------
 
@@ -131,6 +143,7 @@ class NavService:
         """Call after cost_base edits (terrain change, building placed)."""
         self._graphs.pop(layer, None)
         self._islands.pop(layer, None)
+        self._edge_cache.pop(layer, None)   # pids renumber with the graph
         # drop cached fields of that layer
         for cache, mirror in ((self.flow_cache, self.slot_mirror),
                               (self.los_cache, self.los_mirror)):
@@ -140,6 +153,103 @@ class NavService:
                 cache.free.append(slot)
                 mirror[mirror == slot] = -1
 
+    # -- live-unit blocker integration (ref: nav_data.h:142-158) ---------------
+
+    def update_blockers(self, blk: np.ndarray) -> set[int]:
+        """Install a fresh host snapshot of the live unit-blocker grids
+        (i32[L, H, W], the tick's _restamp_blockers output) and recompute
+        per-layer blocked portal-edge states. Returns the set of chunk
+        indices whose edge state FLIPPED since the last snapshot — the
+        caller replans flocks pathing through them (the reference
+        recomputes blocked edge states each movement tick and re-routes,
+        ref: nav.c:655-693, a_star.c:212-258)."""
+        self._blocker_snap = np.asarray(blk)
+        self._blocker_epoch += 1
+        changed: set[int] = set()
+        for layer in list(self._graphs):
+            prev = self._edge_cache.get(layer)
+            prev_edges = prev[1] if prev else frozenset()
+            edges, _buried = self._blocked_edges(layer)
+            if edges != prev_edges:
+                graph = self._graphs[layer]
+                for pid, qid in edges ^ prev_edges:
+                    if pid < len(graph.portals):
+                        changed.add(self._chunk_idx(*graph.portals[pid].chunk))
+                    if qid < len(graph.portals):
+                        changed.add(self._chunk_idx(*graph.portals[qid].chunk))
+        if changed:
+            self.stats["blocker_replans"] += 1
+        return changed
+
+    def _blocked_edges(self, layer: int) -> tuple[frozenset, frozenset]:
+        """(blocked portal-graph edges, buried portal pids) for a layer
+        under the current blocker snapshot. An intra-chunk edge is blocked
+        when its two portals land in different blocker-aware local islands;
+        a portal is buried when its whole span is blocked. Cached per
+        (layer, snapshot epoch)."""
+        cached = self._edge_cache.get(layer)
+        if cached is not None and cached[0] == self._blocker_epoch:
+            return cached[1], cached[2]
+        blk = self._blocker_snap
+        graph = self.graph(layer)
+        if blk is None or not blk[layer].any():
+            out = (frozenset(), frozenset())
+            self._edge_cache[layer] = (self._blocker_epoch, *out)
+            return out
+        cfg = self.cfg
+        b = blk[layer]
+        chunk_any = b.reshape(cfg.chunks_r, FIELD_RES,
+                              cfg.chunks_c, FIELD_RES).any(axis=(1, 3))
+        dirty = [(r, c) for r, c in zip(*np.nonzero(chunk_any))
+                 if graph.by_chunk.get((int(r), int(c)))]
+        if not dirty:
+            out = (frozenset(), frozenset())
+            self._edge_cache[layer] = (self._blocker_epoch, *out)
+            return out
+        # batched blocker-aware local island labels on device, padded to
+        # powers of two so K takes log-many compile shapes
+        from permafrost_engine_tpu.ops.islands import label_local_islands
+        k = len(dirty)
+        k_pad = 1 << (k - 1).bit_length()
+        costs = np.zeros((k_pad, FIELD_RES, FIELD_RES), np.uint8)
+        blks = np.zeros((k_pad, FIELD_RES, FIELD_RES), np.int32)
+        for i, (cr, cc) in enumerate(dirty):
+            sl = (slice(cr * FIELD_RES, (cr + 1) * FIELD_RES),
+                  slice(cc * FIELD_RES, (cc + 1) * FIELD_RES))
+            costs[i] = self.cost_base[layer][sl]
+            blks[i] = b[sl]
+        labels = np.asarray(label_local_islands(
+            jnp.asarray(costs), jnp.asarray(blks)))
+        # per-portal local component at its span (min label over unblocked
+        # span tiles; -1 = buried)
+        comp: dict[int, int] = {}
+        for i, chunk in enumerate(dirty):
+            for pid in graph.by_chunk.get((int(chunk[0]), int(chunk[1])), []):
+                t = graph.portals[pid].span_tiles()
+                lab = labels[i][t[:, 0], t[:, 1]]
+                lab = lab[lab >= 0]
+                comp[pid] = int(lab.min()) if lab.size else -1
+        blocked: set[tuple[int, int]] = set()
+        buried: set[int] = set()
+        for pid, c in comp.items():
+            p = graph.portals[pid]
+            if c < 0:
+                buried.add(pid)
+                for qid, _w in graph.adj[pid]:
+                    blocked.add((pid, qid))
+                    blocked.add((qid, pid))
+                continue
+            for qid, _w in graph.adj[pid]:
+                if qid == p.paired:
+                    continue       # cross edge: blocked only via burial
+                qc = comp.get(qid)
+                if qc is not None and qc != c:
+                    blocked.add((pid, qid))
+        out = (frozenset(blocked), frozenset(buried))
+        self._edge_cache[layer] = (self._blocker_epoch, *out)
+        self.stats["blocked_edges"] = len(blocked)
+        return out
+
     def set_terrain(self, cost_base: np.ndarray) -> None:
         """Install new compiled terrain costs; all nav derivatives rebuild
         lazily and every cached field is dropped."""
@@ -147,6 +257,7 @@ class NavService:
         self._recompute_effective()
         self._graphs.clear()
         self._islands.clear()
+        self._edge_cache.clear()
         for layer in range(self.cfg.num_layers):
             self.invalidate_layer(layer)
 
@@ -220,9 +331,30 @@ class NavService:
         self._recompute_effective()
         state = state.replace(nav=state.nav.replace(
             cost_base=jnp.asarray(self.cost_base)))
-        # portal graphs + islands rebuild lazily from the new effective cost
-        self._graphs.clear()
-        self._islands.clear()
+        # already-built portal graphs update INCREMENTALLY — only dirty
+        # chunks' portals + links rebuild (ref: nav.c:2119-2206); unbuilt
+        # layers keep building lazily from the new effective cost. AIR
+        # layers never see structures (_recompute_effective), so their
+        # graphs are untouched.
+        from permafrost_engine_tpu.core.config import (
+            NUM_FOOTPRINTS, NavDomain)
+        dirty_rc = {(d // self.cfg.chunks_c, d % self.cfg.chunks_c)
+                    for d in dirty}
+        air0 = int(NavDomain.AIR) * NUM_FOOTPRINTS
+        for layer in list(self._graphs):
+            if air0 <= layer < air0 + NUM_FOOTPRINTS:
+                continue
+            self._graphs[layer], n_relinked = pt.update_portal_graph(
+                self._graphs[layer], self.cost_base[layer], dirty_rc,
+                self.cfg.chunks_r, self.cfg.chunks_c)
+            self.stats["chunks_rebuilt"] += n_relinked
+        # islands relabel lazily per layer (a cutout can split an island
+        # globally, so labels can't be patched chunk-locally); AIR layers
+        # keep theirs
+        for layer in list(self._islands):
+            if not (air0 <= layer < air0 + NUM_FOOTPRINTS):
+                del self._islands[layer]
+        self._edge_cache.clear()   # pids renumbered
         state = self._invalidate_chunk_fields(state, dirty)
         return state, dirty
 
@@ -404,7 +536,25 @@ class NavService:
         else:
             start_costs = self._portal_span_costs(graph, integ[0], s_chunk)
             goal_costs = self._portal_span_costs(graph, integ[1], g_chunk)
-            path = pt.astar_portals(graph, start_costs, goal_costs, (gr, gc))
+            # filter hops through corridors plugged by parked units: buried
+            # portals leave the virtual start/goal sets, island-split edges
+            # leave the graph (ref: a_star.c:212-258 per-hop local islands)
+            blocked, buried = self._blocked_edges(layer)
+            if buried:
+                start_costs = {p: c for p, c in start_costs.items()
+                               if p not in buried}
+                goal_costs = {p: c for p, c in goal_costs.items()
+                              if p not in buried}
+            path = pt.astar_portals(graph, start_costs, goal_costs, (gr, gc),
+                                    blocked)
+            if path is None and blocked:
+                # blockers are transient (units move / die): a possibly-
+                # plugged static path beats hard failure, matching the
+                # reference's fallback to the field-following path
+                start_costs = self._portal_span_costs(graph, integ[0], s_chunk)
+                goal_costs = self._portal_span_costs(graph, integ[1], g_chunk)
+                path = pt.astar_portals(graph, start_costs, goal_costs,
+                                        (gr, gc))
             if path is None:
                 self.stats["failed"] += 1
                 return self._clear_flock(state, flock_id), False, goal_xz

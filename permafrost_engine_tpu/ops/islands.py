@@ -60,3 +60,18 @@ def label_islands(cost: jax.Array, *, max_iters: int = 4096) -> jax.Array:
     _, lab, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), init, jnp.bool_(False)))
     return jnp.where(passable, lab, -1)
+
+
+@jax.jit
+def label_local_islands(cost: jax.Array, blockers: jax.Array) -> jax.Array:
+    """Per-chunk local island labels over cost WITH live unit blockers
+    stamped impassable: i32[K, F, F], -1 on blocked tiles.
+
+    The reference maintains blocker-aware ``local_islands`` per chunk and
+    uses them to filter A* hops through corridors plugged by parked units
+    (ref: src/navigation/nav_data.h:142-158, nav.c:655-693,
+    a_star.c:212-258). Batched over K chunks; labels are chunk-local
+    (each batch element is independent)."""
+    eff = jnp.where(blockers > 0, jnp.uint8(COST_IMPASSABLE),
+                    cost.astype(jnp.uint8))
+    return label_islands(eff, max_iters=512)
