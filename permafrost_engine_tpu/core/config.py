@@ -137,6 +137,12 @@ COHESION_RADIUS = 50.0
 ALIGNMENT_FORCE = 0.15
 ALIGNMENT_RADIUS = 10.0
 CELL_ARRIVAL_RADIUS = 30.0
+# Formation-specific steering (ref: movement.c:1524-2023 formation
+# cohesion/alignment/drag force builders): units with formation cells
+# steer to hold their CELL OFFSET relative to the moving flock centroid,
+# and velocity is dragged down near the cell to stop oscillation.
+FORMATION_COHESION_FORCE = 0.35
+FORMATION_DRAG = 0.15
 MAX_TURN_RATE_DEG = 15.0     # per tick at 20 Hz (movement.c:433-434)
 HEADING_HALT_DEG = 90.0      # halt to re-aim beyond this error
 HEADING_RESUME_DEG = 10.0

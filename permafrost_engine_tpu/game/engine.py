@@ -56,6 +56,19 @@ def _chunk_sig_kernel(pos, alive, faction, *, f_n: int, cr: int, cc: int):
     return sig.reshape(f_n, cr, cc)
 
 
+@functools.partial(jax.jit, static_argnames=("f_n", "l_n"))
+def _faction_layer_counts(alive, hp, faction, layer, *, f_n: int, l_n: int):
+    """LIVING-unit counts per (faction, nav layer) i32[f_n, l_n] — drives
+    which layers get per-layer chase fields (ref: field.c:1209-1678
+    builds enemy-seek per layer). Corpses (alive until decay, hp<=0)
+    don't chase, so they don't hold fields."""
+    f = jnp.clip(faction, 0, f_n - 1)
+    l = jnp.clip(layer, 0, l_n - 1)
+    idx = jnp.where(alive & (hp > 0), f * l_n + l, f_n * l_n)
+    return jnp.zeros((f_n * l_n + 1,), jnp.int32).at[idx].add(
+        1, mode="drop")[:-1].reshape(f_n, l_n)
+
+
 class Engine:
     def __init__(self, cfg: EngineConfig | None = None, *, seed: int = 0,
                  cost_base: np.ndarray | None = None):
@@ -133,8 +146,9 @@ class Engine:
         self._host_factions: set[int] = set()
         self._host_diplomacy = np.zeros(
             (self.cfg.max_factions, self.cfg.max_factions), np.int32)
-        # per-faction combat-chase field slots (enemy-seek global fields)
-        self._chase_gslot: dict[int, int] = {}
+        # per-(faction, nav layer) combat-chase field slots (enemy-seek
+        # global fields on each occupied layer's dilated costs)
+        self._chase_gslot: dict[tuple[int, int], int] = {}
 
     # -- map -------------------------------------------------------------------
 
@@ -547,13 +561,13 @@ class Engine:
             self.nav.stats["gslot_evictions"] = (
                 self.nav.stats.get("gslot_evictions", 0) + 1)
             if old < 0:
-                # faction chase field (pseudo-fid -(faction+1))
-                fac = -old - 1
-                self._chase_gslot.pop(fac, None)
-                self._field_sigs.pop(("chase", fac), None)
+                # faction chase field (pseudo-fid -(faction*L + layer + 1))
+                fac, lay = divmod(-old - 1, self.cfg.num_layers)
+                self._chase_gslot.pop((fac, lay), None)
+                self._field_sigs.pop(("chase", fac, lay), None)
                 ft = self.state.factions
                 self.state = self.state.replace(factions=ft.replace(
-                    chase_slot=ft.chase_slot.at[fac].set(-1)))
+                    chase_slot=ft.chase_slot.at[fac, lay].set(-1)))
             else:
                 self._seek_flocks.pop(old, None)
                 self._field_sigs.pop(old, None)
@@ -564,20 +578,29 @@ class Engine:
         return gslot
 
     def seek_enemies(self, uids: list[int]) -> bool:
-        """Order units to hunt the nearest enemies via a whole-map
-        enemy-seek field (ref: G_Move_SetSeekEnemies; field TARGET_ENEMIES).
-        The field refreshes periodically while the flock lives."""
+        """Order units to hunt the nearest enemies via whole-map
+        enemy-seek fields (ref: G_Move_SetSeekEnemies; field TARGET_ENEMIES).
+        The selection splits into per-layer flocks, each with a field
+        integrated on ITS layer's dilated costs (ref: field.c:1209-1678
+        per-layer builders); fields refresh while the flocks live."""
         if not uids:
             return False
-        self._commit_nav()
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        layers = np.asarray(self.state.ents.layer)[slots]
+        ok = False
+        for layer in np.unique(layers):
+            ok |= self._seek_enemies_layer(slots[layers == layer],
+                                           int(layer))
+        return ok
+
+    def _seek_enemies_layer(self, slots: np.ndarray, layer: int) -> bool:
+        self._commit_nav()
         if not self._free_flocks:
             self._reclaim_flocks()
         if not self._free_flocks:
             raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
         faction = int(np.asarray(self.state.ents.faction)[slots[0]])
-        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
         gslot = self._alloc_gslot(fid)
         self.state = self.nav.build_enemy_seek_field(
             self.state, faction, layer, gslot, flock_id=fid)
@@ -603,18 +626,28 @@ class Engine:
         return True
 
     def surround(self, uids: list[int], target_uid: int) -> bool:
-        """Converge on one entity via a whole-map surround field
-        (ref: G_Move_SetSurroundEntity, TARGET_ENTITY fields)."""
+        """Converge on one entity via whole-map surround fields
+        (ref: G_Move_SetSurroundEntity, TARGET_ENTITY fields). The
+        selection splits into per-layer flocks so big/water units follow
+        fields on their own layer's dilated costs."""
         if not uids or target_uid not in self.uid_to_slot:
             return False
-        self._commit_nav()
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
+        layers = np.asarray(self.state.ents.layer)[slots]
+        ok = False
+        for layer in np.unique(layers):
+            ok |= self._surround_layer(slots[layers == layer], target_uid,
+                                       int(layer))
+        return ok
+
+    def _surround_layer(self, slots: np.ndarray, target_uid: int,
+                        layer: int) -> bool:
+        self._commit_nav()
         if not self._free_flocks:
             self._reclaim_flocks()
         if not self._free_flocks:
             raise RuntimeError("flock table full")
         fid = self._free_flocks.pop()
-        layer = int(np.asarray(self.state.ents.layer)[slots[0]])
         gslot = self._alloc_gslot(fid)
         tslot = self.uid_to_slot[target_uid]
         self.state = self.nav.build_surround_field(
@@ -755,34 +788,57 @@ class Engine:
         d = ft.diplomacy.at[f1, f2].set(dstate).at[f2, f1].set(dstate)
         self.state = self.state.replace(factions=ft.replace(diplomacy=d))
 
-    def _refresh_chase_fields(self, sigs: np.ndarray | None = None) -> None:
-        """Rebuild each warring faction's enemy-seek chase field — combat
-        chasers (MOVING_TO_TARGET) follow it around walls instead of
-        straight-lining at their target (ref: field.c:1209-1678). Rebuilds
-        are change-driven by the per-faction chunk signatures."""
+    def _refresh_chase_fields(self, sigs: np.ndarray | None = None,
+                              fl_counts: np.ndarray | None = None) -> None:
+        """Rebuild each warring faction's enemy-seek chase fields — combat
+        chasers (MOVING_TO_TARGET) follow them around walls instead of
+        straight-lining at their target. One field per (faction, OCCUPIED
+        nav layer): big/water chasers get fields integrated on their own
+        layer's dilated costs (ref: field.c:1209-1678 per-layer enemy-seek
+        builders). Rebuilds are change-driven by the per-faction chunk
+        signatures; layers that empty out free their slot."""
         from permafrost_engine_tpu.core.config import DiplomacyState
 
         if sigs is None:
             sigs = self._faction_chunk_sigs()
+        if fl_counts is None:
+            e = self.state.ents
+            fl_counts = np.asarray(_faction_layer_counts(
+                e.alive, e.hp, e.faction.astype(jnp.int32),
+                e.layer.astype(jnp.int32),
+                f_n=self.cfg.max_factions, l_n=self.cfg.num_layers))
+        # free chase slots of (faction, layer) pairs that emptied out
+        for (f, lay), slot in list(self._chase_gslot.items()):
+            if fl_counts[f, lay] == 0:
+                del self._chase_gslot[(f, lay)]
+                self._field_sigs.pop(("chase", f, lay), None)
+                self._gslot_owner.pop(slot, None)
+                cs = self.state.factions.chase_slot.at[f, lay].set(-1)
+                self.state = self.state.replace(
+                    factions=self.state.factions.replace(chase_slot=cs))
         for f in sorted(self._host_factions):
             at_war = any(
                 self._host_diplomacy[f, g] == DiplomacyState.WAR
                 for g in self._host_factions if g != f)
             if not at_war:
                 continue
-            slot = self._chase_gslot.get(f)
-            fresh = slot is None
-            if fresh:
-                slot = self._alloc_gslot(-(f + 1))
-                self._chase_gslot[f] = slot
-                cs = self.state.factions.chase_slot.at[f].set(slot)
-                self.state = self.state.replace(
-                    factions=self.state.factions.replace(chase_slot=cs))
-            if not self._enemies_changed(("chase", f), f, sigs) and not fresh:
-                continue
-            self._touch_gslot(slot)
-            self.state = self.nav.build_enemy_seek_field(
-                self.state, f, 0, slot)
+            for lay in np.nonzero(fl_counts[f])[0]:
+                lay = int(lay)
+                slot = self._chase_gslot.get((f, lay))
+                fresh = slot is None
+                if fresh:
+                    slot = self._alloc_gslot(
+                        -(f * self.cfg.num_layers + lay + 1))
+                    self._chase_gslot[(f, lay)] = slot
+                    cs = self.state.factions.chase_slot.at[f, lay].set(slot)
+                    self.state = self.state.replace(
+                        factions=self.state.factions.replace(chase_slot=cs))
+                if (not self._enemies_changed(("chase", f, lay), f, sigs)
+                        and not fresh):
+                    continue
+                self._touch_gslot(slot)
+                self.state = self.nav.build_enemy_seek_field(
+                    self.state, f, lay, slot)
 
     def set_stance(self, uids: list[int], stance: int) -> None:
         slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
@@ -938,20 +994,27 @@ class Engine:
                     # DONATED into the next tick while the copy is in flight
                     jnp.copy(self.state.flocks.active),
                     jnp.copy(self.state.nav.blockers)
-                    if want_blockers else None)
+                    if want_blockers else None,
+                    _faction_layer_counts(
+                        e.alive, e.hp, e.faction.astype(jnp.int32),
+                        e.layer.astype(jnp.int32),
+                        f_n=self.cfg.max_factions,
+                        l_n=self.cfg.num_layers) if any_war else None)
                 for x in dev:
                     if x is not None:
                         x.copy_to_host_async()
                 prev, self._sigs_inflight = (
                     self._sigs_inflight, (self._frame, dev))
                 if prev is not None:
-                    snap_frame, (dsig, dact, dblk) = prev
+                    snap_frame, (dsig, dact, dblk, dflc) = prev
                     sigs = np.asarray(dsig)
                     if self._seek_flocks:
                         self.refresh_seek_fields(sigs, np.asarray(dact),
                                                  snap_frame)
                     if any_war:
-                        self._refresh_chase_fields(sigs)
+                        self._refresh_chase_fields(
+                            sigs, np.asarray(dflc)
+                            if dflc is not None else None)
                     if dblk is not None:
                         # corridors plugged/unplugged by parked units flip
                         # portal-edge states: flocks pathing through the

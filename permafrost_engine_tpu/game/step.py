@@ -133,13 +133,17 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     from permafrost_engine_tpu.core.config import CombatState
 
     chasing = ents.alive & (ents.combatstate == CombatState.MOVING_TO_TARGET)
-    # chase fields are integrated on layer 0 (ground 1x1); units of other
-    # layers would follow directions through gaps their footprint can't
-    # pass, so they keep direct arrive steering instead
+    # chase fields are built per (faction, layer): big/water chasers follow
+    # fields integrated on THEIR layer's dilated costs (ref: field.c:1209-
+    # 1678 per-layer enemy-seek). Flat take over the tiny [F, L] table —
+    # paired 2-D indexing would lower to the same element gather, the flat
+    # form keeps it explicit.
+    chase_flat = state.factions.chase_slot.reshape(-1)
     ent_gslot = jnp.where(
-        chasing & (ents.layer == 0),
-        state.factions.chase_slot[
-            jnp.clip(ents.faction, 0, cfg.max_factions - 1)],
+        chasing,
+        chase_flat[
+            jnp.clip(ents.faction, 0, cfg.max_factions - 1) * cfg.num_layers
+            + jnp.clip(ents.layer, 0, cfg.num_layers - 1)],
         -1)
     flow_dir, has_field = vel_ops.flow_velocity(
         ents.pos, ents.flock, state.flocks.field_slot, state.fields.flow,

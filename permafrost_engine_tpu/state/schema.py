@@ -164,9 +164,11 @@ class FactionTable:
     active: jax.Array        # bool[F]
     controllable: jax.Array  # bool[F]
     diplomacy: jax.Array     # i32[F,F] DiplomacyState matrix
-    chase_slot: jax.Array    # i32[F] global-flow slot of the faction's
-                             # enemy-seek field (combat chase routes through
-                             # it instead of straight-lining into walls,
+    chase_slot: jax.Array    # i32[F, L] global-flow slot of the faction's
+                             # enemy-seek field PER NAV LAYER (combat chase
+                             # routes through it instead of straight-lining
+                             # into walls; big/water chasers get fields on
+                             # their own layer's dilated costs,
                              # ref: field.c:1209-1678 enemy-seek builders)
 
 
@@ -310,7 +312,7 @@ def init_factions(cfg: EngineConfig) -> FactionTable:
         active=_z(f, jnp.bool_),
         controllable=_z(f, jnp.bool_),
         diplomacy=_z((f, f), jnp.int32),
-        chase_slot=jnp.full((f,), -1, jnp.int32),
+        chase_slot=jnp.full((f, cfg.num_layers), -1, jnp.int32),
     )
 
 
