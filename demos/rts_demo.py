@@ -59,10 +59,30 @@ def main():
     deaths = []
     pf.register_event_handler(pf.EVENT_ENTITY_DEATH, deaths.append)
 
+    # --- garrison mission: scouts ride a transport to the front -------------
+    tower = pf.GarrisonableEntity("t.pfobj", "tower", pos=(260, 0, 200),
+                                  faction_id=humans, garrison_capacity=4)
+    scouts = [pf.GarrisonEntity("s.pfobj", f"scout{i}",
+                                pos=(60 + 6 * i, 0, 240), speed=80.0,
+                                faction_id=humans)
+              for i in range(2)]
+    # garrison() is move-then-enter: returns False with a move order while
+    # far, True once adjacent — the script drives the mission like the
+    # reference's rts scripts do
+    pending = list(scouts)
+    for s in pending:
+        s.garrison(tower)
+
     pf.move_in_formation(knights, (300, 0, 280), pf.FORMATION_RANK)
+    pf.step(120)
+
+    # --- save MID-MARCH (formation flock live), reload, keep fighting -------
+    assert pf.save_session("/tmp/rts_demo_mid.bin")
+    assert pf.load_session("/tmp/rts_demo_mid.bin")
 
     for second in range(30):
         pf.step(60)
+        pending = [s for s in pending if not s.garrison(tower)]
         wood = pf.get_resource_stored(humans, "Wood")
         orc_alive = sum(0 if g.zombie else (1 if g.hp > 0 else 0)
                         for g in grunts)
@@ -75,6 +95,8 @@ def main():
     assert pf.get_resource_stored(humans, "Wood") >= 16, "economy failed"
     assert any(d["uid"] in [g.uid for g in grunts] for d in deaths), \
         "no orcs died"
+    garrisoned = tower.garrisoned_units
+    assert len(garrisoned) == 2, f"garrison failed: {garrisoned}"
 
     # --- session + presentation ----------------------------------------------
     assert pf.save_session("/tmp/rts_demo_save.bin")

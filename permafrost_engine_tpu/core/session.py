@@ -84,6 +84,11 @@ def save_session_bytes(engine) -> bytes:
         "nav_los_order": list(engine.nav.los_cache.order.items()),
         "nav_los_free": list(engine.nav.los_cache.free),
         "nav_flock_chunks": dict(engine.nav.flock_chunks),
+        "nav_flock_goal": dict(engine.nav.flock_goal),
+        # the live-blocker host snapshot feeds field builds; restoring it
+        # exactly keeps a loaded session's replans bit-identical to the
+        # uninterrupted run
+        "nav_blocker_snap": engine.nav._blocker_snap,
         "events": list(engine.events),
         # host subsystems (ref: G_SaveEntityState streams)
         "economy": {
@@ -182,6 +187,9 @@ def load_session_bytes(data: bytes):
     los.free = list(host["nav_los_free"])
     nav.los_cache = los
     nav.flock_chunks = dict(host.get("nav_flock_chunks", {}))
+    nav.flock_goal = dict(host.get("nav_flock_goal", {}))
+    snap = host.get("nav_blocker_snap")
+    nav._blocker_snap = None if snap is None else np.asarray(snap)
 
     # host subsystems
     if "economy" in host:

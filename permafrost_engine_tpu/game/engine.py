@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from permafrost_engine_tpu.core.config import (
     EngineConfig,
     EntityFlags,
+    FIELD_RES,
     MoveState,
     NAV_TILE_SIZE,
     footprint_for_radius,
@@ -54,6 +55,24 @@ def _chunk_sig_kernel(pos, alive, faction, *, f_n: int, cr: int, cc: int):
         tile[:, 0] + 8191 * tile[:, 1], mode="drop")
     sig = counts[:-1] * jnp.int32(1_000_003) + psum[:-1]
     return sig.reshape(f_n, cr, cc)
+
+
+@functools.partial(jax.jit, static_argnames=("f_n", "cr", "cc"))
+def _flock_chunk_occupancy(pos, alive, flock, *, f_n: int, cr: int, cc: int):
+    """bool[max_flocks, num_chunks]: chunks each flock's living members
+    currently occupy — drives on-demand field extension for strays
+    (ref: fieldcache.c:59-102 per-chunk on-demand field requests)."""
+    from permafrost_engine_tpu.core.config import FIELD_RES
+
+    tile = (pos / NAV_TILE_SIZE).astype(jnp.int32)
+    crd = jnp.clip(tile[:, 1] // FIELD_RES, 0, cr - 1)
+    ccd = jnp.clip(tile[:, 0] // FIELD_RES, 0, cc - 1)
+    ok = alive & (flock >= 0)
+    idx = jnp.where(ok, jnp.clip(flock, 0, f_n - 1) * (cr * cc)
+                    + crd * cc + ccd, f_n * cr * cc)
+    occ = jnp.zeros((f_n * cr * cc + 1,), jnp.bool_).at[idx].set(
+        True, mode="drop")
+    return occ[:-1].reshape(f_n, cr * cc)
 
 
 @functools.partial(jax.jit, static_argnames=("f_n", "l_n"))
@@ -206,7 +225,9 @@ class Engine:
 
     def _replan_flocks(self, dirty: set[int] | None) -> None:
         """Re-request paths for flocks whose installed path crosses dirty
-        chunks (None = every flock). The through-chunk half of the
+        chunks (None = every flock), ALL in one batched request — a
+        structure commit replanning 20 flocks costs the same device
+        dispatches as replanning one. The through-chunk half of the
         reference's cache invalidation (ref: fieldcache.h:53-167)."""
         active = np.asarray(self.state.flocks.active)
         if not active.any():
@@ -216,6 +237,7 @@ class Engine:
         pos = np.asarray(self.state.ents.pos)
         layers = np.asarray(self.state.flocks.layer)
         dests = np.asarray(self.state.flocks.dest)
+        reqs, members_of = [], {}
         for fid in np.nonzero(active)[0]:
             fid = int(fid)
             chunks = self.nav.flock_chunks.get(fid)
@@ -226,9 +248,14 @@ class Engine:
             members = np.nonzero(alive & (flock == fid))[0]
             if members.size == 0:
                 continue
+            members_of[fid] = members
             start = tuple(pos[members].mean(axis=0))
-            self.state, ok, eff = self.nav.request_path(
-                self.state, fid, start, tuple(dests[fid]), int(layers[fid]))
+            reqs.append((fid, start, tuple(dests[fid]), int(layers[fid])))
+        if not reqs:
+            return
+        self.state, results = self.nav.request_paths(self.state, reqs)
+        for (fid, _start, _goal, layer), (ok, eff) in zip(reqs, results):
+            members = members_of[fid]
             e = self.state.ents
             if ok:
                 g = jnp.asarray(np.asarray(eff, np.float32))
@@ -371,19 +398,60 @@ class Engine:
     def move(self, uids: list[int], goal_xz: tuple[float, float],
              domain: NavDomain = NavDomain.GROUND) -> bool:
         """Order units to a destination: split the selection into per-layer
-        flocks (ref: split_into_layers, movement.c:771-787), plan each
-        layer's path, install flow fields (ref: G_Move_SetDest ->
-        make_flocks -> N_RequestPath, movement.c:4717, 930)."""
+        flocks (ref: split_into_layers, movement.c:771-787), plan every
+        layer's path in ONE batched request, install flow fields
+        (ref: G_Move_SetDest -> make_flocks -> N_RequestPath,
+        movement.c:4717, 930)."""
         if not uids:
             return False
+        self._commit_nav()   # orders must see pending structure stamps
+        # a fresh order must see live unit blockers (parked-unit plugs flip
+        # portal-edge states, ref: nav.c:655-693); when no path flock was
+        # alive the pipelined cadence snapshot is missing/stale, so sync it
+        # here — event-rate, like the path request's own integrations
+        if self.nav._blocker_snap is None or not self.nav.flock_chunks:
+            self.nav.update_blockers(np.asarray(self.state.nav.blockers))
         slots = np.array([self.uid_to_slot[u] for u in uids], np.int32)
         layers = np.asarray(self.state.ents.layer)[slots]
-        ok_any = False
+        all_pos = np.asarray(self.state.ents.pos)
+
+        groups, reqs = [], []
         for layer in np.unique(layers):
             group = slots[layers == layer]
             guids = [u for u, l in zip(uids, layers) if l == layer]
-            ok_any |= self._move_layer(guids, group, goal_xz, int(layer))
+            if not self._free_flocks:
+                self._reclaim_flocks()
+            if not self._free_flocks:
+                raise RuntimeError("flock table full")
+            fid = self._free_flocks.pop()
+            start = tuple(all_pos[group].mean(axis=0))
+            groups.append((guids, group, int(layer), fid))
+            reqs.append((fid, start, goal_xz, int(layer)))
+
+        self.state, results = self.nav.request_paths(self.state, reqs)
+        ok_any = False
+        for (guids, group, layer, fid), (ok, eff_goal) in zip(groups,
+                                                              results):
+            self._apply_move_result(guids, group, goal_xz, layer, fid, ok,
+                                    eff_goal)
+            if ok:
+                self._extend_stray_chunks(fid, all_pos[group])
+            ok_any |= ok
         return ok_any
+
+    def _extend_stray_chunks(self, fid: int, gpos: np.ndarray) -> None:
+        """Members spread across chunks off the planned path (the path
+        starts at the CENTROID's chunk) get on-demand fields now — without
+        them they direct-seek and wedge on walls."""
+        occ = {self.nav._chunk_idx(
+            int(np.clip(p[1] // NAV_TILE_SIZE, 0,
+                        self.cfg.field_h - 1)) // FIELD_RES,
+            int(np.clip(p[0] // NAV_TILE_SIZE, 0,
+                        self.cfg.field_w - 1)) // FIELD_RES)
+            for p in gpos}
+        missing = [c for c in occ if self.nav.slot_mirror[fid, c] < 0]
+        if missing:
+            self.state = self.nav.extend_fields(self.state, fid, missing)
 
     def _ring_dests(self, slots: np.ndarray, goal_xz, layer: int):
         """Per-unit packed ring-slot destinations around the goal
@@ -399,25 +467,11 @@ class Engine:
             self.nav.cost_base[layer])
         return jnp.asarray(dests), True
 
-    def _move_layer(self, uids: list[int], slots: np.ndarray,
-                    goal_xz: tuple[float, float], layer: int) -> bool:
-        self._commit_nav()   # orders must see pending structure stamps
-        if not self._free_flocks:
-            self._reclaim_flocks()
-        if not self._free_flocks:
-            raise RuntimeError("flock table full")
-        fid = self._free_flocks.pop()
-        start = tuple(np.asarray(self.state.ents.pos)[slots].mean(axis=0))
-
-        # a fresh order must see live unit blockers (parked-unit plugs flip
-        # portal-edge states, ref: nav.c:655-693); when no path flock was
-        # alive the pipelined cadence snapshot is missing/stale, so sync it
-        # here — event-rate, like the path request's own integrations
-        if self.nav._blocker_snap is None or not self.nav.flock_chunks:
-            self.nav.update_blockers(np.asarray(self.state.nav.blockers))
-        self.state, ok, eff_goal = self.nav.request_path(
-            self.state, fid, start, goal_xz, layer)
-
+    def _apply_move_result(self, uids: list[int], slots: np.ndarray,
+                           goal_xz: tuple[float, float], layer: int,
+                           fid: int, ok: bool,
+                           eff_goal: tuple[float, float]) -> bool:
+        """Flock setup + events after a (possibly batched) path request."""
         goal = jnp.asarray(np.asarray(eff_goal if ok else goal_xz, np.float32))
         e = self.state.ents
         sl = jnp.asarray(slots)
@@ -440,6 +494,7 @@ class Engine:
             active=fl.active.at[fid].set(True),
             dest=fl.dest.at[fid].set(goal),
             layer=fl.layer.at[fid].set(layer),
+            formation=fl.formation.at[fid].set(0),
         )
         self.state = self.state.replace(ents=e, flocks=fl)
         # same event surface as device-side motion starts (_drain.emit):
@@ -533,11 +588,23 @@ class Engine:
             e = self.state.ents
             sl = jnp.asarray(group)
             cj = jnp.asarray(my_cells)
-            self.state = self.state.replace(ents=e.replace(
-                dest=e.dest.at[sl].set(cj),
-                formation_cell=e.formation_cell.at[sl].set(cj),
-                has_formation_cell=e.has_formation_cell.at[sl].set(True),
-            ))
+            fl = self.state.flocks
+            self.state = self.state.replace(
+                ents=e.replace(
+                    dest=e.dest.at[sl].set(cj),
+                    formation_cell=e.formation_cell.at[sl].set(cj),
+                    has_formation_cell=e.has_formation_cell.at[sl].set(True),
+                ),
+                # gates the formation keep/drag forces in the tick
+                flocks=fl.replace(
+                    formation=fl.formation.at[fid].set(int(ftype))))
+            # cell-seeded arrival fields: the goal-area chunks flow toward
+            # the formation FOOTPRINT, not the single goal tile, so units
+            # navigate obstacles on the final approach to their own cells
+            # (re-design of per-cell fields built in fiber tasks,
+            # ref: formation.c:354)
+            self.state = self.nav.install_formation_field(
+                self.state, fid, layer, my_cells)
             depth_off += block_depth(cells, direction) + 2.0 * spacing
         return any_cells
 
@@ -621,6 +688,7 @@ class Engine:
         fl = fl.replace(
             active=fl.active.at[fid].set(True),
             layer=fl.layer.at[fid].set(layer),
+            formation=fl.formation.at[fid].set(0),
         )
         self.state = self.state.replace(ents=e, flocks=fl)
         return True
@@ -667,6 +735,7 @@ class Engine:
             active=fl.active.at[fid].set(True),
             layer=fl.layer.at[fid].set(layer),
             target_ent=fl.target_ent.at[fid].set(tslot),
+            formation=fl.formation.at[fid].set(0),
         )
         self.state = self.state.replace(ents=e, flocks=fl)
         return True
@@ -749,6 +818,7 @@ class Engine:
             self.nav.slot_mirror[f, :] = -1
             self.nav.los_mirror[f, :] = -1
             self.nav.flock_chunks.pop(f, None)
+            self.nav.flock_goal.pop(f, None)
             self._seek_flocks.pop(f, None)
             self._seek_created.pop(f, None)
             self._field_sigs.pop(f, None)
@@ -999,14 +1069,18 @@ class Engine:
                         e.alive, e.hp, e.faction.astype(jnp.int32),
                         e.layer.astype(jnp.int32),
                         f_n=self.cfg.max_factions,
-                        l_n=self.cfg.num_layers) if any_war else None)
+                        l_n=self.cfg.num_layers) if any_war else None,
+                    _flock_chunk_occupancy(
+                        e.pos, e.alive, e.flock,
+                        f_n=self.cfg.max_flocks, cr=self.cfg.chunks_r,
+                        cc=self.cfg.chunks_c) if want_blockers else None)
                 for x in dev:
                     if x is not None:
                         x.copy_to_host_async()
                 prev, self._sigs_inflight = (
                     self._sigs_inflight, (self._frame, dev))
                 if prev is not None:
-                    snap_frame, (dsig, dact, dblk, dflc) = prev
+                    snap_frame, (dsig, dact, dblk, dflc, docc) = prev
                     sigs = np.asarray(dsig)
                     if self._seek_flocks:
                         self.refresh_seek_fields(sigs, np.asarray(dact),
@@ -1015,6 +1089,19 @@ class Engine:
                         self._refresh_chase_fields(
                             sigs, np.asarray(dflc)
                             if dflc is not None else None)
+                    if docc is not None:
+                        # units that drifted into chunks off their flock's
+                        # planned path get on-demand fields (ref:
+                        # fieldcache.c:59-102) instead of direct-seeking
+                        # into walls
+                        occ = np.asarray(docc)
+                        for fid in list(self.nav.flock_chunks):
+                            missing = np.nonzero(
+                                occ[fid]
+                                & (self.nav.slot_mirror[fid] < 0))[0]
+                            if missing.size:
+                                self.state = self.nav.extend_fields(
+                                    self.state, fid, missing)
                     if dblk is not None:
                         # corridors plugged/unplugged by parked units flip
                         # portal-edge states: flocks pathing through the
@@ -1143,8 +1230,38 @@ class Engine:
                  "ms_max": float(arr.max()),
                  "ms_mean": float(arr.mean()),
                  "frames": n_frames}
+        stats.update(self.tick_cost_analysis(stats["ms_p50"]))
         self.perf.counters["device_tick_exact_ms_p50"] = stats["ms_p50"]
         return stats
+
+    # TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 and
+    # ~819 GB/s HBM bandwidth — the roofline the tick is judged against
+    PEAK_FLOPS = 197e12
+    PEAK_HBM_BPS = 819e9
+
+    def tick_cost_analysis(self, tick_ms: float | None = None) -> dict:
+        """XLA cost analysis of the compiled tick: achieved FLOPs + HBM
+        bytes per tick, and (given a measured tick time) MFU / bandwidth
+        utilisation — quantifies compute- vs dispatch-bound (SURVEY §5
+        tracing mapping; the reference reads HW counters, perf.h:155-163,
+        which have no TPU user-space analogue — compiler cost analysis is
+        the honest substitute)."""
+        try:
+            ca = (self._tick_fn.lower(self.state, self._acc)
+                  .compile().cost_analysis())
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            byts = float(ca.get("bytes accessed", 0.0))
+        except Exception:
+            return {}
+        out = {"tick_flops": flops, "tick_hbm_bytes": byts}
+        if tick_ms:
+            sec = tick_ms / 1e3
+            out["mfu_pct"] = round(100.0 * flops / sec / self.PEAK_FLOPS, 3)
+            out["hbm_util_pct"] = round(
+                100.0 * byts / sec / self.PEAK_HBM_BPS, 2)
+        return out
 
     def pos_of(self, uid: int) -> np.ndarray:
         return np.asarray(self.state.ents.pos)[self.uid_to_slot[uid]]

@@ -165,7 +165,10 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     vpref = boids.preferred_velocity(
         ents.pos, ents.vel, ents.flock, ents.dest, flow_dir, use_arrive,
         max_speed_tick, neigh_idx, neigh_valid, moving_mask,
-        neigh_pos=neigh_pos, neigh_vel=neigh_vel, neigh_flock=neigh_flock)
+        neigh_pos=neigh_pos, neigh_vel=neigh_vel, neigh_flock=neigh_flock,
+        formation_cell=ents.formation_cell,
+        has_cell=ents.has_formation_cell,
+        flock_formation=state.flocks.formation, max_flocks=cfg.max_flocks)
 
     # ---- HRVO solve (ref: clearpath.c:694) -----------------------------------
     if crowd_kernel is not None:

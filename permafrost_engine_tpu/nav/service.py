@@ -96,6 +96,11 @@ class NavService:
         # VMEM Pallas kernel when PFTPU_USE_PALLAS=1 (flowfield_pallas)
         from permafrost_engine_tpu.ops.flowfield_pallas import select_backend
         self._integrate = select_backend()
+        # row-sharded whole-map integrator (parallel/fields.py); installed
+        # by parallel.step.sharded_engine when the engine is mesh-sharded
+        # so enemy-seek/surround builds scale with the mesh instead of
+        # running replicated (SURVEY §2.9 halo mapping)
+        self.sharded_integrate = None
         self.flow_cache = LruSlab(cfg.field_slab_slots)
         self.los_cache = LruSlab(cfg.los_slab_slots)
         # host mirrors of FlockTable slot tables for eviction scrubbing
@@ -104,6 +109,9 @@ class NavService:
         # chunks each flock's installed path runs through, for through-chunk
         # invalidation (ref: fieldcache.h:53-167 at-chunk/through-chunk)
         self.flock_chunks: dict[int, set[int]] = {}
+        # per-flock (layer, goal tile) for on-demand field extension when
+        # units occupy chunks the planned path never covered
+        self.flock_goal: dict[int, tuple[int, tuple[int, int]]] = {}
         # chunks dirtied by structure stamps awaiting commit_structures
         self._pending_dirty: set[int] = set()
         # live-unit blocker integration (ref: nav_data.h:142-158 blocker-
@@ -396,31 +404,39 @@ class NavService:
         return cr * self.cfg.chunks_c + cc
 
     def _chunk_cost(self, state: GameState, layer: int, cr: int, cc: int,
-                    with_blockers: bool = True) -> jnp.ndarray:
-        """Effective chunk cost on device: static cost, optionally with live
-        unit blockers stamped impassable (ref: nav blockers gate
-        pathability). Start/goal integrations and LOS use the static cost
-        only — the requesting units' own blocker stamps must not make their
-        seed tile unreachable (the reference excludes the querying flock
-        from its unit snapshot, nav.h:118-134)."""
+                    with_blockers: bool = True) -> np.ndarray:
+        """Static chunk cost from the HOST mirror (kept exactly in sync
+        with state.nav.cost_base by set_terrain/commit_structures) — host
+        slices avoid a per-chunk eager device dispatch through the remote
+        relay; the whole batch uploads once at integrate time.
+        Start/goal integrations and LOS use the static cost only — the
+        requesting units' own blocker stamps must not make their seed tile
+        unreachable (the reference excludes the querying flock from its
+        unit snapshot, nav.h:118-134)."""
         sl = (
             layer,
             slice(cr * FIELD_RES, (cr + 1) * FIELD_RES),
             slice(cc * FIELD_RES, (cc + 1) * FIELD_RES),
         )
-        base = state.nav.cost_base[sl]
+        base = self.cost_base[sl]
         if not with_blockers:
             return base
-        blk = state.nav.blockers[sl]
-        return jnp.where(blk > 0, jnp.uint8(COST_IMPASSABLE), base)
+        blk = self._chunk_blockers(state, layer, *sl[1:])
+        return np.where(blk > 0, np.uint8(COST_IMPASSABLE), base)
 
-    def _chunk_blockers(self, state: GameState, layer: int, cr: int,
-                        cc: int) -> jnp.ndarray:
-        return state.nav.blockers[
-            layer,
-            cr * FIELD_RES:(cr + 1) * FIELD_RES,
-            cc * FIELD_RES:(cc + 1) * FIELD_RES,
-        ]
+    def _chunk_blockers(self, state: GameState, layer: int, cr, cc,
+                        ) -> np.ndarray:
+        """Live unit blockers for a chunk, from the host snapshot the
+        engine refreshes at the field cadence (and syncs on fresh orders).
+        At most one refresh period stale — acceptable for build-time
+        avoidance of parked units, like the reference's per-tick blocker
+        counters read at request time (nav.c:4663-4705)."""
+        if not isinstance(cr, slice):
+            cr = slice(cr * FIELD_RES, (cr + 1) * FIELD_RES)
+            cc = slice(cc * FIELD_RES, (cc + 1) * FIELD_RES)
+        if self._blocker_snap is None:
+            return np.zeros((FIELD_RES, FIELD_RES), np.int32)
+        return self._blocker_snap[layer, cr, cc]
 
     def _portal_span_costs(
         self, graph: pt.PortalGraph, integ: np.ndarray, chunk: tuple[int, int]
@@ -486,103 +502,210 @@ class NavService:
         `effective_goal_xz` reflects it. On failure the flock's table is
         cleared and entities fall back to direct seek.
         """
-        self.stats["requests"] += 1
+        state, results = self.request_paths(
+            state, [(flock_id, start_xz, goal_xz, layer)])
+        ok, eff = results[0]
+        return state, ok, eff
+
+    def request_paths(
+        self,
+        state: GameState,
+        reqs: list[tuple[int, tuple[float, float], tuple[float, float], int]],
+    ) -> tuple[GameState, list[tuple[bool, tuple[float, float]]]]:
+        """Plan MANY path requests with batched device work: one padded
+        integrate for every request's start+goal chunks, one padded
+        integrate for every missing field, one batched LOS build. Ordering
+        20 flocks in a frame costs the same dispatches as ordering one
+        (the reference amortizes through its dest-keyed field cache,
+        fieldcache.c:59-102; same-frame batching amortizes the dispatches
+        themselves). `reqs`: (flock_id, start_xz, goal_xz, layer) each."""
         cfg = self.cfg
-        # clamp to the map: out-of-bounds orders target the nearest edge tile
-        sr, sc = tile_of(start_xz)
-        gr, gc = tile_of(goal_xz)
-        sr = min(max(sr, 0), cfg.field_h - 1)
-        sc = min(max(sc, 0), cfg.field_w - 1)
-        gr = min(max(gr, 0), cfg.field_h - 1)
-        gc = min(max(gc, 0), cfg.field_w - 1)
-
-        # ---- blocked-destination ladder (ref: nav.c:1860-1935) -------------
-        isl = self.islands(layer)
-        start_isl, sr, sc = self._start_island(layer, sr, sc)
-        if start_isl < 0:
-            self.stats["failed"] += 1
-            return self._clear_flock(state, flock_id), False, goal_xz
-        if isl[gr, gc] != start_isl:
-            # goal blocked or on another island: get as close as possible
-            rt = self._nearest_on_island(layer, start_isl, (gr, gc))
-            if rt is None:
+        results: list[tuple[bool, tuple[float, float]] | None] = \
+            [None] * len(reqs)
+        # ---- stage A: ladder + collect start/goal integration jobs ---------
+        live = []   # (ri, fid, layer, (sr,sc), (gr,gc), goal_xz)
+        for ri, (fid, start_xz, goal_xz, layer) in enumerate(reqs):
+            self.stats["requests"] += 1
+            sr, sc = tile_of(start_xz)
+            gr, gc = tile_of(goal_xz)
+            sr = min(max(sr, 0), cfg.field_h - 1)
+            sc = min(max(sc, 0), cfg.field_w - 1)
+            gr = min(max(gr, 0), cfg.field_h - 1)
+            gc = min(max(gc, 0), cfg.field_w - 1)
+            # blocked-destination ladder (ref: nav.c:1860-1935)
+            isl = self.islands(layer)
+            start_isl, sr, sc = self._start_island(layer, sr, sc)
+            if start_isl < 0:
                 self.stats["failed"] += 1
-                return self._clear_flock(state, flock_id), False, goal_xz
-            gr, gc = rt
-            goal_xz = ((gc + 0.5) * NAV_TILE_SIZE, (gr + 0.5) * NAV_TILE_SIZE)
-            self.stats["retargeted"] += 1
-        s_chunk = self._chunk_of_tile(sr, sc)
-        g_chunk = self._chunk_of_tile(gr, gc)
+                state = self._clear_flock(state, fid)
+                results[ri] = (False, goal_xz)
+                continue
+            if isl[gr, gc] != start_isl:
+                rt = self._nearest_on_island(layer, start_isl, (gr, gc))
+                if rt is None:
+                    self.stats["failed"] += 1
+                    state = self._clear_flock(state, fid)
+                    results[ri] = (False, goal_xz)
+                    continue
+                gr, gc = rt
+                goal_xz = ((gc + 0.5) * NAV_TILE_SIZE,
+                           (gr + 0.5) * NAV_TILE_SIZE)
+                self.stats["retargeted"] += 1
+            live.append((ri, fid, layer, (sr, sc), (gr, gc), goal_xz))
 
+        if not live:
+            return state, [r or (False, reqs[i][2])
+                           for i, r in enumerate(results)]
+
+        # one padded integrate over every live request's start+goal chunks
+        # (static cost: the requesting units' own blocker stamps must not
+        # bury the seeds)
+        k = 2 * len(live)
+        k_pad = 1 << (k - 1).bit_length()
+        costs, seeds = [], np.zeros((k_pad, FIELD_RES, FIELD_RES), bool)
+        for i, (_ri, _fid, layer, (sr, sc), (gr, gc), _g) in enumerate(live):
+            s_chunk = self._chunk_of_tile(sr, sc)
+            g_chunk = self._chunk_of_tile(gr, gc)
+            costs.append(self._chunk_cost(
+                state, layer, *s_chunk, with_blockers=False))
+            costs.append(self._chunk_cost(
+                state, layer, *g_chunk, with_blockers=False))
+            seeds[2 * i, sr % FIELD_RES, sc % FIELD_RES] = True
+            seeds[2 * i + 1, gr % FIELD_RES, gc % FIELD_RES] = True
+        for _ in range(k_pad - k):
+            costs.append(costs[0])
+        integ = np.asarray(self._integrate(
+            jnp.asarray(np.stack(costs)), jnp.asarray(seeds)))
+
+        # ---- stage B: A* + chunk sequences per request ---------------------
+        plans = []   # dicts for _install_fields_batch
+        for i, (ri, fid, layer, (sr, sc), (gr, gc), goal_xz) in \
+                enumerate(live):
+            graph = self.graph(layer)
+            s_chunk = self._chunk_of_tile(sr, sc)
+            g_chunk = self._chunk_of_tile(gr, gc)
+            s_integ, g_integ = integ[2 * i], integ[2 * i + 1]
+            chunk_seq: list = []
+            if (s_chunk == g_chunk
+                    and s_integ[gr % FIELD_RES, gc % FIELD_RES]
+                    < ff.INF_COST / 2):
+                chunk_seq = [(g_chunk, None, 0.0)]
+            else:
+                start_costs = self._portal_span_costs(graph, s_integ, s_chunk)
+                goal_costs = self._portal_span_costs(graph, g_integ, g_chunk)
+                # filter hops through corridors plugged by parked units:
+                # buried portals leave the virtual start/goal sets, island-
+                # split edges leave the graph (ref: a_star.c:212-258)
+                blocked, buried = self._blocked_edges(layer)
+                sc_f = {p: c for p, c in start_costs.items()
+                        if p not in buried}
+                gc_f = {p: c for p, c in goal_costs.items()
+                        if p not in buried}
+                path = pt.astar_portals(graph, sc_f, gc_f, (gr, gc), blocked)
+                if path is None and blocked:
+                    # blockers are transient (units move / die): a possibly-
+                    # plugged static path beats hard failure
+                    path = pt.astar_portals(graph, start_costs, goal_costs,
+                                            (gr, gc))
+                if path is None:
+                    self.stats["failed"] += 1
+                    state = self._clear_flock(state, fid)
+                    results[ri] = (False, goal_xz)
+                    continue
+                chunk_seq = self._chunk_seq_from_path(
+                    graph, path, goal_costs, g_chunk)
+
+            # through-chunk tracking for invalidation-driven replans
+            self.flock_chunks[fid] = (
+                {self._chunk_idx(*c) for c, _, _ in chunk_seq}
+                | {self._chunk_idx(*s_chunk), self._chunk_idx(*g_chunk)})
+            self.flock_goal[fid] = (layer, (gr, gc))
+            plans.append(dict(flock_id=fid, layer=layer, goal_rc=(gr, gc),
+                              chunk_seq=chunk_seq, extend=False))
+            results[ri] = (True, goal_xz)
+
+        if plans:
+            state = self._install_fields_batch(state, plans)
+        return state, [r for r in results]
+
+    @staticmethod
+    def _chunk_seq_from_path(
+        graph: pt.PortalGraph, path: list[int],
+        goal_costs: dict[int, float], g_chunk: tuple[int, int],
+    ) -> list[tuple[tuple[int, int], tuple | None, float]]:
+        """Walk an A* portal path backwards into (chunk, seed-signature,
+        cost-to-goal) entries: dest chunk seeded at the goal, every other
+        path chunk at its exit-portal span (ref: nav.c:1941-2042)."""
+        ctg = {path[-1]: float(goal_costs.get(path[-1], 0.0))}
+        for i in range(len(path) - 2, -1, -1):
+            w = next(w for q, w in graph.adj[path[i]] if q == path[i + 1])
+            ctg[path[i]] = ctg[path[i + 1]] + float(w)
+        seq = [(g_chunk, None, 0.0)]
+        for i in range(len(path) - 1):
+            p = graph.portals[path[i]]
+            if p.paired == path[i + 1]:
+                seq.append((p.chunk, ("portal", path[i]), ctg[path[i]]))
+        return seq
+
+    def extend_fields(
+        self, state: GameState, flock_id: int, chunk_idxs,
+    ) -> GameState:
+        """Install fields for chunks the flock's units OCCUPY but its
+        planned path never covered — spawn spread across a chunk border,
+        or drift under crowd pressure. Without this, strays fall back to
+        direct seek and wedge on walls. The reference requests fields on
+        demand per chunk as units enter chunks
+        (ref: src/navigation/fieldcache.c:59-102 dest-keyed on-demand
+        requests). A* runs from any portal of the stray chunk to the
+        flock's goal; missing chunks' fields install WITHOUT scrubbing the
+        flock's existing table."""
+        info = self.flock_goal.get(flock_id)
+        if info is None:
+            return state
+        layer, (gr, gc) = info
         graph = self.graph(layer)
-
-        # ---- phase A: start + goal chunk integrations (static cost: the
-        # requesting units' own blocker stamps must not bury the seeds) ----
-        costs = jnp.stack(
-            [self._chunk_cost(state, layer, *s_chunk, with_blockers=False),
-             self._chunk_cost(state, layer, *g_chunk, with_blockers=False)]
-        )
-        seeds = np.zeros((2, FIELD_RES, FIELD_RES), bool)
-        seeds[0, sr % FIELD_RES, sc % FIELD_RES] = True
-        seeds[1, gr % FIELD_RES, gc % FIELD_RES] = True
-        integ = np.asarray(self._integrate(costs, jnp.asarray(seeds)))
-
-        chunk_seq: list[tuple[tuple[int, int], tuple | None, float]] = []
-        # each entry: (chunk, seed_signature, cost_to_goal);
-        # signature None => goal seed
-
-        if s_chunk == g_chunk and integ[0, gr % FIELD_RES, gc % FIELD_RES] < ff.INF_COST / 2:
-            chunk_seq = [(g_chunk, None, 0.0)]
-        else:
-            start_costs = self._portal_span_costs(graph, integ[0], s_chunk)
-            goal_costs = self._portal_span_costs(graph, integ[1], g_chunk)
-            # filter hops through corridors plugged by parked units: buried
-            # portals leave the virtual start/goal sets, island-split edges
-            # leave the graph (ref: a_star.c:212-258 per-hop local islands)
-            blocked, buried = self._blocked_edges(layer)
-            if buried:
-                start_costs = {p: c for p, c in start_costs.items()
-                               if p not in buried}
-                goal_costs = {p: c for p, c in goal_costs.items()
-                              if p not in buried}
-            path = pt.astar_portals(graph, start_costs, goal_costs, (gr, gc),
-                                    blocked)
+        g_chunk = self._chunk_of_tile(gr, gc)
+        gcost = np.asarray(self._chunk_cost(
+            state, layer, *g_chunk, with_blockers=False))[None]
+        seeds = np.zeros((1, FIELD_RES, FIELD_RES), bool)
+        seeds[0, gr % FIELD_RES, gc % FIELD_RES] = True
+        ginteg = np.asarray(self._integrate(jnp.asarray(gcost),
+                                            jnp.asarray(seeds)))[0]
+        goal_costs_all = self._portal_span_costs(graph, ginteg, g_chunk)
+        blocked, buried = self._blocked_edges(layer)
+        goal_costs = {p: c for p, c in goal_costs_all.items()
+                      if p not in buried}
+        new_seq: list[tuple[tuple[int, int], tuple | None, float]] = []
+        covered: set[int] = set()
+        for ci in chunk_idxs:
+            ci = int(ci)
+            if self.slot_mirror[flock_id, ci] >= 0 or ci in covered:
+                continue
+            chunk = (ci // self.cfg.chunks_c, ci % self.cfg.chunks_c)
+            if chunk == g_chunk:
+                new_seq.append((chunk, None, 0.0))
+                covered.add(ci)
+                continue
+            pids = graph.by_chunk.get(chunk, [])
+            start_costs = {p: 0.0 for p in pids if p not in buried}
+            path = pt.astar_portals(graph, start_costs, goal_costs,
+                                    (gr, gc), blocked)
             if path is None and blocked:
-                # blockers are transient (units move / die): a possibly-
-                # plugged static path beats hard failure, matching the
-                # reference's fallback to the field-following path
-                start_costs = self._portal_span_costs(graph, integ[0], s_chunk)
-                goal_costs = self._portal_span_costs(graph, integ[1], g_chunk)
-                path = pt.astar_portals(graph, start_costs, goal_costs,
-                                        (gr, gc))
+                path = pt.astar_portals(graph, {p: 0.0 for p in pids},
+                                        goal_costs_all, (gr, gc))
             if path is None:
-                self.stats["failed"] += 1
-                return self._clear_flock(state, flock_id), False, goal_xz
-            # cost-to-goal per path node: seeds a chunk visited twice with
-            # globally consistent values (union field)
-            ctg = {path[-1]: float(goal_costs.get(path[-1], 0.0))}
-            for i in range(len(path) - 2, -1, -1):
-                w = next(w for q, w in graph.adj[path[i]]
-                         if q == path[i + 1])
-                ctg[path[i]] = ctg[path[i + 1]] + float(w)
-            # fields: dest chunk seeded at goal; every other chunk on the
-            # path seeded at its *exit*-portal span — the portal it leaves
-            # through toward the goal (walking backwards, ref: nav.c:1941-2042).
-            # In the A* node sequence, an exit portal is one immediately
-            # followed by its cross-edge pair.
-            chunk_seq = [(g_chunk, None, 0.0)]
-            for i in range(len(path) - 1):
-                p = graph.portals[path[i]]
-                if p.paired == path[i + 1]:
-                    chunk_seq.append((p.chunk, ("portal", path[i]),
-                                      ctg[path[i]]))
-
-        # through-chunk tracking for invalidation-driven replans
-        self.flock_chunks[flock_id] = (
-            {self._chunk_idx(*c) for c, _, _ in chunk_seq}
-            | {self._chunk_idx(*s_chunk), self._chunk_idx(*g_chunk)})
-        state = self._install_fields(state, flock_id, layer, (gr, gc), chunk_seq)
-        return state, True, goal_xz
+                continue
+            for entry in self._chunk_seq_from_path(
+                    graph, path, goal_costs_all, g_chunk):
+                ei = self._chunk_idx(*entry[0])
+                if self.slot_mirror[flock_id, ei] < 0 and ei not in covered:
+                    new_seq.append(entry)
+                    covered.add(ei)
+        if not new_seq:
+            return state
+        self.flock_chunks.setdefault(flock_id, set()).update(covered)
+        return self._install_fields(state, flock_id, layer, (gr, gc),
+                                    new_seq, extend=True)
 
     # -- field building -------------------------------------------------------
 
@@ -593,100 +716,156 @@ class NavService:
         layer: int,
         goal_rc: tuple[int, int],
         chunk_seq: list[tuple[tuple[int, int], tuple | None, float]],
+        extend: bool = False,
     ) -> GameState:
+        return self._install_fields_batch(state, [dict(
+            flock_id=flock_id, layer=layer, goal_rc=goal_rc,
+            chunk_seq=chunk_seq, extend=extend)])
+
+    def _install_fields_batch(self, state: GameState, plans: list[dict],
+                              ) -> GameState:
+        """Install flow + LOS fields for MANY plans with batched device
+        work: every missing flow field across all plans builds in ONE
+        padded integrate, every missing LOS map in ONE batched whole-map
+        build, and both flock tables push once.
+
+        A plan: flock_id, layer, goal_rc, chunk_seq, extend. A chunk the
+        path visits ONCE gets a plain field (uniform seed offsets don't
+        change flow dirs, so the cache key ignores the cost and stays
+        shareable); a chunk visited TWICE (exit + re-entry around a
+        U-wall) gets a union field whose seed classes carry their
+        remaining-path cost. EXTEND plans add chunks without dropping the
+        flock's installed rows."""
         cfg = self.cfg
-        graph = self.graph(layer)
-        gr, gc = goal_rc
+        # slot -> index into flow_jobs/los_jobs, so an eviction of a slot
+        # queued for building in THIS batch can void the stale job (the
+        # batched scatter would otherwise race two writers on one slot)
+        flow_jobs: list[dict | None] = []
+        flow_pending: dict[int, int] = {}
+        los_jobs: list[dict | None] = []
+        los_pending: dict[int, int] = {}
 
-        # group by chunk: a chunk the path visits ONCE gets a plain field
-        # (uniform seed offsets don't change flow dirs, so the cache key
-        # ignores the cost and stays shareable); a chunk visited TWICE
-        # (the path exits and re-enters, e.g. around a U-wall) gets a
-        # union field whose seed classes carry their remaining-path cost —
-        # one globally consistent downhill field for both visits
-        groups: dict[tuple[int, int], list[tuple[tuple | None, float]]] = {}
-        order_chunks: list[tuple[int, int]] = []
-        for chunk, sig, cost in chunk_seq:
-            if chunk not in groups:
-                order_chunks.append(chunk)
-            groups.setdefault(chunk, []).append((sig, cost))
+        for plan in plans:
+            flock_id = plan["flock_id"]
+            layer = plan["layer"]
+            gr, gc = plan["goal_rc"]
+            graph = self.graph(layer)
 
-        # cache keys use the portal's GEOMETRIC identity (side, span), not
-        # its pid: pids renumber globally whenever the portal graph
-        # rebuilds (structure commits), and a pid-keyed entry surviving in
-        # a clean chunk would collide with an unrelated new portal
-        def sig_key(sig, c=None):
-            if sig is None:
-                return ("goal", gr, gc) if c is None else ("goal", 0.0)
-            p = graph.portals[sig[1]]
-            ident = ("portal", p.side, p.lo, p.hi)
-            return ident if c is None else ident + (round(c, 1),)
+            groups: dict[tuple[int, int], list] = {}
+            order_chunks: list[tuple[int, int]] = []
+            for chunk, sig, cost in plan["chunk_seq"]:
+                if chunk not in groups:
+                    order_chunks.append(chunk)
+                groups.setdefault(chunk, []).append((sig, cost))
 
-        ordered = []
-        for chunk in order_chunks:
-            specs = groups[chunk]
-            if len(specs) == 1:
-                key = (layer, chunk, sig_key(specs[0][0]))
-            else:
-                key = (layer, chunk, ("multi", (gr, gc)) + tuple(
-                    sorted(sig_key(s, c) for s, c in specs)))
-            ordered.append((chunk, specs, key))
+            # cache keys use the portal's GEOMETRIC identity (side, span),
+            # not its pid: pids renumber globally whenever the portal
+            # graph rebuilds (structure commits), and a pid-keyed entry
+            # surviving in a clean chunk would collide with an unrelated
+            # new portal
+            def sig_key(sig, c=None, gr=gr, gc=gc, graph=graph):
+                if sig is None:
+                    return ("goal", gr, gc) if c is None else ("goal", 0.0)
+                p = graph.portals[sig[1]]
+                ident = ("portal", p.side, p.lo, p.hi)
+                return ident if c is None else ident + (round(c, 1),)
 
-        # cache lookups
-        to_build = []
-        assignments: list[tuple[tuple[int, int], int]] = []
-        evicted_any = False
-        for chunk, specs, key in ordered:
-            slot = self.flow_cache.get(key)
-            if slot is None:
-                self.stats["misses"] += 1
-                slot, evicted = self.flow_cache.put(key)
-                if evicted is not None:
-                    # another flock may still reference the recycled slot
-                    self.slot_mirror[self.slot_mirror == slot] = -1
-                    evicted_any = True
-                to_build.append((chunk, specs, slot))
-            else:
-                self.stats["hits"] += 1
-            assignments.append((chunk, slot))
+            ordered = []
+            for chunk in order_chunks:
+                specs = groups[chunk]
+                if len(specs) == 1:
+                    key = (layer, chunk, sig_key(specs[0][0]))
+                else:
+                    key = (layer, chunk, ("multi", (gr, gc)) + tuple(
+                        sorted(sig_key(s, c) for s, c in specs)))
+                ordered.append((chunk, specs, key))
 
-        # batched build of missing fields; the batch is padded to the next
-        # power of two so K only ever takes log-many distinct shapes (each
-        # distinct shape costs a full XLA compile on remote backends)
-        if to_build:
+            if not plan["extend"]:
+                self.slot_mirror[flock_id, :] = -1
+                self.los_mirror[flock_id, :] = -1
+
+            for chunk, specs, key in ordered:
+                slot = self.flow_cache.get(key)
+                if slot is None:
+                    self.stats["misses"] += 1
+                    slot, evicted = self.flow_cache.put(key)
+                    if evicted is not None:
+                        # another flock (or an earlier plan in this batch)
+                        # may still reference the recycled slot
+                        self.slot_mirror[self.slot_mirror == slot] = -1
+                        stale = flow_pending.pop(slot, None)
+                        if stale is not None:
+                            flow_jobs[stale] = None
+                    seeds = np.zeros((FIELD_RES, FIELD_RES), bool)
+                    svals = np.zeros((FIELD_RES, FIELD_RES), np.float32)
+                    multi = len(specs) > 1
+                    for sig, c in specs:
+                        if sig is None:
+                            seeds[gr % FIELD_RES, gc % FIELD_RES] = True
+                        else:
+                            t = graph.portals[sig[1]].span_tiles()
+                            seeds[t[:, 0], t[:, 1]] = True
+                            svals[t[:, 0], t[:, 1]] = c if multi else 0.0
+                    flow_pending[slot] = len(flow_jobs)
+                    flow_jobs.append(dict(layer=layer, chunk=chunk,
+                                          seeds=seeds, svals=svals,
+                                          slot=slot))
+                else:
+                    self.stats["hits"] += 1
+                self.slot_mirror[flock_id, self._chunk_idx(*chunk)] = slot
+
+            # LOS fields for EVERY chunk along the path: units that can
+            # see the goal direct-seek instead of following the field,
+            # even mid-path (the reference chains LOS dest->src across
+            # path chunks, ref: field.c:435-537, field.h:195-202; here ONE
+            # whole-map LOS build is sliced into the per-chunk slab —
+            # exact, not chained)
+            for chunk, _specs, _key in ordered:
+                los_key = (layer, chunk, ("los", gr, gc))
+                slot = self.los_cache.get(los_key)
+                if slot is None:
+                    slot, evicted = self.los_cache.put(los_key)
+                    if evicted is not None:
+                        # other flocks' device rows may still point at the
+                        # recycled slot; scrub or they get false has_los
+                        # from an unrelated destination's field
+                        self.los_mirror[self.los_mirror == slot] = -1
+                        stale = los_pending.pop(slot, None)
+                        if stale is not None:
+                            los_jobs[stale] = None
+                    los_pending[slot] = len(los_jobs)
+                    los_jobs.append(dict(layer=layer, gr=gr, gc=gc,
+                                         chunk=chunk, slot=slot))
+                self.los_mirror[flock_id, self._chunk_idx(*chunk)] = slot
+
+        # ---- one padded integrate for every missing flow field -------------
+        jobs = [j for j in flow_jobs if j is not None]
+        if jobs:
             costs, blks, seed_arr, cost_arr, slots = [], [], [], [], []
-            for chunk, specs, slot in to_build:
+            for j in jobs:
                 costs.append(self._chunk_cost(
-                    state, layer, *chunk, with_blockers=False))
-                blks.append(self._chunk_blockers(state, layer, *chunk))
-                seeds = np.zeros((FIELD_RES, FIELD_RES), bool)
-                svals = np.zeros((FIELD_RES, FIELD_RES), np.float32)
-                multi = len(specs) > 1
-                for sig, c in specs:
-                    if sig is None:
-                        seeds[gr % FIELD_RES, gc % FIELD_RES] = True
-                        svals[gr % FIELD_RES, gc % FIELD_RES] = 0.0
-                    else:
-                        t = graph.portals[sig[1]].span_tiles()
-                        seeds[t[:, 0], t[:, 1]] = True
-                        svals[t[:, 0], t[:, 1]] = c if multi else 0.0
-                seed_arr.append(seeds)
-                cost_arr.append(svals)
-                slots.append(slot)
-            k = len(to_build)
-            k_pad = 1 << (k - 1).bit_length()
-            for _ in range(k_pad - k):
+                    state, j["layer"], *j["chunk"], with_blockers=False))
+                blks.append(self._chunk_blockers(
+                    state, j["layer"], *j["chunk"]))
+                seed_arr.append(j["seeds"])
+                cost_arr.append(j["svals"])
+                slots.append(j["slot"])
+            # padded to powers of two: K takes log-many compile shapes
+            # (each distinct shape is a full XLA compile on remote backends)
+            k_pad = 1 << (len(jobs) - 1).bit_length()
+            for _ in range(k_pad - len(jobs)):
                 costs.append(costs[0])
                 blks.append(blks[0])
                 seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
                 cost_arr.append(np.zeros((FIELD_RES, FIELD_RES), np.float32))
                 slots.append(state.fields.flow.shape[0])   # dropped write
-            seeds_j = jnp.asarray(np.stack(seed_arr))
+            seeds_np = np.stack(seed_arr)
             # installed fields flow around parked units (blockers), but a
             # blocker must never bury a seed tile (goal/portal span)
-            costs = jnp.where(
-                (jnp.stack(blks) > 0) & ~seeds_j,
-                jnp.uint8(COST_IMPASSABLE), jnp.stack(costs))
+            costs = jnp.asarray(np.where(
+                (np.stack(blks) > 0) & ~seeds_np,
+                np.uint8(COST_IMPASSABLE), np.stack(costs)))
+            seeds_j = jnp.asarray(seeds_np)
             integ = self._integrate(costs, seeds_j,
                                     jnp.asarray(np.stack(cost_arr)))
             dirs = ff.flow_dirs(integ, costs)
@@ -694,62 +873,123 @@ class NavService:
                 dirs, mode="drop")
             state = state.replace(fields=state.fields.replace(flow=flow))
 
-        # point the flock's chunk->slot table at the fields
-        self.slot_mirror[flock_id, :] = -1
+        # ---- one batched build for every missing LOS map -------------------
+        ljobs = [j for j in los_jobs if j is not None]
+        if ljobs:
+            uniq: list[tuple[int, int, int]] = []
+            uidx: dict[tuple[int, int, int], int] = {}
+            for j in ljobs:
+                key = (j["layer"], j["gr"], j["gc"])
+                if key not in uidx:
+                    uidx[key] = len(uniq)
+                    uniq.append(key)
+            # padded to powers of two: U takes log-many compile shapes
+            u_pad = 1 << (len(uniq) - 1).bit_length()
+            padded = uniq + [uniq[0]] * (u_pad - len(uniq))
+            passable = jnp.stack([
+                state.nav.cost_base[layer] != COST_IMPASSABLE
+                for layer, _gr, _gc in padded])
+            grs = jnp.asarray([g for _l, g, _c in padded])
+            gcs = jnp.asarray([c for _l, _g, c in padded])
+            los_maps = np.asarray(ff.los_field(
+                passable, grs, gcs,
+                max_iters=2 * max(cfg.field_h, cfg.field_w)))
+            tiles = np.stack([
+                los_maps[uidx[(j["layer"], j["gr"], j["gc"])]]
+                [j["chunk"][0] * FIELD_RES:(j["chunk"][0] + 1) * FIELD_RES,
+                 j["chunk"][1] * FIELD_RES:(j["chunk"][1] + 1) * FIELD_RES]
+                for j in ljobs])
+            slots_j = jnp.asarray([j["slot"] for j in ljobs])
+            state = state.replace(fields=state.fields.replace(
+                los=state.fields.los.at[slots_j].set(
+                    jnp.asarray(tiles), mode="drop")))
+
+        # ---- push both flock tables once -----------------------------------
+        return state.replace(flocks=state.flocks.replace(
+            field_slot=jnp.asarray(self.slot_mirror, jnp.int32),
+            los_slot=jnp.asarray(self.los_mirror, jnp.int32)))
+
+    def install_formation_field(
+        self, state: GameState, flock_id: int, layer: int,
+        cells_xy: np.ndarray,
+    ) -> GameState:
+        """Replace the flock's fields in the chunks containing its
+        formation cells with CELL-SEEDED fields: every cell tile seeds at
+        cost 0, so the final approach flows toward the formation footprint
+        and around obstacles near it, then arrive-steers onto the exact
+        cell (re-design of the reference's per-cell arrival flow fields
+        built in fiber tasks, ref: src/game/formation.c:354)."""
+        cfg = self.cfg
+        tiles = np.unique(np.stack([
+            np.clip(cells_xy[:, 1] // NAV_TILE_SIZE, 0,
+                    cfg.field_h - 1).astype(np.int64),
+            np.clip(cells_xy[:, 0] // NAV_TILE_SIZE, 0,
+                    cfg.field_w - 1).astype(np.int64)], 1), axis=0)
+        groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for r, c in tiles:
+            groups.setdefault(self._chunk_of_tile(int(r), int(c)),
+                              []).append((int(r), int(c)))
+
+        to_build: list[tuple[tuple[int, int], list, int]] = []
+        assignments: list[tuple[tuple[int, int], int]] = []
+        evicted_any = False
+        for chunk, ctiles in groups.items():
+            local = tuple(sorted((r % FIELD_RES) * FIELD_RES + (c % FIELD_RES)
+                                 for r, c in ctiles))
+            key = (layer, chunk, ("cells",) + local)
+            slot = self.flow_cache.get(key)
+            if slot is None:
+                self.stats["misses"] += 1
+                slot, evicted = self.flow_cache.put(key)
+                if evicted is not None:
+                    self.slot_mirror[self.slot_mirror == slot] = -1
+                    evicted_any = True
+                to_build.append((chunk, ctiles, slot))
+            else:
+                self.stats["hits"] += 1
+            assignments.append((chunk, slot))
+
+        if to_build:
+            costs, blks, seed_arr, slots = [], [], [], []
+            for chunk, ctiles, slot in to_build:
+                costs.append(self._chunk_cost(
+                    state, layer, *chunk, with_blockers=False))
+                blks.append(self._chunk_blockers(state, layer, *chunk))
+                seeds = np.zeros((FIELD_RES, FIELD_RES), bool)
+                for r, c in ctiles:
+                    seeds[r % FIELD_RES, c % FIELD_RES] = True
+                seed_arr.append(seeds)
+                slots.append(slot)
+            k = len(to_build)
+            k_pad = 1 << (k - 1).bit_length()
+            for _ in range(k_pad - k):
+                costs.append(costs[0])
+                blks.append(blks[0])
+                seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
+                slots.append(state.fields.flow.shape[0])
+            seeds_np = np.stack(seed_arr)
+            costs = jnp.asarray(np.where(
+                (np.stack(blks) > 0) & ~seeds_np,
+                np.uint8(COST_IMPASSABLE), np.stack(costs)))
+            seeds_j = jnp.asarray(seeds_np)
+            integ = self._integrate(costs, seeds_j)
+            dirs = ff.flow_dirs(integ, costs)
+            flow = state.fields.flow.at[jnp.asarray(slots)].set(
+                dirs, mode="drop")
+            state = state.replace(fields=state.fields.replace(flow=flow))
+
         for chunk, slot in assignments:
-            self.slot_mirror[flock_id, self._chunk_idx(*chunk)] = slot
+            idx = self._chunk_idx(*chunk)
+            self.slot_mirror[flock_id, idx] = slot
+            # through-chunk tracking: structure/blocker changes in the
+            # formation's chunks replan it
+            self.flock_chunks.setdefault(flock_id, set()).add(idx)
         if evicted_any:
-            # eviction scrubbed other flocks' rows: push the whole mirror
             fs = jnp.asarray(self.slot_mirror, jnp.int32)
         else:
             fs = state.flocks.field_slot.at[flock_id].set(
                 jnp.asarray(self.slot_mirror[flock_id], jnp.int32))
-        state = state.replace(flocks=state.flocks.replace(field_slot=fs))
-
-        # LOS fields for EVERY chunk along the path: units that can see the
-        # goal direct-seek instead of following the field, even mid-path
-        # (the reference chains LOS dest->src across path chunks,
-        # ref: field.c:435-537, field.h:195-202; here ONE whole-map LOS
-        # build is sliced into the per-chunk slab — exact, not chained)
-        los_assign: list[tuple[tuple[int, int], int]] = []
-        los_need: list[tuple[tuple[int, int], int]] = []
-        los_evicted = False
-        for chunk, _sig, _key in ordered:
-            los_key = (layer, chunk, ("los", gr, gc))
-            slot = self.los_cache.get(los_key)
-            if slot is None:
-                slot, evicted = self.los_cache.put(los_key)
-                if evicted is not None:
-                    # other flocks' device rows may still point at the
-                    # recycled slot; scrub the mirror AND push it whole or
-                    # those flocks get false has_los from an unrelated
-                    # destination's field
-                    self.los_mirror[self.los_mirror == slot] = -1
-                    los_evicted = True
-                los_need.append((chunk, slot))
-            los_assign.append((chunk, slot))
-        if los_need:
-            passable = state.nav.cost_base[layer] != COST_IMPASSABLE
-            los_map = ff.los_field(
-                passable, gr, gc,
-                max_iters=2 * max(cfg.field_h, cfg.field_w))
-            tiles = jnp.stack([
-                jax.lax.dynamic_slice(
-                    los_map, (cr * FIELD_RES, cc * FIELD_RES),
-                    (FIELD_RES, FIELD_RES))
-                for (cr, cc), _ in los_need])
-            slots_j = jnp.asarray([s for _, s in los_need])
-            state = state.replace(fields=state.fields.replace(
-                los=state.fields.los.at[slots_j].set(tiles, mode="drop")))
-        self.los_mirror[flock_id, :] = -1
-        for chunk, slot in los_assign:
-            self.los_mirror[flock_id, self._chunk_idx(*chunk)] = slot
-        if los_evicted:
-            ls = jnp.asarray(self.los_mirror, jnp.int32)
-        else:
-            ls = state.flocks.los_slot.at[flock_id].set(
-                jnp.asarray(self.los_mirror[flock_id], jnp.int32))
-        return state.replace(flocks=state.flocks.replace(los_slot=ls))
+        return state.replace(flocks=state.flocks.replace(field_slot=fs))
 
     # -- whole-map fields (enemy-seek / surround) --------------------------------
 
@@ -800,8 +1040,13 @@ class NavService:
 
         # seek fields ignore blockers: enemies stand on blocked tiles
         cost = state.nav.cost_base[layer]
-        integ = ff.integrate(cost, seeds,
-                             max_iters=4 * max(self.cfg.field_h, self.cfg.field_w))
+        if self.sharded_integrate is not None:
+            # whole-map build executes row-sharded with ICI halo exchange
+            integ = self.sharded_integrate(cost, seeds)
+        else:
+            integ = ff.integrate(
+                cost, seeds,
+                max_iters=4 * max(self.cfg.field_h, self.cfg.field_w))
         dirs = ff.flow_dirs(integ, cost)
         gf = state.fields.global_flow.at[slot].set(dirs)
         state = state.replace(fields=state.fields.replace(global_flow=gf))
@@ -812,6 +1057,7 @@ class NavService:
 
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.flock_chunks.pop(flock_id, None)
+        self.flock_goal.pop(flock_id, None)
         self.slot_mirror[flock_id, :] = -1
         self.los_mirror[flock_id, :] = -1
         empty = jnp.full((self.cfg.num_chunks,), -1, jnp.int32)

@@ -26,8 +26,11 @@ from permafrost_engine_tpu.core.config import (
     ALIGNMENT_RADIUS,
     ARRIVE_FORCE,
     ARRIVE_SLOWING_RADIUS,
+    CELL_ARRIVAL_RADIUS,
     COHESION_FORCE,
     COHESION_RADIUS,
+    FORMATION_COHESION_FORCE,
+    FORMATION_DRAG,
     MAX_FORCE,
     SEPARATION_FORCE,
     SEPARATION_RADIUS,
@@ -101,6 +104,41 @@ def alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos, neigh_vel,
     return truncate(force, MAX_FORCE) * ALIGNMENT_FORCE
 
 
+def formation_keep_force(pos, vel, flock, cell, has_cell, flock_formation,
+                         max_flocks: int):
+    """Formation cohesion + drag (ref: movement.c:1524-2023 formation
+    force builders, re-designed for SPMD): each unit with a formation
+    cell steers toward its CELL OFFSET relative to the flock's moving
+    centroid — target_i = flock_centroid + (cell_i - cell_centroid) —
+    so a RANK block holds shape while marching and converges exactly
+    onto the cells as the centroid reaches them. Near the own cell,
+    velocity is dragged down to stop oscillation around the slot.
+
+    Per-flock centroids are two scatter-adds over [max_flocks] — no
+    gathers beyond one row take per entity. Gated on the flock's
+    FormationType: plain ring-slot moves (which also carry cells) keep
+    the reference's loose-crowd behaviour."""
+    in_formation = flock_formation[jnp.clip(flock, 0, max_flocks - 1)] > 0
+    mask = has_cell & (flock >= 0) & in_formation
+    idx = jnp.where(mask, flock, max_flocks)
+    cnt = jnp.zeros((max_flocks + 1,), jnp.float32).at[idx].add(
+        1.0, mode="drop")
+    m2 = jnp.where(mask[:, None], 1.0, 0.0)
+    psum = jnp.zeros((max_flocks + 1, 2), jnp.float32).at[idx].add(
+        pos * m2, mode="drop")
+    csum = jnp.zeros((max_flocks + 1, 2), jnp.float32).at[idx].add(
+        cell * m2, mode="drop")
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    pc = psum / denom
+    cc = csum / denom
+    fi = jnp.clip(idx, 0, max_flocks)
+    target = pc[fi] + (cell - cc[fi])
+    keep = truncate(target - pos, MAX_FORCE) * FORMATION_COHESION_FORCE
+    near_cell = jnp.linalg.norm(cell - pos, axis=-1) < CELL_ARRIVAL_RADIUS
+    drag = jnp.where(near_cell[:, None], -vel * FORMATION_DRAG, 0.0)
+    return jnp.where(mask[:, None], keep + drag, 0.0)
+
+
 def preferred_velocity(
     pos: jax.Array,          # f32[N,2]
     vel: jax.Array,          # f32[N,2] per-tick displacement
@@ -115,6 +153,10 @@ def preferred_velocity(
     neigh_pos: jax.Array | None = None,  # f32[N,K,2] from knn (avoids a gather)
     neigh_vel: jax.Array | None = None,  # f32[N,K,2] bucket payload
     neigh_flock: jax.Array | None = None,  # i32[N,K] bucket payload
+    formation_cell: jax.Array | None = None,  # f32[N,2] assigned cell
+    has_cell: jax.Array | None = None,        # bool[N]
+    flock_formation: jax.Array | None = None,  # i32[max_flocks] FormationType
+    max_flocks: int = 0,
 ) -> jax.Array:
     """Combined steering -> preferred velocity for the ClearPath solve.
 
@@ -140,6 +182,12 @@ def preferred_velocity(
     ali = alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos,
                           neigh_vel, neigh_flock, pos)
 
-    total = truncate(seek + sep + coh + ali, MAX_FORCE)
+    total = seek + sep + coh + ali
+    if (formation_cell is not None and has_cell is not None
+            and flock_formation is not None and max_flocks):
+        total = total + formation_keep_force(
+            pos, vel, flock, formation_cell, has_cell, flock_formation,
+            max_flocks)
+    total = truncate(total, MAX_FORCE)
     vpref = truncate(vel + total, max_speed_tick)
     return jnp.where(moving[..., None], vpref, 0.0)

@@ -89,6 +89,8 @@ def update_fog(
     # here it is the batched ring-DP shadowcaster (ops/shadowcast.py),
     # exact per viewer — ridge back-shadows really occlude.
     if tile_height is not None:
+        import os
+
         from permafrost_engine_tpu.ops.shadowcast import shadowcast_visibility
 
         visible = shadowcast_visibility(
@@ -96,7 +98,8 @@ def update_fog(
             alive & (faction >= 0) & (vision_range > 0),
             faction, vr_tiles, tile_height,
             radius=VISION_BUCKET_RADII[-1],
-            tiles_h=tiles_h, tiles_w=tiles_w, max_factions=max_factions)
+            tiles_h=tiles_h, tiles_w=tiles_w, max_factions=max_factions,
+            exact=os.environ.get("PFTPU_EXACT_FOG") == "1")
     else:
         chan = faction * nb + bucket
         nchan = max_factions * nb

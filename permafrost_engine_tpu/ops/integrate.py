@@ -123,13 +123,38 @@ def movement_update(
 
     # ---- position integration ----------------------------------------------
     advance = was_moving & ~need_turn & ~turning
-    cand_pos = pos + jnp.where(advance[:, None], new_vel, 0.0)
-    passable, cand_blocked = tile_passable(cand_pos, layer, cost_base, blockers)
+    vel_adv = jnp.where(advance[:, None], new_vel, 0.0)
     _, was_blocked = tile_passable(pos, layer, cost_base, blockers)
-    # accept unless impassable, or newly entering a blocked tile
-    # (ref: movement.c:2350-2358)
-    ok = passable & (~cand_blocked | was_blocked)
-    new_pos = jnp.where((advance & ok)[:, None], cand_pos, pos)
+
+    def _ok(cand):
+        # accept unless impassable, or newly entering a blocked tile
+        # (ref: movement.c:2350-2358)
+        passable, cand_blocked = tile_passable(
+            cand, layer, cost_base, blockers)
+        return passable & (~cand_blocked | was_blocked)
+
+    # WALL SLIDING: when the full move is rejected, keep the passable axis
+    # component (larger first). Without it, units pressed on a wall with
+    # any into-wall force component (cohesion toward flockmates across it,
+    # formation keep forces) freeze entirely instead of sliding along the
+    # wall toward a gap — a hard deadlock at choke points. The reference
+    # gets sliding from its physics response; here it is part of the
+    # integrator.
+    vx = vel_adv * jnp.asarray([1.0, 0.0])
+    vz = vel_adv * jnp.asarray([0.0, 1.0])
+    ok_full = _ok(pos + vel_adv)
+    ok_x = _ok(pos + vx)
+    ok_z = _ok(pos + vz)
+    prefer_x = jnp.abs(vel_adv[:, 0]) >= jnp.abs(vel_adv[:, 1])
+    first = jnp.where(prefer_x[:, None], vx, vz)
+    second = jnp.where(prefer_x[:, None], vz, vx)
+    ok_first = jnp.where(prefer_x, ok_x, ok_z)
+    ok_second = jnp.where(prefer_x, ok_z, ok_x)
+    slide = jnp.where(
+        ok_full[:, None], vel_adv,
+        jnp.where(ok_first[:, None], first,
+                  jnp.where(ok_second[:, None], second, 0.0)))
+    new_pos = pos + slide
     eff_vel = new_pos - pos
 
     # ---- stuck/wedge counter (ref: src/game/arrival.h stuck counters) -------
@@ -140,8 +165,17 @@ def movement_update(
     # closing speed must be a meaningful fraction of the commanded speed;
     # crawling at a few percent of capability through a packed crowd is
     # "wedged" for arrival purposes
-    progressing = (d_before - d_after) > jnp.maximum(
+    closing = (d_before - d_after) > jnp.maximum(
         0.05, 0.1 * jnp.linalg.norm(new_vel, axis=-1))
+    # FAR from the goal, real displacement is progress even when it does
+    # not close on the destination: units queueing laterally along a wall
+    # toward a choke move sideways for many ticks — freezing them into
+    # WAITING walls at the choke mouth deadlocks the queue. Near the goal
+    # only dest-closing counts (crowd packing must still settle).
+    far = d_after >= 5 * ARRIVAL_THRESHOLD
+    moving_well = jnp.linalg.norm(new_pos - pos, axis=-1) > jnp.maximum(
+        0.02, 0.3 * jnp.linalg.norm(new_vel, axis=-1))
+    progressing = closing | (far & moving_well)
     # leaky accumulator (debounced, ref: arrival.h): bursts of intermittent
     # creep in a packed crowd must not reset the wedge detection
     new_stuck = jnp.clip(
@@ -177,7 +211,10 @@ def movement_update(
         (dist_dest >= 5 * ARRIVAL_THRESHOLD) & ~arrived_now
     waiting = st == MoveState.WAITING
     new_wait = jnp.where(waiting, jnp.maximum(wait_ticks - 1, 0), wait_ticks)
-    new_wait = jnp.where(wait_now, WAIT_TICKS, new_wait)
+    # staggered stand-downs: a jammed clump resuming all at once re-jams
+    # immediately (thundering herd); per-slot jitter drains it in waves
+    jitter = jnp.arange(pos.shape[0], dtype=jnp.int32) % 16
+    new_wait = jnp.where(wait_now, WAIT_TICKS + 4 * jitter, new_wait)
     wait_done = waiting & (new_wait == 0)
 
     # ---- state transitions (priority: arrived > wait > turn > resume) --------

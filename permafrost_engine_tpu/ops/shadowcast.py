@@ -83,9 +83,42 @@ def _window_tables(radius: int):
     return (np.asarray(offs, np.int64), pa, pb, wb, ring_list, dist)
 
 
+@functools.cache
+def _ray_weight_table(radius: int) -> np.ndarray:
+    """Exact-mode table W f32[W2, W2]: W[t, w] = 1 / min distance at which
+    the dense ray march to target offset t samples window tile w (0 = the
+    ray never samples w). Sampling matches the reference's per-octant
+    cast_light discretization as modelled by the ray oracle: 4 samples per
+    unit distance, nearest-tile rounding (fog_of_war.c:427-541).
+
+    A blocker's max slope over its samples on ray t is then
+    (h[w] - eye) * W[t, w] — the whole exact occlusion test becomes one
+    masked max-reduction with NO gathers."""
+    r = radius
+    offs = [(dr, dc) for dr in range(-r, r + 1) for dc in range(-r, r + 1)]
+    idx_of = {o: i for i, o in enumerate(offs)}
+    w2 = len(offs)
+    w_tab = np.zeros((w2, w2), np.float32)
+    for i, (dr, dc) in enumerate(offs):
+        d = float(np.hypot(dr, dc))
+        if d == 0:
+            continue
+        steps = int(np.ceil(d)) * 4
+        ts = np.linspace(0, 1, steps, endpoint=False)[1:]
+        for t in ts:
+            sr = int(np.round(dr * t))
+            sc = int(np.round(dc * t))
+            j = idx_of[(sr, sc)]
+            if j == idx_of[(0, 0)]:
+                continue       # the viewer's own tile never occludes
+            ds = max(float(np.hypot(dr * t, dc * t)), 1e-6)
+            w_tab[i, j] = max(w_tab[i, j], 1.0 / ds)
+    return w_tab
+
+
 @functools.partial(jax.jit,
                    static_argnames=("radius", "tiles_h", "tiles_w",
-                                    "max_factions"))
+                                    "max_factions", "exact"))
 def shadowcast_visibility(
     pos_rc: jax.Array,        # i32[N,2] viewer tile (row, col)
     viewer_ok: jax.Array,     # bool[N] alive + vision > 0
@@ -97,8 +130,17 @@ def shadowcast_visibility(
     tiles_h: int,
     tiles_w: int,
     max_factions: int,
+    exact: bool = False,
 ) -> jax.Array:
-    """Per-faction visible mask with terrain occlusion. bool[F, TH, TW]."""
+    """Per-faction visible mask with terrain occlusion. bool[F, TH, TW].
+
+    exact=False (default): ring-ordered dual-parent horizon DP — K
+    sequential window steps, scales to thousands of viewers; crest
+    boundary tiles can disagree with an exact ray march by one tile.
+    exact=True: the dense ray-march occlusion itself as one masked
+    [N, W2, W2] max-reduction (zero gathers) — bit-exact vs the ray
+    oracle, O(window^4) per viewer, for modest viewer counts /
+    verification (enable engine-wide with PFTPU_EXACT_FOG=1)."""
     offs_np, pa_np, pb_np, wb_np, rings, dist_np = _window_tables(radius)
     offs = jnp.asarray(offs_np)           # [W2, 2]
     pa_t = jnp.asarray(pa_np)             # [W2]
@@ -123,6 +165,32 @@ def shadowcast_visibility(
     # the viewer's own tile never occludes (ring-1 parents are the center)
     center = w2 // 2
     block = block_slope.at[:, center].set(-1e9)
+
+    if exact:
+        # masked max-reduction over the static ray-sample weight table:
+        # maxslope[n, t] = max_w (h[n, w] - eye[n]) * W[t, w] over sampled
+        # blockers — the ray oracle, vectorized without a single gather
+        w_tab = jnp.asarray(_ray_weight_table(radius))       # [W2_t, W2_w]
+        rise = jnp.where((h > eye + 0.01) & in_bounds, h - eye, jnp.nan)
+        slopes = rise[:, None, :] * w_tab[None, :, :]        # [N, T, W]
+        slopes = jnp.where(jnp.isnan(slopes) | (w_tab[None] == 0.0),
+                           -1e9, slopes)
+        maxslope = jnp.max(slopes, axis=-1)                  # [N, T]
+        visible = (
+            viewer_ok[:, None]
+            & in_bounds
+            & (dist[None, :] <= vision_tiles[:, None])
+            & (maxslope <= see_slope + 1e-9)
+        )
+        flat = jnp.where(
+            visible,
+            jnp.clip(faction, 0, max_factions - 1)[:, None]
+            * (tiles_h * tiles_w) + rr * tiles_w + cc,
+            max_factions * tiles_h * tiles_w)
+        out = jnp.zeros((max_factions * tiles_h * tiles_w,), jnp.int32)
+        out = out.at[flat.reshape(-1)].add(1, mode="drop")
+        return (out.reshape(max_factions, tiles_h, tiles_w) > 0)
+
     horizon = jnp.full((n, w2), -1e9, jnp.float32)
     for ring_idx in rings:
         ri = jnp.asarray(ring_idx)

@@ -30,16 +30,17 @@ AXIS = "rows"
 
 def make_sharded_integrate(mesh: Mesh, h: int, w: int, *,
                            max_iters: int | None = None,
-                           check_every: int = 8):
+                           check_every: int = 8, axis: str = AXIS):
     """Build integrate(cost u8[H, W], seeds bool[H, W]) -> f32[H, W]
-    row-sharded over `mesh` (1-D)."""
+    row-sharded over `mesh` (1-D). `axis` names the mesh axis to shard
+    rows over (the engine's mesh calls it "ents")."""
     n_dev = mesh.devices.size
     assert h % n_dev == 0, f"rows {h} must divide over {n_dev} devices"
     max_iters = max_iters or 4 * max(h, w)
 
     def local_integrate(cost, seeds):
         """Runs per device on its [h/n, w] band."""
-        idx = jax.lax.axis_index(AXIS)
+        idx = jax.lax.axis_index(axis)
         up = (idx - 1) % n_dev
         down = (idx + 1) % n_dev
         first = idx == 0
@@ -56,9 +57,9 @@ def make_sharded_integrate(mesh: Mesh, h: int, w: int, *,
             row to the device below, so each device receives its
             neighbours' adjacent rows."""
             top_from_below = jax.lax.ppermute(
-                x[:1], AXIS, [(i, (i - 1) % n_dev) for i in range(n_dev)])
+                x[:1], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)])
             bot_from_above = jax.lax.ppermute(
-                x[-1:], AXIS, [(i, (i + 1) % n_dev) for i in range(n_dev)])
+                x[-1:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)])
             top = jnp.where(first, fill, bot_from_above)
             bot = jnp.where(last, fill, top_from_below)
             return jnp.concatenate([top, x, bot], axis=0)
@@ -82,7 +83,7 @@ def make_sharded_integrate(mesh: Mesh, h: int, w: int, *,
             new = jax.lax.fori_loop(
                 0, check_every, lambda _, x: relax_with_halo(x), integ)
             local_done = jnp.all(new == integ)
-            done = jax.lax.pmin(local_done.astype(jnp.int32), AXIS) > 0
+            done = jax.lax.pmin(local_done.astype(jnp.int32), axis) > 0
             return i + check_every, new, done
 
         _, integ, _ = jax.lax.while_loop(
@@ -91,7 +92,7 @@ def make_sharded_integrate(mesh: Mesh, h: int, w: int, *,
 
     fn = shard_map(
         local_integrate, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None)),
-        out_specs=P(AXIS, None),
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
     )
     return jax.jit(fn)

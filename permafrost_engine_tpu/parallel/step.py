@@ -75,4 +75,11 @@ def sharded_engine(engine, mesh, map_sharded: bool = False):
         out_shardings=deltas_shardings(engine.cfg, mesh))
     engine._acc = engine._make_empty()
     engine._scan_fn = None
+    if map_sharded and engine.cfg.field_h % mesh.devices.size == 0:
+        # whole-map seek/surround field builds run row-sharded with ICI
+        # halo exchange instead of replicated (SURVEY §2.9 halo mapping)
+        from permafrost_engine_tpu.parallel.fields import (
+            make_sharded_integrate)
+        engine.nav.sharded_integrate = make_sharded_integrate(
+            mesh, engine.cfg.field_h, engine.cfg.field_w, axis=ENT_AXIS)
     return engine

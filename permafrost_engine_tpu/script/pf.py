@@ -1236,7 +1236,14 @@ def save_session(path: str) -> bool:
 def load_session(path: str) -> bool:
     from permafrost_engine_tpu.core.session import load_session as _load
     ctx = context()
+    old_bus = ctx.engine.bus if ctx.engine is not None else None
     ctx.engine = _load(os.path.join(ctx.basedir, path))
+    if old_bus is not None:
+        # script-registered handlers survive a session load, as the
+        # reference's pickled script subscriptions do (ref: src/session.c
+        # S_PickleObjgraph round-trips the handler lists)
+        for key, lst in old_bus._handlers.items():
+            ctx.engine.bus._handlers[key].extend(lst)
     # rebind restored pf.Task instances (their _entry bound methods came
     # back through the scheduler snapshot)
     ctx.tasks = {}

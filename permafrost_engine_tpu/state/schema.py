@@ -99,6 +99,9 @@ class FlockTable:
     los_slot: jax.Array      # i32[F, num_chunks] LOS slab slot per chunk
     global_slot: jax.Array   # i32[F] whole-map field slot (enemy-seek /
                              # surround, ref: field.h TARGET_ENEMIES/ENTITY)
+    formation: jax.Array     # i32[F] FormationType (0 = none): gates the
+                             # formation keep/drag forces so plain ring-slot
+                             # moves don't get them (ref: formation.h types)
 
 
 @flax.struct.dataclass
@@ -266,6 +269,7 @@ def init_flocks(cfg: EngineConfig) -> FlockTable:
         field_slot=jnp.full((f, nc), -1, jnp.int32),
         los_slot=jnp.full((f, nc), -1, jnp.int32),
         global_slot=jnp.full((f,), -1, jnp.int32),
+        formation=_z(f, jnp.int32),
     )
 
 

@@ -125,3 +125,72 @@ def test_formation_move_settles_on_cells():
     # (the stuck-counter fallback, ref: arrival.h wedge counters)
     assert (dists < 6.0).sum() >= len(uids) - 2, dists
     assert (dists < 26.0).all(), dists
+
+
+def test_formation_keep_force_holds_offsets():
+    """The formation keep force pulls each unit toward its cell offset
+    relative to the MOVING flock centroid, and is gated off for plain
+    (non-formation) flocks (ref: movement.c:1524-2023)."""
+    import jax.numpy as jnp
+
+    from permafrost_engine_tpu.ops.boids import formation_keep_force
+
+    # two units side by side, cells also side by side but the whole block
+    # translated far away: keep force must point along each unit's OFFSET
+    # error, not at the distant cells
+    pos = jnp.asarray([[0.0, 0.0], [10.0, 0.0]])
+    vel = jnp.zeros((2, 2))
+    flock = jnp.asarray([0, 0])
+    # cells swapped relative to current offsets: left unit's cell is on
+    # the right of the cell centroid and vice versa
+    cell = jnp.asarray([[105.0, 0.0], [95.0, 0.0]])
+    has = jnp.asarray([True, True])
+    form_on = jnp.asarray([1, 0, 0, 0])
+    f = np.asarray(formation_keep_force(pos, vel, flock, cell, has,
+                                        form_on, 4))
+    # centroid (5,0); cell centroid (100,0); targets: (10,0) and (0,0)
+    assert f[0][0] > 0.1, "left unit should be pulled right to its slot"
+    assert f[1][0] < -0.1, "right unit should be pulled left to its slot"
+
+    form_off = jnp.asarray([0, 0, 0, 0])
+    f0 = np.asarray(formation_keep_force(pos, vel, flock, cell, has,
+                                         form_off, 4))
+    assert np.allclose(f0, 0.0), "non-formation flocks must get no force"
+
+
+def test_rank_column_holds_through_choke():
+    """64 units in RANK march through a 6-tile choke and RE-FORM on the
+    far side without dissolving: every unit settles near its cell and the
+    block's spread stays bounded (ref: formation.c:354 cell fields +
+    movement.c:1524-2023 formation forces)."""
+    from permafrost_engine_tpu.core.config import EngineConfig
+
+    cfg = EngineConfig(max_ents=128, chunks_r=2, chunks_c=2, num_layers=1,
+                       max_flocks=8, max_projectiles=8,
+                       field_slab_slots=32, los_slab_slots=32)
+    cost = np.ones((1, cfg.field_h, cfg.field_w), np.uint8)
+    # wall across the map at the chunk boundary, one 6-tile choke
+    cost[0, 62:66, :] = COST_IMPASSABLE
+    cost[0, 62:66, 61:67] = 1
+    eng = Engine(cfg, cost_base=cost)
+
+    rng = np.random.default_rng(5)
+    pos = (rng.random((64, 2)) * np.array([200.0, 80.0])
+           + np.array([150.0, 60.0])).astype(np.float32)
+    uids = eng.spawn_batch(pos, max_speed=80.0)
+    assert eng.move_in_formation(uids, (250.0, 420.0), FormationType.RANK)
+    fid = int(np.asarray(eng.state.ents.flock)[eng.uid_to_slot[uids[0]]])
+    assert int(np.asarray(eng.state.flocks.formation)[fid]) > 0
+
+    for _ in range(400):
+        eng.step(6)
+        if all(eng.movestate_of(u) == MoveState.ARRIVED for u in uids):
+            break
+    slots = [eng.uid_to_slot[u] for u in uids]
+    p = np.asarray(eng.state.ents.pos)[slots]
+    cells = np.asarray(eng.state.ents.formation_cell)[slots]
+    assert (p[:, 1] > 264.0).all(), "some units never crossed the choke"
+    d = np.linalg.norm(p - cells, axis=1)
+    # re-formed: most units on their cells, nobody far adrift
+    assert float(np.median(d)) < 8.0, f"median cell error {np.median(d)}"
+    assert (d < 30.0).all(), f"formation dissolved: {np.sort(d)[-5:]}"
