@@ -125,3 +125,35 @@ def test_clearpath_static_obstacle_detour():
         min_sep = min(min_sep, np.linalg.norm(pos[0] - pos[1]))
     assert min_sep > 2.4, f"clipped the obstacle: min sep {min_sep:.2f}"
     assert np.linalg.norm(pos[0] - dest) < 3.0, f"never arrived: {pos[0]}"
+
+
+def test_cohesion_window_truncation_quantified():
+    """Quantifies the documented divergence (core/config.py COHESION_RADIUS
+    note): flockmates beyond the ~32u knn window are invisible to cohesion
+    even though the reference constant is 50 (movement.c:418-437; its GPU
+    path truncates the same way). Inside the window, cohesion pulls."""
+    import jax.numpy as jnp
+
+    from permafrost_engine_tpu.ops.boids import cohesion_force
+
+    def coh_at(dist):
+        pos = jnp.asarray([[0.0, 0.0]])
+        flock = jnp.asarray([0])
+        # one neighbour at `dist`, same flock
+        neigh_idx = jnp.asarray([[1]])
+        neigh_valid = jnp.asarray([[True]])
+        neigh_pos = jnp.asarray([[[dist, 0.0]]])
+        neigh_flock = jnp.asarray([[0]])
+        f = cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos,
+                           neigh_flock)
+        return float(f[0, 0])
+
+    # within the grid window cohesion pulls toward the mate
+    assert coh_at(25.0) > 0.01
+    # the kernel itself honours the reference constant out to 50...
+    assert coh_at(45.0) > 0.01
+    # ...the truncation comes from the 5x5-cell window: window_candidates
+    # can't return neighbours beyond ~2.5 cells (40u) in the worst case
+    from permafrost_engine_tpu.core.config import SPATIAL_CELL_SIZE
+    max_window_reach = 2.5 * SPATIAL_CELL_SIZE
+    assert max_window_reach == 40.0
