@@ -150,6 +150,11 @@ class Engine:
         # per-field snapshots of the per-faction chunk signatures (the
         # blocker-count invalidation state, ref: nav_data.h:118-158)
         self._field_sigs: dict = {}
+        # blocker-edge flips at battle contact happen EVERY cadence (the
+        # arrived crowd stamps blockers); uncapped they replan whole 5000-
+        # unit flocks each period — a measured 30x fps collapse. Structure
+        # commits are never rate-limited, only blocker-driven replans.
+        self._blocker_replan_frame: dict[int, int] = {}
         self._nav_version = 0
         self._diplo_version = 0   # bumped on set_diplomacy: a new war must
                                   # rebuild seek fields even if nobody moved
@@ -223,15 +228,17 @@ class Engine:
             self._nav_version += 1        # cost edits invalidate seek fields
             self._replan_flocks(dirty)
 
-    def _replan_flocks(self, dirty: set[int] | None) -> None:
+    def _replan_flocks(self, dirty: set[int] | None,
+                       only_fids: set[int] | None = None) -> set[int]:
         """Re-request paths for flocks whose installed path crosses dirty
         chunks (None = every flock), ALL in one batched request — a
         structure commit replanning 20 flocks costs the same device
         dispatches as replanning one. The through-chunk half of the
-        reference's cache invalidation (ref: fieldcache.h:53-167)."""
+        reference's cache invalidation (ref: fieldcache.h:53-167).
+        Returns the set of flock ids replanned."""
         active = np.asarray(self.state.flocks.active)
         if not active.any():
-            return
+            return set()
         flock = np.asarray(self.state.ents.flock)
         alive = np.asarray(self.state.ents.alive)
         pos = np.asarray(self.state.ents.pos)
@@ -245,6 +252,8 @@ class Engine:
                 continue
             if dirty is not None and not (chunks & dirty):
                 continue
+            if only_fids is not None and fid not in only_fids:
+                continue
             members = np.nonzero(alive & (flock == fid))[0]
             if members.size == 0:
                 continue
@@ -252,12 +261,18 @@ class Engine:
             start = tuple(pos[members].mean(axis=0))
             reqs.append((fid, start, tuple(dests[fid]), int(layers[fid])))
         if not reqs:
-            return
+            return set()
         self.state, results = self.nav.request_paths(self.state, reqs)
-        for (fid, _start, _goal, layer), (ok, eff) in zip(reqs, results):
+        for (fid, _start, goal, layer), (ok, eff) in zip(reqs, results):
             members = members_of[fid]
             e = self.state.ents
             if ok:
+                # unchanged effective goal (the common replan: same dest,
+                # fresh fields around the new obstacle): members keep
+                # their ring slots / cells — reassigning them every replan
+                # churns a settling crowd into permanent motion
+                if np.linalg.norm(np.asarray(eff) - np.asarray(goal)) < 1.0:
+                    continue
                 g = jnp.asarray(np.asarray(eff, np.float32))
                 sl = jnp.asarray(members)
                 if members.size > 1:
@@ -279,6 +294,7 @@ class Engine:
                 # the stuck counter settles them (get-as-close semantics)
                 self.state = self.state.replace(ents=e.replace(
                     flock=e.flock.at[jnp.asarray(members)].set(-1)))
+        return set(members_of)
 
     def load_map_data(self, map_data) -> None:
         """Install a parsed PFMAP: compile nav costs + heights
@@ -1109,7 +1125,20 @@ class Engine:
                         # them (ref: nav.c:655-693 blocker-aware islands)
                         changed = self.nav.update_blockers(np.asarray(dblk))
                         if changed:
-                            self._replan_flocks(changed)
+                            # rate-limited per flock: a plugged corridor
+                            # reroutes within ~2s, but the constant edge
+                            # flicker of a settling battle crowd must not
+                            # replan 5000-unit flocks every cadence
+                            lim = 4 * self.seek_refresh_period
+                            ok_fids = {
+                                fid for fid in self.nav.flock_chunks
+                                if self._frame - self._blocker_replan_frame
+                                .get(fid, -lim) >= lim}
+                            if ok_fids:
+                                n = self._replan_flocks(changed, ok_fids)
+                                for fid in n:
+                                    self._blocker_replan_frame[fid] = \
+                                        self._frame
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

@@ -93,10 +93,36 @@ def update_fog(
 
         from permafrost_engine_tpu.ops.shadowcast import shadowcast_visibility
 
+        ok = alive & (faction >= 0) & (vision_range > 0)
+        # DEDUPE viewers by (faction, tile): a packed battle crowd stands
+        # many units per fog tile, and same-tile viewers with the max
+        # vision see a superset of the rest — EXACT, and it shrinks the
+        # O(N x window^2) shadowcast tensor ~4x at 10k fighters. Capacity
+        # max(1024, N/4) unique tiles; overflow tiles (beyond any
+        # realistic spread) degrade to no vision until the next update.
+        cap = max(1024, n // 4)
+        big = jnp.int32(max_factions * tiles_h * tiles_w)
+        key = jnp.where(ok, jnp.clip(faction, 0, max_factions - 1)
+                        * (tiles_h * tiles_w) + r * tiles_w + c, big)
+        # per-(faction, tile) max vision (dense scatter-max)
+        visg = jnp.zeros((max_factions * tiles_h * tiles_w + 1,),
+                         jnp.float32).at[key].max(vr_tiles, mode="drop")
+        skeys = jnp.sort(key)
+        first = (skeys != jnp.concatenate(
+            [jnp.full((1,), -1, skeys.dtype), skeys[:-1]])) & (skeys < big)
+        upos = jnp.cumsum(first) - 1
+        slot = jnp.where(first & (upos < cap), upos, cap)
+        ukeys = jnp.full((cap + 1,), big, jnp.int32).at[slot].set(
+            skeys, mode="drop")[:cap]
+        uvalid = ukeys < big
+        uk = jnp.where(uvalid, ukeys, 0)
+        uf = uk // (tiles_h * tiles_w)
+        ur = (uk % (tiles_h * tiles_w)) // tiles_w
+        uc = uk % tiles_w
+        uvis = visg[jnp.where(uvalid, ukeys, big)]
         visible = shadowcast_visibility(
-            jnp.stack([r, c], axis=1),
-            alive & (faction >= 0) & (vision_range > 0),
-            faction, vr_tiles, tile_height,
+            jnp.stack([ur, uc], axis=1).astype(jnp.int32),
+            uvalid, uf.astype(jnp.int32), uvis, tile_height,
             radius=VISION_BUCKET_RADII[-1],
             tiles_h=tiles_h, tiles_w=tiles_w, max_factions=max_factions,
             exact=os.environ.get("PFTPU_EXACT_FOG") == "1")

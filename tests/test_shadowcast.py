@@ -143,3 +143,39 @@ def test_exact_mode_equals_ray_oracle_on_rough_terrain():
     sel = np.hypot(*np.mgrid[0:40, 0:40]
                    - np.array([[[vr]], [[vc]]])) <= radius
     np.testing.assert_array_equal(got[sel], want[sel])
+
+
+def test_update_fog_viewer_dedupe_matches_per_viewer_union():
+    """The (faction, tile) viewer dedupe in ops/fog.py is exact: same-tile
+    viewers collapse to one max-vision viewer whose visibility is the
+    union's superset (it IS the union for a shared tile)."""
+    from permafrost_engine_tpu.ops.fog import (
+        UNITS_PER_TILE,
+        VISION_BUCKET_RADII,
+        update_fog,
+    )
+
+    th = tw = 48
+    heights = (np.random.default_rng(0).random((th, tw)) * 20
+               ).astype(np.float32)
+    fog0 = np.zeros((4, th, tw), np.uint8)
+    pos = np.array([[40.0, 40.0]] * 4 + [[41.0, 41.0]] * 2
+                   + [[120.0, 120.0]] * 3 + [[40.0, 40.0]] * 3, np.float32)
+    fac = np.array([0] * 9 + [1] * 3, np.int32)
+    alive = np.ones(12, bool)
+    vr = np.array([30, 50, 40, 20, 50, 30, 40, 40, 40, 50, 30, 20],
+                  np.float32)
+    out = np.asarray(update_fog(
+        jnp.asarray(fog0), jnp.asarray(True), jnp.asarray(pos),
+        jnp.asarray(alive), jnp.asarray(fac), jnp.asarray(vr),
+        jnp.asarray(heights), tiles_h=th, tiles_w=tw, max_factions=4))
+
+    r = np.clip((pos[:, 1] / UNITS_PER_TILE).astype(np.int32), 0, th - 1)
+    c = np.clip((pos[:, 0] / UNITS_PER_TILE).astype(np.int32), 0, tw - 1)
+    union = np.asarray(shadowcast_visibility(
+        jnp.asarray(np.stack([r, c], 1)), jnp.asarray(alive),
+        jnp.asarray(fac), jnp.asarray(vr / UNITS_PER_TILE),
+        jnp.asarray(heights), radius=VISION_BUCKET_RADII[-1],
+        tiles_h=th, tiles_w=tw, max_factions=4))
+    for f in (0, 1):
+        np.testing.assert_array_equal(out[f] > 0, union[f])
