@@ -112,6 +112,10 @@ class NavService:
         # per-flock (layer, goal tile) for on-demand field extension when
         # units occupy chunks the planned path never covered
         self.flock_goal: dict[int, tuple[int, tuple[int, int]]] = {}
+        # (fid, chunk) extensions that found no path (stray units on a
+        # different island): memoized so the cadence doesn't re-pay a
+        # device integrate every period; cleared when the world changes
+        self._extend_failed: set[tuple[int, int]] = set()
         # chunks dirtied by structure stamps awaiting commit_structures
         self._pending_dirty: set[int] = set()
         # live-unit blocker integration (ref: nav_data.h:142-158 blocker-
@@ -266,6 +270,7 @@ class NavService:
         self._graphs.clear()
         self._islands.clear()
         self._edge_cache.clear()
+        self._extend_failed.clear()
         for layer in range(self.cfg.num_layers):
             self.invalidate_layer(layer)
 
@@ -336,6 +341,7 @@ class NavService:
         if not self._pending_dirty:
             return state, None
         dirty, self._pending_dirty = self._pending_dirty, set()
+        self._extend_failed.clear()   # the world changed: strays may route
         self._recompute_effective()
         state = state.replace(nav=state.nav.replace(
             cost_base=jnp.asarray(self.cost_base)))
@@ -620,6 +626,8 @@ class NavService:
                 {self._chunk_idx(*c) for c, _, _ in chunk_seq}
                 | {self._chunk_idx(*s_chunk), self._chunk_idx(*g_chunk)})
             self.flock_goal[fid] = (layer, (gr, gc))
+            self._extend_failed = {
+                k for k in self._extend_failed if k[0] != fid}
             plans.append(dict(flock_id=fid, layer=layer, goal_rc=(gr, gc),
                               chunk_seq=chunk_seq, extend=False))
             results[ri] = (True, goal_xz)
@@ -662,6 +670,12 @@ class NavService:
         info = self.flock_goal.get(flock_id)
         if info is None:
             return state
+        chunk_idxs = [
+            int(ci) for ci in chunk_idxs
+            if self.slot_mirror[flock_id, int(ci)] < 0
+            and (flock_id, int(ci)) not in self._extend_failed]
+        if not chunk_idxs:
+            return state
         layer, (gr, gc) = info
         graph = self.graph(layer)
         g_chunk = self._chunk_of_tile(gr, gc)
@@ -679,7 +693,8 @@ class NavService:
         covered: set[int] = set()
         for ci in chunk_idxs:
             ci = int(ci)
-            if self.slot_mirror[flock_id, ci] >= 0 or ci in covered:
+            if (self.slot_mirror[flock_id, ci] >= 0 or ci in covered
+                    or (flock_id, ci) in self._extend_failed):
                 continue
             chunk = (ci // self.cfg.chunks_c, ci % self.cfg.chunks_c)
             if chunk == g_chunk:
@@ -694,6 +709,7 @@ class NavService:
                 path = pt.astar_portals(graph, {p: 0.0 for p in pids},
                                         goal_costs_all, (gr, gc))
             if path is None:
+                self._extend_failed.add((flock_id, ci))
                 continue
             for entry in self._chunk_seq_from_path(
                     graph, path, goal_costs_all, g_chunk):
@@ -1058,6 +1074,8 @@ class NavService:
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.flock_chunks.pop(flock_id, None)
         self.flock_goal.pop(flock_id, None)
+        self._extend_failed = {
+            k for k in self._extend_failed if k[0] != flock_id}
         self.slot_mirror[flock_id, :] = -1
         self.los_mirror[flock_id, :] = -1
         empty = jnp.full((self.cfg.num_chunks,), -1, jnp.int32)
