@@ -228,6 +228,14 @@ class Engine:
             self._nav_version += 1        # cost edits invalidate seek fields
             self._replan_flocks(dirty)
 
+    def _goal_chunk_hood(self, fid: int) -> set[int]:
+        """The flock's goal chunk — where its own crowd parks."""
+        info = self.nav.flock_goal.get(fid)
+        if info is None:
+            return set()
+        _layer, (gr, gc) = info
+        return {self.nav._chunk_idx(gr // FIELD_RES, gc // FIELD_RES)}
+
     def _replan_flocks(self, dirty: set[int] | None,
                        only_fids: set[int] | None = None) -> set[int]:
         """Re-request paths for flocks whose installed path crosses dirty
@@ -1125,15 +1133,24 @@ class Engine:
                         # them (ref: nav.c:655-693 blocker-aware islands)
                         changed = self.nav.update_blockers(np.asarray(dblk))
                         if changed:
-                            # rate-limited per flock: a plugged corridor
-                            # reroutes within ~2s, but the constant edge
-                            # flicker of a settling battle crowd must not
-                            # replan 5000-unit flocks every cadence
+                            # rate-limited per flock, and flips in a
+                            # flock's own GOAL chunk are excluded: those
+                            # are its settling crowd parking, not a
+                            # corridor problem — replanning on them
+                            # churned 5000-unit flocks every cadence
+                            # (measured 30x contact collapse)
                             lim = 4 * self.seek_refresh_period
-                            ok_fids = {
-                                fid for fid in self.nav.flock_chunks
-                                if self._frame - self._blocker_replan_frame
-                                .get(fid, -lim) >= lim}
+                            ok_fids = set()
+                            for fid in self.nav.flock_chunks:
+                                if (self._frame
+                                        - self._blocker_replan_frame
+                                        .get(fid, -lim) < lim):
+                                    continue
+                                eff = (changed
+                                       & self.nav.flock_chunks[fid])
+                                eff -= self._goal_chunk_hood(fid)
+                                if eff:
+                                    ok_fids.add(fid)
                             if ok_fids:
                                 n = self._replan_flocks(changed, ok_fids)
                                 for fid in n:

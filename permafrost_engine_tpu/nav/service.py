@@ -175,7 +175,13 @@ class NavService:
         caller replans flocks pathing through them (the reference
         recomputes blocked edge states each movement tick and re-routes,
         ref: nav.c:655-693, a_star.c:212-258)."""
-        self._blocker_snap = np.asarray(blk)
+        blk = np.asarray(blk)
+        if (self._blocker_snap is not None
+                and np.array_equal(blk, self._blocker_snap)):
+            # unchanged grid: keep the cached edge sets, nothing flipped
+            # (skips the per-cadence local-island device call entirely)
+            return set()
+        self._blocker_snap = blk
         self._blocker_epoch += 1
         changed: set[int] = set()
         for layer in list(self._graphs):
