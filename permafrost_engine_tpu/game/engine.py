@@ -1071,7 +1071,12 @@ class Engine:
             self.audio.tick(self.economy_period)
         if self._frame % self.seek_refresh_period == 0:
             any_war = bool(np.any(self._host_diplomacy == 2))
-            want_blockers = bool(self.nav.flock_chunks)
+            # the blocker machinery (3MB snapshot, local-island device
+            # call, extension checks) runs every OTHER refresh period:
+            # its consumers are rate-limited anyway, and the sync island
+            # compute otherwise stalls the dispatch pipeline each cadence
+            want_blockers = bool(self.nav.flock_chunks) and (
+                self._frame % (2 * self.seek_refresh_period) == 0)
             if self._seek_flocks or any_war or want_blockers:
                 # pipelined like the delta drains: start an ASYNC copy of
                 # this cadence's (sigs, flock_active, blockers) snapshot and

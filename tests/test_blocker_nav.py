@@ -146,3 +146,31 @@ def test_fully_sealed_by_blockers_falls_back_to_static_path():
     u = eng.spawn_batch(np.array([START], np.float32), max_speed=80.0)
     assert eng.move(u, GOAL), \
         "transient full plug must not hard-fail the order"
+
+
+def test_settled_crowd_does_not_churn_replans():
+    """Edge flips confined to a flock's own GOAL chunk (its crowd parking)
+    must not replan it — the blocker-replan storm that collapsed battle
+    contact fps 30x. Flips elsewhere on the path still do."""
+    eng = _engine()
+    eng.seek_refresh_period = 6
+    squad = eng.spawn_batch(
+        np.array([[100.0 + 6 * i, 80.0] for i in range(6)], np.float32),
+        max_speed=80.0)
+    assert eng.move(squad, GOAL)
+    fid = int(np.asarray(eng.state.ents.flock)[eng.uid_to_slot[squad[0]]])
+    goal_chunk = next(iter(eng._goal_chunk_hood(fid)))
+
+    # stub the edge-flip source: flips ONLY in the goal chunk -> no replan
+    requests = eng.nav.stats["requests"]
+    eng.nav.update_blockers = lambda blk: {goal_chunk}
+    eng.step(30)
+    assert eng.nav.stats["requests"] == requests, \
+        "goal-chunk flips churned the flock into replanning"
+
+    # flips on a mid-path chunk -> replan fires (rate limit fresh)
+    other = next(c for c in eng.nav.flock_chunks[fid] if c != goal_chunk)
+    eng.nav.update_blockers = lambda blk: {other}
+    eng.step(30)
+    assert eng.nav.stats["requests"] > requests, \
+        "mid-path flip never replanned"

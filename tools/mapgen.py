@@ -34,25 +34,28 @@ def make_battle_map(chunks: int = 4) -> MapData:
         return slice(int(a * s), int(b * s))
 
     # ---- west wall with two gates (choke points) -------------------------
+    # gates/bridges are ~10-12 tiles (80-96 world units): wide enough for
+    # a 5000-unit army to stream through without a permanent jam, narrow
+    # enough that A*, portals and choke crowding stay hot
     m.pathable[rows(4, 124), cols(44, 46)] = False
-    m.pathable[rows(30, 37), cols(44, 46)] = True    # north gate
-    m.pathable[rows(90, 97), cols(44, 46)] = True    # south gate
+    m.pathable[rows(28, 38), cols(44, 46)] = True    # north gate
+    m.pathable[rows(88, 98), cols(44, 46)] = True    # south gate
 
     # ---- river with two bridges (water layers live here) -----------------
     m.base_height[rows(0, 128), cols(56, 61)] = -2
-    m.base_height[rows(38, 45), cols(56, 61)] = 0    # north bridge
-    m.base_height[rows(82, 89), cols(56, 61)] = 0    # south bridge
+    m.base_height[rows(36, 48), cols(56, 61)] = 0    # north bridge
+    m.base_height[rows(80, 92), cols(56, 61)] = 0    # south bridge
 
     # ---- plateau with cliff edges and two ramp cuts ----------------------
     m.base_height[rows(10, 118), cols(66, 81)] = 4
     # gradual ramp cuts: height climbs 1 unit per map tile across the cut
     for i, c in enumerate(range(int(66 * s), int(70 * s))):
         h = min(4, i + 1)
-        m.base_height[rows(38, 46), c] = h
-        m.base_height[rows(80, 88), c] = h
+        m.base_height[rows(36, 48), c] = h
+        m.base_height[rows(78, 90), c] = h
     for i, c in enumerate(range(int(77 * s), int(81 * s))):
         h = max(0, 3 - i)
-        m.base_height[rows(38, 46), c] = h
-        m.base_height[rows(80, 88), c] = h
+        m.base_height[rows(36, 48), c] = h
+        m.base_height[rows(78, 90), c] = h
 
     return m
