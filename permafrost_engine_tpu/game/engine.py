@@ -1145,6 +1145,8 @@ class Engine:
                             # churned 5000-unit flocks every cadence
                             # (measured 30x contact collapse)
                             lim = 4 * self.seek_refresh_period
+                            occ_np = (np.asarray(docc)
+                                      if docc is not None else None)
                             ok_fids = set()
                             for fid in self.nav.flock_chunks:
                                 if (self._frame
@@ -1154,7 +1156,22 @@ class Engine:
                                 eff = (changed
                                        & self.nav.flock_chunks[fid])
                                 eff -= self._goal_chunk_hood(fid)
-                                if eff:
+                                if not eff:
+                                    continue
+                                # host-only A* pre-check: replan only when
+                                # the DETOUR STATUS changed since the plan
+                                # (a plug appeared or cleared) — same-
+                                # status edge flicker was the dominant
+                                # contact-phase host cost
+                                occ_chunks = (
+                                    np.nonzero(occ_np[fid])[0]
+                                    if occ_np is not None
+                                    else list(self.nav.flock_chunks[fid]))
+                                detour_now = self.nav.blockers_change_route(
+                                    fid, occ_chunks)
+                                if detour_now != \
+                                        self.nav.flock_plan_detoured.get(
+                                            fid, False):
                                     ok_fids.add(fid)
                             if ok_fids:
                                 n = self._replan_flocks(changed, ok_fids)

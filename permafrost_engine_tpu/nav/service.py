@@ -116,6 +116,10 @@ class NavService:
         # different island): memoized so the cadence doesn't re-pay a
         # device integrate every period; cleared when the world changes
         self._extend_failed: set[tuple[int, int]] = set()
+        # was the flock's installed plan detoured by blocked edges? a
+        # CHANGE in this status (plug appears / clears) triggers exactly
+        # one replan instead of replanning on every edge flicker
+        self.flock_plan_detoured: dict[int, bool] = {}
         # chunks dirtied by structure stamps awaiting commit_structures
         self._pending_dirty: set[int] = set()
         # live-unit blocker integration (ref: nav_data.h:142-158 blocker-
@@ -199,6 +203,56 @@ class NavService:
             self.stats["blocker_replans"] += 1
         return changed
 
+    def blockers_change_route(self, fid: int,
+                              occupied_chunk_idxs) -> bool:
+        """Host-only pre-check for blocker-driven replans: does the A*
+        route from the flock's occupied chunks to its goal differ WITH
+        the blocked-edge filtering vs without? If not, the edge flips
+        are cosmetic for this flock and the (device-costly) replan is
+        skipped — the dominant battle-contact host cost before this check
+        was same-route replans (measured 2.75 ms/frame)."""
+        info = self.flock_goal.get(fid)
+        if info is None:
+            return False
+        layer, (gr, gc) = info
+        graph = self.graph(layer)
+        g_chunk = self._chunk_of_tile(gr, gc)
+        blocked, buried = self._blocked_edges(layer)
+        if not blocked and not buried:
+            return False
+        goal_costs = {p: 0.0
+                      for p in graph.by_chunk.get(g_chunk, [])}
+        start_costs: dict[int, float] = {}
+        for ci in occupied_chunk_idxs:
+            chunk = (int(ci) // self.cfg.chunks_c,
+                     int(ci) % self.cfg.chunks_c)
+            if chunk == g_chunk:
+                continue
+            for p in graph.by_chunk.get(chunk, []):
+                start_costs[p] = 0.0
+        if not start_costs or not goal_costs:
+            return False
+
+        def geom(path):
+            if path is None:
+                return None
+            return tuple((graph.portals[p].chunk, graph.portals[p].side,
+                          graph.portals[p].lo, graph.portals[p].hi)
+                         for p in path)
+
+        # both runs use the pure-Python solver (a dummy blocked edge forces
+        # it): native/python tie-breaking differences must not read as a
+        # route change
+        dummy = frozenset({(-1, -1)})
+        filt = pt.astar_portals(
+            graph,
+            {p: c for p, c in start_costs.items() if p not in buried},
+            {p: c for p, c in goal_costs.items() if p not in buried},
+            (gr, gc), (blocked | dummy) if blocked else dummy)
+        plain = pt.astar_portals(graph, start_costs, goal_costs,
+                                 (gr, gc), dummy)
+        return geom(filt) != geom(plain)
+
     def _blocked_edges(self, layer: int) -> tuple[frozenset, frozenset]:
         """(blocked portal-graph edges, buried portal pids) for a layer
         under the current blocker snapshot. An intra-chunk edge is blocked
@@ -224,20 +278,24 @@ class NavService:
             out = (frozenset(), frozenset())
             self._edge_cache[layer] = (self._blocker_epoch, *out)
             return out
-        # batched blocker-aware local island labels on device, padded to
-        # powers of two so K takes log-many compile shapes
-        from permafrost_engine_tpu.ops.islands import label_local_islands
-        k = len(dirty)
-        k_pad = 1 << (k - 1).bit_length()
-        costs = np.zeros((k_pad, FIELD_RES, FIELD_RES), np.uint8)
-        blks = np.zeros((k_pad, FIELD_RES, FIELD_RES), np.int32)
+        # HOST local-island labels (scipy C-speed): this runs at the
+        # refresh cadence, where a synchronous device call would stall the
+        # dispatch pipeline ~30 ms through the remote relay (measured:
+        # the blocker machinery cost 2.75 ms/frame at battle contact).
+        # 4-connectivity components are EXACTLY the pathing connectivity:
+        # a diagonal step is legal only when both orthogonal intermediates
+        # are passable, i.e. when the two cells are already 4-connected
+        # through one of them (ops/islands.py device kernel remains for
+        # batched request-time use and as the semantics oracle in tests).
+        from scipy import ndimage
+        labels = np.empty((len(dirty), FIELD_RES, FIELD_RES), np.int32)
         for i, (cr, cc) in enumerate(dirty):
             sl = (slice(cr * FIELD_RES, (cr + 1) * FIELD_RES),
                   slice(cc * FIELD_RES, (cc + 1) * FIELD_RES))
-            costs[i] = self.cost_base[layer][sl]
-            blks[i] = b[sl]
-        labels = np.asarray(label_local_islands(
-            jnp.asarray(costs), jnp.asarray(blks)))
+            passable = ((self.cost_base[layer][sl] != COST_IMPASSABLE)
+                        & (b[sl] == 0))
+            lab, _n = ndimage.label(passable)
+            labels[i] = lab - 1          # -1 = blocked, like the kernel
         # per-portal local component at its span (min label over unblocked
         # span tiles; -1 = buried)
         comp: dict[int, int] = {}
@@ -634,6 +692,8 @@ class NavService:
             self.flock_goal[fid] = (layer, (gr, gc))
             self._extend_failed = {
                 k for k in self._extend_failed if k[0] != fid}
+            self.flock_plan_detoured[fid] = self.blockers_change_route(
+                fid, [self._chunk_idx(*s_chunk)])
             plans.append(dict(flock_id=fid, layer=layer, goal_rc=(gr, gc),
                               chunk_seq=chunk_seq, extend=False))
             results[ri] = (True, goal_xz)
@@ -1080,6 +1140,7 @@ class NavService:
     def _clear_flock(self, state: GameState, flock_id: int) -> GameState:
         self.flock_chunks.pop(flock_id, None)
         self.flock_goal.pop(flock_id, None)
+        self.flock_plan_detoured.pop(flock_id, None)
         self._extend_failed = {
             k for k in self._extend_failed if k[0] != flock_id}
         self.slot_mirror[flock_id, :] = -1

@@ -162,15 +162,25 @@ def test_settled_crowd_does_not_churn_replans():
     goal_chunk = next(iter(eng._goal_chunk_hood(fid)))
 
     # stub the edge-flip source: flips ONLY in the goal chunk -> no replan
+    # even when the route WOULD change (the hood exclusion runs first)
     requests = eng.nav.stats["requests"]
     eng.nav.update_blockers = lambda blk: {goal_chunk}
+    eng.nav.blockers_change_route = lambda fid, occ: True
     eng.step(30)
     assert eng.nav.stats["requests"] == requests, \
         "goal-chunk flips churned the flock into replanning"
 
-    # flips on a mid-path chunk -> replan fires (rate limit fresh)
+    # flips on a mid-path chunk WITH a route change -> replan fires
     other = next(c for c in eng.nav.flock_chunks[fid] if c != goal_chunk)
     eng.nav.update_blockers = lambda blk: {other}
     eng.step(30)
     assert eng.nav.stats["requests"] > requests, \
         "mid-path flip never replanned"
+
+    # ...and a mid-path flip whose detour status is UNCHANGED since the
+    # plan does not replan again (edge flicker at battle contact)
+    requests2 = eng.nav.stats["requests"]
+    eng._blocker_replan_frame.clear()     # defeat the rate limit
+    eng.step(60)
+    assert eng.nav.stats["requests"] == requests2, \
+        "same-detour-status flicker replanned again"

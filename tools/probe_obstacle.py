@@ -1,0 +1,85 @@
+"""Obstacle-map battle attribution probe (real TPU).
+
+Measures scan-mode fps at battle contact on the obstacle map under
+ablations, A/B within ONE session (the relay varies run to run):
+
+  full         — everything on (the bench's contact configuration)
+  no_fog       — fog disabled (isolates the height-aware shadowcaster)
+  no_blockers  — blocker machinery cadence off (isolates nav churn)
+  no_host      — raw scan segments, no host systems at all
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_obstacle.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import numpy as np
+
+
+def measure(eng, frames=120, reps=3, scan=True):
+    drive = eng.step_scan if scan else eng.step
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        drive(frames)
+        jax.block_until_ready(eng.state.ents.pos)
+        vals.append(frames / (time.perf_counter() - t0))
+    return float(np.median(vals))
+
+
+def main():
+    import bench
+
+    eng = bench.build_battle(terrain=True)
+    n0 = 10000
+    eng.step(60)
+    bench.fast_forward_until(eng, lambda a: a < n0)
+    eng.step_scan(300)
+    print("alive at contact:", bench.alive_count(eng), flush=True)
+
+    full = measure(eng)
+    print(f"full: {full:.1f} fps", flush=True)
+
+    # fog off (device flag; the fog substep becomes a no-op read)
+    eng.state = eng.state.replace(fog=eng.state.fog.replace(
+        enabled=jax.numpy.asarray(False)))
+    no_fog = measure(eng)
+    print(f"no_fog: {no_fog:.1f} fps", flush=True)
+    eng.state = eng.state.replace(fog=eng.state.fog.replace(
+        enabled=jax.numpy.asarray(True)))
+
+    # blocker machinery off
+    saved_chunks = eng.nav.flock_chunks
+    eng.nav.flock_chunks = {}
+    no_blockers = measure(eng)
+    print(f"no_blockers: {no_blockers:.1f} fps", flush=True)
+    eng.nav.flock_chunks = saved_chunks
+
+    # raw scan segments without host cadence work: temporarily silence
+    # diplomacy+seek so step_scan takes the no-host path
+    dip = eng._host_diplomacy.copy()
+    eng._host_diplomacy[:] = 0
+    seek = eng._seek_flocks
+    eng._seek_flocks = {}
+    eng.nav.flock_chunks = {}
+    no_host = measure(eng)
+    print(f"no_host: {no_host:.1f} fps", flush=True)
+    eng._host_diplomacy[:] = dip
+    eng._seek_flocks = seek
+    eng.nav.flock_chunks = saved_chunks
+
+    print({
+        "full": round(full, 1), "no_fog": round(no_fog, 1),
+        "no_blockers": round(no_blockers, 1), "no_host": round(no_host, 1),
+    })
+
+
+if __name__ == "__main__":
+    main()
