@@ -1070,6 +1070,9 @@ class Engine:
                 self.anim.tick(self.economy_period / 60.0)
             self.audio.tick(self.economy_period)
         if self._frame % self.seek_refresh_period == 0:
+            import time as _time
+            _cnt = self.perf.counters
+            _t0 = _time.perf_counter()
             any_war = bool(np.any(self._host_diplomacy == 2))
             # the blocker machinery (3MB snapshot, local-island device
             # call, extension checks) runs every OTHER refresh period:
@@ -1108,21 +1111,32 @@ class Engine:
                         x.copy_to_host_async()
                 prev, self._sigs_inflight = (
                     self._sigs_inflight, (self._frame, dev))
+                _cnt["blk_snapshot_ms"] += (_time.perf_counter() - _t0) * 1e3
                 if prev is not None:
                     snap_frame, (dsig, dact, dblk, dflc, docc) = prev
+                    _t0 = _time.perf_counter()
                     sigs = np.asarray(dsig)
+                    _cnt["blk_sig_fetch_ms"] += (
+                        _time.perf_counter() - _t0) * 1e3
                     if self._seek_flocks:
+                        _t0 = _time.perf_counter()
                         self.refresh_seek_fields(sigs, np.asarray(dact),
                                                  snap_frame)
+                        _cnt["seek_refresh_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
                     if any_war:
+                        _t0 = _time.perf_counter()
                         self._refresh_chase_fields(
                             sigs, np.asarray(dflc)
                             if dflc is not None else None)
+                        _cnt["chase_refresh_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
                     if docc is not None:
                         # units that drifted into chunks off their flock's
                         # planned path get on-demand fields (ref:
                         # fieldcache.c:59-102) instead of direct-seeking
                         # into walls
+                        _t0 = _time.perf_counter()
                         occ = np.asarray(docc)
                         for fid in list(self.nav.flock_chunks):
                             missing = np.nonzero(
@@ -1131,12 +1145,17 @@ class Engine:
                             if missing.size:
                                 self.state = self.nav.extend_fields(
                                     self.state, fid, missing)
+                        _cnt["blk_extend_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
                     if dblk is not None:
+                        _t0 = _time.perf_counter()
                         # corridors plugged/unplugged by parked units flip
                         # portal-edge states: flocks pathing through the
                         # flipped chunks replan around (or back through)
                         # them (ref: nav.c:655-693 blocker-aware islands)
                         changed = self.nav.update_blockers(np.asarray(dblk))
+                        _cnt["blk_update_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
                         if changed:
                             # rate-limited per flock, and flips in a
                             # flock's own GOAL chunk are excluded: those
@@ -1145,6 +1164,7 @@ class Engine:
                             # churned 5000-unit flocks every cadence
                             # (measured 30x contact collapse)
                             lim = 4 * self.seek_refresh_period
+                            _t0 = _time.perf_counter()
                             occ_np = (np.asarray(docc)
                                       if docc is not None else None)
                             ok_fids = set()
@@ -1173,11 +1193,16 @@ class Engine:
                                         self.nav.flock_plan_detoured.get(
                                             fid, False):
                                     ok_fids.add(fid)
+                            _cnt["blk_route_ms"] += (
+                                _time.perf_counter() - _t0) * 1e3
                             if ok_fids:
+                                _t0 = _time.perf_counter()
                                 n = self._replan_flocks(changed, ok_fids)
                                 for fid in n:
                                     self._blocker_replan_frame[fid] = \
                                         self._frame
+                                _cnt["blk_replan_ms"] += (
+                                    _time.perf_counter() - _t0) * 1e3
         if eco_live and (force or self._frame % self.economy_period == 0):
             self.economy.tick()
             if self.regions.regions:

@@ -218,6 +218,31 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     )
     flock_arrived = jnp.any(
         neigh_same_flock & neigh_arrived & (neigh_dist < 10.0), axis=1)
+
+    # ---- de-penetration pushout (crowd quality) -----------------------------
+    # Units overlapping a neighbour by >10% of the combined radius get a
+    # capped positional correction away from it — HRVO's least-violating
+    # fallback admits interpenetration under choke pressure, and
+    # stationary melee crowds otherwise stay stacked (the bench's
+    # overlap_frac guard; ref: clearpath.c keeps units separated via hard
+    # VO feasibility). Tangent-packed crowds (dist ~= combined radius)
+    # sit in the deadzone and do not jiggle.
+    over = (ents.radius[:, None] + neigh_rad) * 0.9 - neigh_dist
+    over = jnp.where(neigh_valid & (over > 0.0), over, 0.0)
+    away = ((ents.pos[:, None, :] - neigh_pos)
+            / jnp.maximum(neigh_dist, 1e-3)[..., None])
+    push = jnp.sum(away * (0.5 * over)[..., None], axis=1)        # [N,2]
+    pmag = jnp.linalg.norm(push, axis=-1, keepdims=True)
+    _DEPEN_CAP = 0.25                        # world units per move tick
+    push = jnp.where(pmag > _DEPEN_CAP,
+                     push * (_DEPEN_CAP / jnp.maximum(pmag, 1e-6)), push)
+    depen_ok = (
+        ents.alive
+        & ((ents.flags & jnp.uint32(EntityFlags.MOVABLE)) != 0)
+        & ~garrisoned
+        & (ents.combatstate != CombatState.CORPSE))
+    depen = jnp.where(depen_ok[:, None], push, 0.0)
+
     upd = integ_ops.movement_update(
         alive=ents.alive,
         moving_mask=moving_mask,
@@ -236,6 +261,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         garrisoned=garrisoned,
         flock_arrived=flock_arrived,
         has_cell=ents.has_formation_cell,
+        depen=depen,
     )
     arrived = upd.pop("arrived")
     new_ents = ents.replace(prev_pos=ents.pos, **upd)

@@ -121,13 +121,24 @@ def new_velocities(
     cand = cand * cscale[..., None]
 
     # ---- feasibility: candidate outside every cone --------------------------
-    # the [N, C, K] tensors dominate movement bandwidth; the cone test is a
-    # sign/compare on O(1)-magnitude geometry, well within bf16 precision
-    bf = jnp.bfloat16
-    wc = (cand[:, :, None, :] - apex[:, None, :, :]).astype(bf)  # [N,C,K,2]
-    wlen = jnp.sqrt(jnp.sum(wc * wc, axis=-1).astype(jnp.float32))
-    along = jnp.sum(wc * p_hat[:, None, :, :].astype(bf),
-                    axis=-1).astype(jnp.float32)                 # [N,C,K]
+    # The [N,C,K] tensors dominate movement bandwidth. Build them DIRECTLY
+    # from [N,C] x [N,K] broadcast products — decomposing
+    #   w.p_hat = cand.p_hat - apex.p_hat
+    #   |w|^2   = |cand|^2 - 2 cand.apex + |apex|^2
+    # skips the [N,C,K,2] difference tensor entirely, so the whole cone
+    # test fuses into the per-[N,C] violation reductions (f32: the
+    # cancellation in |w|^2 near the apex is below f32 noise, not bf16's).
+    cx, cz = cand[..., 0], cand[..., 1]                       # [N,C]
+    ax, az = apex[..., 0], apex[..., 1]                       # [N,K]
+    px, pz = p_hat[..., 0], p_hat[..., 1]                     # [N,K]
+    along = (cx[:, :, None] * px[:, None, :]
+             + cz[:, :, None] * pz[:, None, :]
+             - (ax * px + az * pz)[:, None, :])               # [N,C,K]
+    wlen2 = ((cx * cx + cz * cz)[:, :, None]
+             - 2.0 * (cx[:, :, None] * ax[:, None, :]
+                      + cz[:, :, None] * az[:, None, :])
+             + (ax * ax + az * az)[:, None, :])
+    wlen = jnp.sqrt(jnp.maximum(wlen2, 0.0))
     inside = along > wlen * cos_t[:, None, :] + _EPS
     inside = inside & neigh_valid[:, None, :]
     violation = jnp.where(inside, along - wlen * cos_t[:, None, :], 0.0)

@@ -101,6 +101,11 @@ def movement_update(
     flock_arrived: jax.Array,   # bool[N] an arrived flockmate is adjacent
     has_cell: jax.Array,        # bool[N] unit owns a private ring/formation
                                 # slot (propagation only fires when wedged)
+    depen: jax.Array | None = None,  # f32[N,2] capped de-penetration
+                                # displacement (pre-masked by the caller);
+                                # applied to ALL eligible entities — even
+                                # stationary ones — outside the stuck/jam
+                                # accounting
 ):
     """One movement-tick integration pass. Returns a dict of updated fields
     plus an `arrived` event mask."""
@@ -140,21 +145,23 @@ def movement_update(
     # wall toward a gap — a hard deadlock at choke points. The reference
     # gets sliding from its physics response; here it is part of the
     # integrator.
-    vx = vel_adv * jnp.asarray([1.0, 0.0])
-    vz = vel_adv * jnp.asarray([0.0, 1.0])
-    ok_full = _ok(pos + vel_adv)
-    ok_x = _ok(pos + vx)
-    ok_z = _ok(pos + vz)
-    prefer_x = jnp.abs(vel_adv[:, 0]) >= jnp.abs(vel_adv[:, 1])
-    first = jnp.where(prefer_x[:, None], vx, vz)
-    second = jnp.where(prefer_x[:, None], vz, vx)
-    ok_first = jnp.where(prefer_x, ok_x, ok_z)
-    ok_second = jnp.where(prefer_x, ok_z, ok_x)
-    slide = jnp.where(
-        ok_full[:, None], vel_adv,
-        jnp.where(ok_first[:, None], first,
-                  jnp.where(ok_second[:, None], second, 0.0)))
-    new_pos = pos + slide
+    def _slide(base, vel):
+        vx = vel * jnp.asarray([1.0, 0.0])
+        vz = vel * jnp.asarray([0.0, 1.0])
+        ok_full = _ok(base + vel)
+        ok_x = _ok(base + vx)
+        ok_z = _ok(base + vz)
+        prefer_x = jnp.abs(vel[:, 0]) >= jnp.abs(vel[:, 1])
+        first = jnp.where(prefer_x[:, None], vx, vz)
+        second = jnp.where(prefer_x[:, None], vz, vx)
+        ok_first = jnp.where(prefer_x, ok_x, ok_z)
+        ok_second = jnp.where(prefer_x, ok_z, ok_x)
+        return jnp.where(
+            ok_full[:, None], vel,
+            jnp.where(ok_first[:, None], first,
+                      jnp.where(ok_second[:, None], second, 0.0)))
+
+    new_pos = pos + _slide(pos, vel_adv)
     eff_vel = new_pos - pos
 
     # ---- stuck/wedge counter (ref: src/game/arrival.h stuck counters) -------
@@ -239,8 +246,18 @@ def movement_update(
 
     out_vel = jnp.where((arrived_now | ~was_moving)[:, None], 0.0, eff_vel)
 
+    # ---- de-penetration (crowd quality) -------------------------------------
+    # Capped pushout of overlapping units, applied LAST with the same
+    # axis-decomposed wall rejection as the move (corrections never press
+    # through walls). It stays out of eff_vel / stuck / jam / arrival
+    # accounting: it is a solver correction, not motion — the reference
+    # keeps units separated via hard VO feasibility (clearpath.c:388);
+    # our least-violating fallback admits overlap under choke pressure,
+    # and stationary melee crowds would otherwise stay stacked.
+    final_pos = new_pos if depen is None else new_pos + _slide(new_pos, depen)
+
     return dict(
-        pos=new_pos,
+        pos=final_pos,
         vel=out_vel,
         movestate=new_st,
         facing=new_facing,

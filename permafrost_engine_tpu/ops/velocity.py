@@ -24,11 +24,13 @@ def _slab_fetch(slab: jax.Array, row_idx: jax.Array, lr: jax.Array,
     """Fetch slab[row_idx, lr, lc] per entity WITHOUT an element gather:
     one row gather (the efficient TPU gather shape) + an in-row one-hot
     extract. Element gathers run ~1 elem/cycle; a 64-u8 row costs the
-    same as one element."""
-    row = slab[row_idx, lr]                                   # [N, W] rows
+    same as one element. Index arrays may be [N] or [N, S] (S samples per
+    entity fetched in ONE gather pass — 4x fewer passes for the bilinear
+    corner fetches than calling this per corner)."""
+    row = slab[row_idx, lr]                                # [..., W] rows
     w = slab.shape[2]
-    oh = (jnp.arange(w, dtype=jnp.int32)[None, :] == lc[:, None])
-    return jnp.sum(jnp.where(oh, row, 0).astype(jnp.int32), axis=1)
+    oh = (jnp.arange(w, dtype=jnp.int32) == lc[..., None])
+    return jnp.sum(jnp.where(oh, row, 0).astype(jnp.int32), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("chunks_r", "chunks_c"))
@@ -84,26 +86,32 @@ def flow_velocity(
         gslot = jnp.where(use_ent, ent_gslot, gslot)
         use_global = use_global | use_ent
 
-    def sample(r, c):
-        rc = jnp.clip(r, 0, field_h - 1)
-        cc = jnp.clip(c, 0, field_w - 1)
-        chunk = (rc // FIELD_RES) * chunks_c + (cc // FIELD_RES)
-        slot = field_slot[fl, chunk]                  # [N]
-        lr = rc % FIELD_RES
-        lc = cc % FIELD_RES
-        code = _slab_fetch(flow_slab, jnp.maximum(slot, 0), lr, lc)
-        has = (slot >= 0) & ~no_flock
-        if global_flow is not None:
-            gcode = _slab_fetch(global_flow, jnp.maximum(gslot, 0), rc, cc)
-            code = jnp.where(use_global, gcode, code)
-            has = has | use_global
-        vec = dir_code_to_vec(jnp.where(has, code, 0))
-        return vec, has & (code > 0)
-
-    v00, h00 = sample(r0, c0)
-    v01, h01 = sample(r0, c0 + 1)
-    v10, h10 = sample(r0 + 1, c0)
-    v11, h11 = sample(r0 + 1, c0 + 1)
+    # All 4 bilinear corners fetched in ONE row-gather pass per slab
+    # ([N,4] indices into _slab_fetch) instead of 4 separate passes —
+    # gather PASSES, not bytes, are the cost on TPU (see _slab_fetch).
+    rc = jnp.clip(jnp.stack([r0, r0, r0 + 1, r0 + 1], axis=1),
+                  0, field_h - 1)                     # [N,4]
+    cc = jnp.clip(jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=1),
+                  0, field_w - 1)
+    chunk = (rc // FIELD_RES) * chunks_c + (cc // FIELD_RES)     # [N,4]
+    # chunk->slot resolve: one row gather of the flock's slot row + a
+    # one-hot extract per corner (the table rows are tiny)
+    frow = field_slot[fl]                             # [N, num_chunks]
+    slot = jnp.sum(jnp.where(
+        jnp.arange(frow.shape[1], dtype=jnp.int32) == chunk[..., None],
+        frow[:, None, :], 0), axis=-1)                # [N,4]
+    code = _slab_fetch(flow_slab, jnp.maximum(slot, 0),
+                       rc % FIELD_RES, cc % FIELD_RES)           # [N,4]
+    has = (slot >= 0) & ~no_flock[:, None]
+    if global_flow is not None:
+        g4 = jnp.broadcast_to(jnp.maximum(gslot, 0)[:, None], rc.shape)
+        gcode = _slab_fetch(global_flow, g4, rc, cc)
+        code = jnp.where(use_global[:, None], gcode, code)
+        has = has | use_global[:, None]
+    vec = dir_code_to_vec(jnp.where(has, code, 0))    # [N,4,2]
+    hasd = has & (code > 0)
+    v00, v01, v10, v11 = (vec[:, 0], vec[:, 1], vec[:, 2], vec[:, 3])
+    h00, h01, h10, h11 = (hasd[:, 0], hasd[:, 1], hasd[:, 2], hasd[:, 3])
 
     w00 = ((1 - wz) * (1 - wx))[:, None]
     w01 = ((1 - wz) * wx)[:, None]

@@ -34,23 +34,24 @@ def measure(eng, frames=120, reps=3, scan=True):
     return float(np.median(vals))
 
 
-def main():
-    import bench
-
-    eng = bench.build_battle(terrain=True)
-    n0 = 10000
-    eng.step(60)
-    bench.fast_forward_until(eng, lambda a: a < n0)
-    eng.step_scan(300)
-    print("alive at contact:", bench.alive_count(eng), flush=True)
-
-    full = measure(eng)
-    print(f"full: {full:.1f} fps", flush=True)
+def ablate(eng, scan=True):
+    base = dict(eng.perf.counters)
+    stats0 = dict(eng.nav.stats)
+    full = measure(eng, scan=scan)
+    # per-subsystem host-time attribution for the 'full' window (ms
+    # accumulated over reps*frames frames; see engine._host_systems_tick)
+    delta = {k: round(v - base.get(k, 0.0), 1)
+             for k, v in eng.perf.counters.items()
+             if k.endswith("_ms") and v - base.get(k, 0.0) > 0.1}
+    sdelta = {k: v - stats0.get(k, 0) for k, v in eng.nav.stats.items()
+              if isinstance(v, (int, float)) and v != stats0.get(k, 0)}
+    print(f"full: {full:.1f} fps  host_ms={delta}  nav={sdelta}",
+          flush=True)
 
     # fog off (device flag; the fog substep becomes a no-op read)
     eng.state = eng.state.replace(fog=eng.state.fog.replace(
         enabled=jax.numpy.asarray(False)))
-    no_fog = measure(eng)
+    no_fog = measure(eng, scan=scan)
     print(f"no_fog: {no_fog:.1f} fps", flush=True)
     eng.state = eng.state.replace(fog=eng.state.fog.replace(
         enabled=jax.numpy.asarray(True)))
@@ -58,7 +59,7 @@ def main():
     # blocker machinery off
     saved_chunks = eng.nav.flock_chunks
     eng.nav.flock_chunks = {}
-    no_blockers = measure(eng)
+    no_blockers = measure(eng, scan=scan)
     print(f"no_blockers: {no_blockers:.1f} fps", flush=True)
     eng.nav.flock_chunks = saved_chunks
 
@@ -69,16 +70,42 @@ def main():
     seek = eng._seek_flocks
     eng._seek_flocks = {}
     eng.nav.flock_chunks = {}
-    no_host = measure(eng)
+    no_host = measure(eng, scan=scan)
     print(f"no_host: {no_host:.1f} fps", flush=True)
     eng._host_diplomacy[:] = dip
     eng._seek_flocks = seek
     eng.nav.flock_chunks = saved_chunks
 
-    print({
+    return {
         "full": round(full, 1), "no_fog": round(no_fog, 1),
         "no_blockers": round(no_blockers, 1), "no_host": round(no_host, 1),
-    })
+    }
+
+
+def main():
+    import bench
+
+    eng = bench.build_battle(terrain=True)
+    n0 = 10000
+    eng.step(60)
+    bench.fast_forward_until(eng, lambda a: a < n0)
+    eng.step_scan(300)
+    bench.place_midfight_structures(eng)
+    print("alive at contact:", bench.alive_count(eng), flush=True)
+    print("== contact (scan) ==", flush=True)
+    contact = ablate(eng)
+
+    # late phase — the bench headline's worst window (fps_late on the
+    # obstacle map); ablate it in both drive modes
+    bench.fast_forward_until(eng, lambda a: a < 0.55 * n0)
+    print("alive at late:", bench.alive_count(eng), flush=True)
+    print("== late (scan) ==", flush=True)
+    late_scan = ablate(eng)
+    print("== late (step) ==", flush=True)
+    late_step = ablate(eng, scan=False)
+
+    print({"contact_scan": contact, "late_scan": late_scan,
+           "late_step": late_step})
 
 
 if __name__ == "__main__":
