@@ -794,7 +794,8 @@ class Engine:
 
     def refresh_seek_fields(self, sigs: np.ndarray | None = None,
                             active: np.ndarray | None = None,
-                            snap_frame: int | None = None) -> None:
+                            snap_frame: int | None = None,
+                            specs_out: list | None = None) -> None:
         """Rebuild live enemy-seek fields whose enemy factions actually
         changed (moved a tile / died / spawned) since the last build —
         change-driven invalidation instead of a blind timer (ref:
@@ -808,6 +809,7 @@ class Engine:
             snap_frame = self._frame
         if sigs is None:
             sigs = self._faction_chunk_sigs()
+        specs = [] if specs_out is None else specs_out
         for fid, (faction, layer, gslot) in list(self._seek_flocks.items()):
             if (not active[fid]
                     and self._seek_created.get(fid, -1) < snap_frame):
@@ -817,8 +819,10 @@ class Engine:
             if not self._enemies_changed(fid, faction, sigs):
                 continue
             self._touch_gslot(gslot)
-            self.state = self.nav.build_enemy_seek_field(
-                self.state, faction, layer, gslot, flock_id=fid)
+            specs.append((faction, layer, gslot, fid))
+        if specs_out is None and specs:
+            self.state = self.nav.build_enemy_seek_fields_batch(
+                self.state, specs)
 
     def _reclaim_flocks(self) -> None:
         """Free flocks no living entity references (the reference deletes
@@ -883,7 +887,8 @@ class Engine:
         self.state = self.state.replace(factions=ft.replace(diplomacy=d))
 
     def _refresh_chase_fields(self, sigs: np.ndarray | None = None,
-                              fl_counts: np.ndarray | None = None) -> None:
+                              fl_counts: np.ndarray | None = None,
+                              specs_out: list | None = None) -> None:
         """Rebuild each warring faction's enemy-seek chase fields — combat
         chasers (MOVING_TO_TARGET) follow them around walls instead of
         straight-lining at their target. One field per (faction, OCCUPIED
@@ -910,6 +915,7 @@ class Engine:
                 cs = self.state.factions.chase_slot.at[f, lay].set(-1)
                 self.state = self.state.replace(
                     factions=self.state.factions.replace(chase_slot=cs))
+        specs = [] if specs_out is None else specs_out
         for f in sorted(self._host_factions):
             at_war = any(
                 self._host_diplomacy[f, g] == DiplomacyState.WAR
@@ -931,8 +937,10 @@ class Engine:
                         and not fresh):
                     continue
                 self._touch_gslot(slot)
-                self.state = self.nav.build_enemy_seek_field(
-                    self.state, f, lay, slot)
+                specs.append((f, lay, slot, None))
+        if specs_out is None and specs:
+            self.state = self.nav.build_enemy_seek_fields_batch(
+                self.state, specs)
 
     def set_stance(self, uids: list[int], stance: int) -> None:
         slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
@@ -1118,18 +1126,30 @@ class Engine:
                     sigs = np.asarray(dsig)
                     _cnt["blk_sig_fetch_ms"] += (
                         _time.perf_counter() - _t0) * 1e3
+                    # seek + chase rebuilds share ONE batched dispatch
+                    # (sequential per-pair integrates measured ~80 ms of
+                    # host dispatch time per cadence at battle contact)
+                    field_specs: list = []
                     if self._seek_flocks:
                         _t0 = _time.perf_counter()
                         self.refresh_seek_fields(sigs, np.asarray(dact),
-                                                 snap_frame)
+                                                 snap_frame,
+                                                 specs_out=field_specs)
                         _cnt["seek_refresh_ms"] += (
                             _time.perf_counter() - _t0) * 1e3
                     if any_war:
                         _t0 = _time.perf_counter()
                         self._refresh_chase_fields(
                             sigs, np.asarray(dflc)
-                            if dflc is not None else None)
+                            if dflc is not None else None,
+                            specs_out=field_specs)
                         _cnt["chase_refresh_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
+                    if field_specs:
+                        _t0 = _time.perf_counter()
+                        self.state = self.nav.build_enemy_seek_fields_batch(
+                            self.state, field_specs)
+                        _cnt["field_batch_ms"] += (
                             _time.perf_counter() - _t0) * 1e3
                     if docc is not None:
                         # units that drifted into chunks off their flock's
@@ -1138,13 +1158,16 @@ class Engine:
                         # into walls
                         _t0 = _time.perf_counter()
                         occ = np.asarray(docc)
+                        wants = {}
                         for fid in list(self.nav.flock_chunks):
                             missing = np.nonzero(
                                 occ[fid]
                                 & (self.nav.slot_mirror[fid] < 0))[0]
                             if missing.size:
-                                self.state = self.nav.extend_fields(
-                                    self.state, fid, missing)
+                                wants[fid] = missing
+                        if wants:
+                            self.state = self.nav.extend_fields_batch(
+                                self.state, wants)
                         _cnt["blk_extend_ms"] += (
                             _time.perf_counter() - _t0) * 1e3
                     if dblk is not None:

@@ -36,6 +36,36 @@ from permafrost_engine_tpu.ops import flowfield as ff
 from permafrost_engine_tpu.state.schema import GameState
 
 
+@jax.jit
+def _batched_seek_fields(pos, alive, hp, faction, diplomacy, cost_base,
+                         global_flow, global_slot, facs, lays, slots, fids):
+    """K whole-map enemy-seek field builds fused into one dispatch:
+    seeds scattered per spec ([K, H*W] one scatter), cost planes gathered
+    per layer, one batched integrate + flow_dirs, one slab scatter (ref:
+    field.c:1209-1678 per-faction enemy-seek builders)."""
+    from permafrost_engine_tpu.core.config import DiplomacyState
+
+    f_n = diplomacy.shape[0]
+    war = diplomacy == DiplomacyState.WAR
+    fac_c = jnp.clip(faction, 0, f_n - 1)
+    enemy = (alive & (hp > 0))[None, :] & war[facs][:, fac_c]   # [K, N]
+    h, w = cost_base.shape[1], cost_base.shape[2]
+    c = jnp.clip((pos[:, 0] / NAV_TILE_SIZE).astype(jnp.int32), 0, w - 1)
+    r = jnp.clip((pos[:, 1] / NAV_TILE_SIZE).astype(jnp.int32), 0, h - 1)
+    tgt = jnp.where(enemy, (r * w + c)[None, :], h * w)         # [K, N]
+    k_idx = jnp.arange(facs.shape[0], dtype=jnp.int32)[:, None]
+    seeds = jnp.zeros((facs.shape[0], h * w), jnp.bool_).at[
+        k_idx, tgt].set(True, mode="drop").reshape(-1, h, w)
+    cost = cost_base[lays]                                      # [K, H, W]
+    integ = ff.integrate(cost, seeds, max_iters=4 * max(h, w))
+    dirs = ff.flow_dirs(integ, cost)
+    gf = global_flow.at[slots].set(dirs)
+    n_fl = global_slot.shape[0]
+    gs = global_slot.at[jnp.where(fids >= 0, fids, n_fl)].set(
+        slots, mode="drop")
+    return gf, gs
+
+
 class LruSlab:
     """LRU key->slot assignment over a fixed number of slab slots."""
 
@@ -116,6 +146,14 @@ class NavService:
         # different island): memoized so the cadence doesn't re-pay a
         # device integrate every period; cleared when the world changes
         self._extend_failed: set[tuple[int, int]] = set()
+        # (layer, gr, gc) -> {pid: span cost} goal-chunk portal costs,
+        # primed at request time and reused by on-demand field extension —
+        # without it every extension cadence paid a SYNCHRONOUS goal-chunk
+        # integrate per flock (~30 ms pipeline stall each through the
+        # remote relay). Cleared whenever portal graphs rebuild (pids
+        # renumber) or costs change.
+        self._goal_span_cache: dict[tuple[int, int, int],
+                                    dict[int, float]] = {}
         # was the flock's installed plan detoured by blocked edges? a
         # CHANGE in this status (plug appears / clears) triggers exactly
         # one replan instead of replanning on every edge flicker
@@ -160,6 +198,9 @@ class NavService:
         self._graphs.pop(layer, None)
         self._islands.pop(layer, None)
         self._edge_cache.pop(layer, None)   # pids renumber with the graph
+        self._goal_span_cache = {k: v for k, v in
+                                 self._goal_span_cache.items()
+                                 if k[0] != layer}
         # drop cached fields of that layer
         for cache, mirror in ((self.flow_cache, self.slot_mirror),
                               (self.los_cache, self.los_mirror)):
@@ -433,6 +474,7 @@ class NavService:
             if not (air0 <= layer < air0 + NUM_FOOTPRINTS):
                 del self._islands[layer]
         self._edge_cache.clear()   # pids renumbered
+        self._goal_span_cache.clear()
         state = self._invalidate_chunk_fields(state, dirty)
         return state, dirty
 
@@ -663,6 +705,7 @@ class NavService:
             else:
                 start_costs = self._portal_span_costs(graph, s_integ, s_chunk)
                 goal_costs = self._portal_span_costs(graph, g_integ, g_chunk)
+                self._goal_span_cache[(layer, gr, gc)] = goal_costs
                 # filter hops through corridors plugged by parked units:
                 # buried portals leave the virtual start/goal sets, island-
                 # split edges leave the graph (ref: a_star.c:212-258)
@@ -724,34 +767,59 @@ class NavService:
     def extend_fields(
         self, state: GameState, flock_id: int, chunk_idxs,
     ) -> GameState:
-        """Install fields for chunks the flock's units OCCUPY but its
-        planned path never covered — spawn spread across a chunk border,
-        or drift under crowd pressure. Without this, strays fall back to
-        direct seek and wedge on walls. The reference requests fields on
-        demand per chunk as units enter chunks
-        (ref: src/navigation/fieldcache.c:59-102 dest-keyed on-demand
-        requests). A* runs from any portal of the stray chunk to the
-        flock's goal; missing chunks' fields install WITHOUT scrubbing the
-        flock's existing table."""
+        return self.extend_fields_batch(state, {flock_id: chunk_idxs})
+
+    def extend_fields_batch(
+        self, state: GameState, wants: dict[int, "np.ndarray | list"],
+    ) -> GameState:
+        """On-demand field extension for MANY flocks with ONE batched
+        device install: the refresh cadence collects every flock's stray
+        chunks and installs all missing fields in one padded integrate
+        (per-flock sequential installs measured seconds of host stall at
+        battle contact after a structure drop invalidated many chunks)."""
+        plans = []
+        for fid, chunk_idxs in wants.items():
+            p = self._extend_plan(state, fid, chunk_idxs)
+            if p is not None:
+                plans.append(p)
+        if not plans:
+            return state
+        return self._install_fields_batch(state, plans)
+
+    def _extend_plan(self, state: GameState, flock_id: int,
+                     chunk_idxs) -> dict | None:
+        """Plan (host A*, no device work) the field extension for chunks
+        the flock's units OCCUPY but its planned path never covered —
+        spawn spread across a chunk border, or drift under crowd
+        pressure. Without this, strays fall back to direct seek and wedge
+        on walls. The reference requests fields on demand per chunk as
+        units enter chunks (ref: src/navigation/fieldcache.c:59-102
+        dest-keyed on-demand requests). A* runs from any portal of the
+        stray chunk to the flock's goal; missing chunks' fields install
+        WITHOUT scrubbing the flock's existing table."""
         info = self.flock_goal.get(flock_id)
         if info is None:
-            return state
+            return None
         chunk_idxs = [
             int(ci) for ci in chunk_idxs
             if self.slot_mirror[flock_id, int(ci)] < 0
             and (flock_id, int(ci)) not in self._extend_failed]
         if not chunk_idxs:
-            return state
+            return None
         layer, (gr, gc) = info
         graph = self.graph(layer)
         g_chunk = self._chunk_of_tile(gr, gc)
-        gcost = np.asarray(self._chunk_cost(
-            state, layer, *g_chunk, with_blockers=False))[None]
-        seeds = np.zeros((1, FIELD_RES, FIELD_RES), bool)
-        seeds[0, gr % FIELD_RES, gc % FIELD_RES] = True
-        ginteg = np.asarray(self._integrate(jnp.asarray(gcost),
-                                            jnp.asarray(seeds)))[0]
-        goal_costs_all = self._portal_span_costs(graph, ginteg, g_chunk)
+        goal_costs_all = self._goal_span_cache.get((layer, gr, gc))
+        if goal_costs_all is None:
+            # cache miss (e.g. session restore): one goal-chunk integrate
+            gcost = np.asarray(self._chunk_cost(
+                state, layer, *g_chunk, with_blockers=False))[None]
+            seeds = np.zeros((1, FIELD_RES, FIELD_RES), bool)
+            seeds[0, gr % FIELD_RES, gc % FIELD_RES] = True
+            ginteg = np.asarray(self._integrate(jnp.asarray(gcost),
+                                                jnp.asarray(seeds)))[0]
+            goal_costs_all = self._portal_span_costs(graph, ginteg, g_chunk)
+            self._goal_span_cache[(layer, gr, gc)] = goal_costs_all
         blocked, buried = self._blocked_edges(layer)
         goal_costs = {p: c for p, c in goal_costs_all.items()
                       if p not in buried}
@@ -784,10 +852,10 @@ class NavService:
                     new_seq.append(entry)
                     covered.add(ei)
         if not new_seq:
-            return state
+            return None
         self.flock_chunks.setdefault(flock_id, set()).update(covered)
-        return self._install_fields(state, flock_id, layer, (gr, gc),
-                                    new_seq, extend=True)
+        return dict(flock_id=flock_id, layer=layer, goal_rc=(gr, gc),
+                    chunk_seq=new_seq, extend=True)
 
     # -- field building -------------------------------------------------------
 
@@ -1074,6 +1142,48 @@ class NavService:
         return state.replace(flocks=state.flocks.replace(field_slot=fs))
 
     # -- whole-map fields (enemy-seek / surround) --------------------------------
+
+    def build_enemy_seek_fields_batch(
+        self, state: GameState,
+        specs: list[tuple[int, int, int, int | None]],
+    ) -> GameState:
+        """Rebuild MANY whole-map enemy-seek fields in ONE device dispatch.
+
+        `specs` is a list of (faction, layer, slot, flock_id|None). The
+        refresh cadence previously dispatched one integrate chain per
+        (faction, layer) pair sequentially — measured ~80 ms of host
+        dispatch time per cadence at battle contact through the remote
+        relay; the batched kernel folds every seed scatter, integration,
+        flow quantization and slab write into one jitted call (the
+        reference rebuilds each faction's enemy-seek field in its own
+        fiber, field.c:1209-1678 — fibers compose here as a batch axis).
+        Spec count pads to the next power of two (repeating the last
+        spec — duplicate slab writes of identical fields are idempotent)
+        so compile shapes stay bucketed."""
+        if not specs:
+            return state
+        if self.sharded_integrate is not None:
+            # sharded engines keep the row-sharded whole-map integrator
+            for f, lay, slot, fid in specs:
+                state = self.build_enemy_seek_field(state, f, lay, slot,
+                                                    flock_id=fid)
+            return state
+        k = 1 << (len(specs) - 1).bit_length()
+        padded = specs + [specs[-1]] * (k - len(specs))
+        facs = jnp.asarray([s[0] for s in padded], jnp.int32)
+        lays = jnp.asarray([s[1] for s in padded], jnp.int32)
+        slots = jnp.asarray([s[2] for s in padded], jnp.int32)
+        fids = jnp.asarray([-1 if s[3] is None else s[3] for s in padded],
+                           jnp.int32)
+        ents = state.ents
+        gf, gs = _batched_seek_fields(
+            ents.pos, ents.alive, ents.hp,
+            ents.faction.astype(jnp.int32), state.factions.diplomacy,
+            state.nav.cost_base, state.fields.global_flow,
+            state.flocks.global_slot, facs, lays, slots, fids)
+        return state.replace(
+            fields=state.fields.replace(global_flow=gf),
+            flocks=state.flocks.replace(global_slot=gs))
 
     def build_enemy_seek_field(
         self, state: GameState, faction: int, layer: int, slot: int,

@@ -191,13 +191,13 @@ def test_seek_field_invalidation_is_change_driven(monkeypatch):
     assert eng.seek_enemies(hunters)
 
     builds = []
-    orig = eng.nav.build_enemy_seek_field
+    orig = eng.nav.build_enemy_seek_fields_batch
 
-    def counting(*a, **kw):
-        builds.append(kw.get("flock_id"))
-        return orig(*a, **kw)
+    def counting(state, specs):
+        builds.extend(fid for (_f, _l, _s, fid) in specs)
+        return orig(state, specs)
 
-    monkeypatch.setattr(eng.nav, "build_enemy_seek_field", counting)
+    monkeypatch.setattr(eng.nav, "build_enemy_seek_fields_batch", counting)
 
     # signature snapshots are PIPELINED like the delta drains (async copy
     # consumed one refresh period later), so rebuilds land one period
