@@ -244,9 +244,9 @@ def run_battle(terrain: bool) -> dict:
         "frames_to_contact": 60 + 3 * 120 + ff1,
         "tick_ms_p50": round(tick_stats.get("ms_p50", 0.0), 3),
         "tick_flops": tick_stats.get("tick_flops"),
-        "tick_hbm_bytes": tick_stats.get("tick_hbm_bytes"),
+        "tick_hbm_bytes_upper": tick_stats.get("tick_hbm_bytes_upper"),
         "mfu_pct": tick_stats.get("mfu_pct"),
-        "hbm_util_pct": tick_stats.get("hbm_util_pct"),
+        "hbm_util_upper_pct": tick_stats.get("hbm_util_upper_pct"),
         "nav_stats": {k: v for k, v in eng.nav.stats.items()},
     }
 

@@ -1371,11 +1371,15 @@ class Engine:
             byts = float(ca.get("bytes accessed", 0.0))
         except Exception:
             return {}
-        out = {"tick_flops": flops, "tick_hbm_bytes": byts}
+        # "bytes accessed" sums every HLO op's operand+output bytes,
+        # including traffic fusion keeps in VMEM — an UPPER BOUND on real
+        # HBM bytes, so the derived utilisation can exceed 100% (which
+        # signals the bound is slack, not supra-peak bandwidth)
+        out = {"tick_flops": flops, "tick_hbm_bytes_upper": byts}
         if tick_ms:
             sec = tick_ms / 1e3
             out["mfu_pct"] = round(100.0 * flops / sec / self.PEAK_FLOPS, 3)
-            out["hbm_util_pct"] = round(
+            out["hbm_util_upper_pct"] = round(
                 100.0 * byts / sec / self.PEAK_HBM_BPS, 2)
         return out
 
