@@ -153,6 +153,13 @@ ARRIVAL_THRESHOLD = 5.0      # world units to consider "at destination"
 # (ref: src/lib/public/bitmap_grid.h:36-120)
 SPATIAL_CELL_SIZE = 16.0
 
+# Fine contact grid: 4-unit cells used ONLY for de-penetration/contact
+# constraints. The coarse grid's 16u cells saturate at choke density
+# (a 16u cell tangent-packs ~74 radius-1 units vs cap 16), leaving most
+# of a dense crowd invisible to contact resolution; a 4u cell tangent-
+# packs ~5, so the same cap never saturates physically.
+CONTACT_CELL_SIZE = 4.0
+
 # ---------------------------------------------------------------------------
 # Simulation / engine states (ref: src/game/public/game.h:90-95)
 # ---------------------------------------------------------------------------
@@ -261,6 +268,8 @@ class EngineConfig:
                                      # chase); sized ~max_factions so warring
                                      # factions' chase fields never thrash
     spatial_cell_cap: int = 16       # entities per spatial-grid cell bucket
+    contact_cell_cap: int = 16       # per fine contact cell (3x hex-pack
+                                     # bound of a 4u cell, never saturates)
     move_hz: int = 20
     combat_hz: int = 10
     vision_radius_buckets: int = 4   # distinct vision radii for fog stamps
@@ -304,3 +313,13 @@ class EngineConfig:
     def grid_cells_c(self) -> int:
         import math
         return math.ceil(self.world_w / SPATIAL_CELL_SIZE)
+
+    @property
+    def contact_cells_r(self) -> int:
+        import math
+        return math.ceil(self.world_h / CONTACT_CELL_SIZE)
+
+    @property
+    def contact_cells_c(self) -> int:
+        import math
+        return math.ceil(self.world_w / CONTACT_CELL_SIZE)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from permafrost_engine_tpu.core.config import (
     ARRIVE_SLOWING_RADIUS,
+    CONTACT_CELL_SIZE,
     EngineConfig,
     EntityFlags,
     FRAME_HZ,
@@ -227,10 +228,26 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     # overlap_frac guard; ref: clearpath.c keeps units separated via hard
     # VO feasibility). Tangent-packed crowds (dist ~= combined radius)
     # sit in the deadzone and do not jiggle.
-    over = (ents.radius[:, None] + neigh_rad) * 0.9 - neigh_dist
-    over = jnp.where(neigh_valid & (over > 0.0), over, 0.0)
-    away = ((ents.pos[:, None, :] - neigh_pos)
-            / jnp.maximum(neigh_dist, 1e-3)[..., None])
+    #
+    # Contacts come from a FINE 4u-cell grid, not the 16u avoidance grid:
+    # a 16u cell tangent-packs ~74 radius-1 units vs bucket cap 16, so at
+    # choke density most of the crowd fell out of the coarse index and
+    # was invisible to contact resolution (bench overlap_frac hit 0.42 on
+    # the obstacle map while a 512-unit battle — no saturation — showed
+    # 0.000). A 4u cell fits ~5 tangent-packed units, so the same cap
+    # physically cannot saturate.
+    cgrid = grid.build_grid(
+        ents.pos, collidable,
+        cells_r=cfg.contact_cells_r, cells_c=cfg.contact_cells_c,
+        cap=cfg.contact_cell_cap, payload=ents.radius[:, None],
+        cell_size=CONTACT_CELL_SIZE)
+    _, kpos, kpay, kvalid = grid.contact_candidates(cgrid, ents.pos, slots)
+    kdist = jnp.linalg.norm(kpos - ents.pos[:, None, :], axis=-1)
+    krad = kpay[..., 0]
+    over = (ents.radius[:, None] + krad) * 0.9 - kdist
+    over = jnp.where(kvalid & (over > 0.0), over, 0.0)
+    away = ((ents.pos[:, None, :] - kpos)
+            / jnp.maximum(kdist, 1e-3)[..., None])
     push = jnp.sum(away * (0.5 * over)[..., None], axis=1)        # [N,2]
     pmag = jnp.linalg.norm(push, axis=-1, keepdims=True)
     _DEPEN_CAP = 0.25                        # world units per move tick
@@ -242,6 +259,30 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         & ~garrisoned
         & (ents.combatstate != CombatState.CORPSE))
     depen = jnp.where(depen_ok[:, None], push, 0.0)
+
+    # ---- contact velocity projection ----------------------------------------
+    # Already-overlapping units never keep APPROACHING a contact: for the
+    # 4 deepest overlaps, sequentially remove the velocity component
+    # pressing into each contact normal (Gauss-Seidel over unit-unit
+    # contacts), keeping tangential flow so queues at chokes still move.
+    # The reference's ClearPath guarantees non-approach via hard VO
+    # feasibility (clearpath.c:388); our least-violating fallback admits
+    # approach under pressure, and the capped pushout alone loses the
+    # race. Per-contact — NOT the aggregate pushout direction: for an
+    # interior unit squeezed from all sides the aggregate cancels to
+    # noise and constrains nothing.
+    c_depth = jnp.where(
+        kvalid,
+        (ents.radius[:, None] + krad) * 0.9 - kdist,
+        -jnp.inf)                                          # [N, 9*cap]
+    c_top, c_idx = jax.lax.top_k(c_depth, 4)               # deepest contacts
+    c_n = jnp.take_along_axis(away, c_idx[..., None], axis=1)  # [N, 4, 2]
+    for ci in range(4):
+        n_i = c_n[:, ci, :]
+        vn = jnp.sum(new_vel * n_i, axis=-1, keepdims=True)
+        new_vel = jnp.where(
+            (c_top[:, ci:ci + 1] > 0.0) & (vn < 0.0) & depen_ok[:, None],
+            new_vel - vn * n_i, new_vel)
 
     upd = integ_ops.movement_update(
         alive=ents.alive,

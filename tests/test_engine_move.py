@@ -217,3 +217,28 @@ def test_water_and_air_domains():
             break
     assert eng.movestate_of(a[0]) == MoveState.ARRIVED
     assert np.linalg.norm(eng.pos_of(a[0]) - np.asarray(east)) < 12.0
+
+
+def test_dense_spawn_separates():
+    """Contact resolution at saturation density: 48 units dumped into a
+    12x12u box (far beyond tangent packing) must separate — no unit left
+    interpenetrating a neighbour past 50% of the combined radius, and no
+    deep stacking. Guards the FINE contact grid: the coarse 16u avoidance
+    grid's cell cap drops most of such a crowd from its index, and before
+    the 4u contact grid those dropped units were invisible to the pushout
+    and contact projection (10k obstacle-map battles measured 42% of
+    units interpenetrating at choke contact)."""
+    eng = Engine(small_cfg())
+    rng = np.random.default_rng(3)
+    pos = (np.array([200.0, 200.0])
+           + rng.random((48, 2)) * 12.0).astype(np.float32)
+    eng.spawn_batch(pos, faction=0, max_speed=20.0)
+    eng.step(600)  # 10 s: capped pushout needs time to unstack
+
+    p = np.asarray(eng.state.ents.pos)[:48]
+    rad = np.asarray(eng.state.ents.radius)[:48]
+    d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    comb = (rad[:, None] + rad[None, :]) * 0.5   # bench's overlap bar
+    assert not (d < comb).any(), (
+        f"min pair distance {d.min():.2f} vs bar {comb.max():.2f}")
