@@ -74,6 +74,19 @@ def main():
                 if pay_c else None)
         return cand, cpos, cpay, jnp.zeros((q, w2cap), bool)
 
+    def no_contact(cgrid, query_pos, query_slot):
+        # constant-shape stand-in for contact_candidates: all-invalid
+        # candidates zero the pushout and disable the projection, and DCE
+        # removes the fine-grid build (only shapes are read here)
+        q = query_pos.shape[0]
+        cap9 = 9 * cgrid.buckets.shape[1]
+        cand = jnp.full((q, cap9), -1, jnp.int32)
+        cpos = jnp.full((q, cap9, 2), 1e30, jnp.float32)
+        pay_c = (cgrid.bucket_payload.shape[-1]
+                 if cgrid.bucket_payload is not None else 0)
+        cpay = jnp.zeros((q, cap9, pay_c), jnp.float32) if pay_c else None
+        return cand, cpos, cpay, jnp.zeros((q, cap9), bool)
+
     def no_flow_vel(pos, flock, field_slot, flow, global_slot, global_flow,
                     ent_gslot, *, chunks_r, chunks_c):
         q = pos.shape[0]
@@ -86,13 +99,15 @@ def main():
         return nav
 
     orig = dict(cp=clearpath.new_velocities, bo=boids.preferred_velocity,
-                wc=grid.window_candidates, fv=vel_ops.flow_velocity,
+                wc=grid.window_candidates, cc=grid.contact_candidates,
+                fv=vel_ops.flow_velocity,
                 dl=vel_ops.dest_los, rs=step_mod._restamp_blockers)
     variants = [
         ("full", {}),
         ("no_hrvo", [(clearpath, "new_velocities", no_hrvo)]),
         ("no_boids", [(boids, "preferred_velocity", no_boids)]),
         ("no_neigh", [(grid, "window_candidates", no_neigh)]),
+        ("no_contact", [(grid, "contact_candidates", no_contact)]),
         ("no_fields", [(vel_ops, "flow_velocity", no_flow_vel),
                        (vel_ops, "dest_los", no_los)]),
         ("no_restamp", [(step_mod, "_restamp_blockers", no_restamp)]),
@@ -109,6 +124,7 @@ def main():
             clearpath.new_velocities = orig["cp"]
             boids.preferred_velocity = orig["bo"]
             grid.window_candidates = orig["wc"]
+            grid.contact_candidates = orig["cc"]
             vel_ops.flow_velocity = orig["fv"]
             vel_ops.dest_los = orig["dl"]
             step_mod._restamp_blockers = orig["rs"]
