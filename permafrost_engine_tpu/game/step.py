@@ -113,10 +113,15 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         (ents.movestate == MoveState.ARRIVED
          ).astype(jnp.float32)[:, None],                    # 5
     ], axis=1)
-    sgrid = grid.build_grid(
+    # the fine CONTACT grid (used by de-penetration below) shares this
+    # build: one composite-key argsort yields both grids' bucket ranks
+    sgrid, cgrid = grid.build_grid_pair(
         ents.pos, collidable,
         cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
-        cap=cfg.spatial_cell_cap, payload=payload)
+        cap=cfg.spatial_cell_cap, payload=payload,
+        fine_r=cfg.contact_cells_r, fine_c=cfg.contact_cells_c,
+        fine_cap=cfg.contact_cell_cap, fine_payload=ents.radius[:, None],
+        fine_cell_size=CONTACT_CELL_SIZE)
     cand, cpos, cpay, cvalid = grid.window_candidates(
         sgrid, ents.pos, slots)
     neigh_idx, neigh_valid, neigh_pos = cand, cvalid, cpos
@@ -236,11 +241,6 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     # the obstacle map while a 512-unit battle — no saturation — showed
     # 0.000). A 4u cell fits ~5 tangent-packed units, so the same cap
     # physically cannot saturate.
-    cgrid = grid.build_grid(
-        ents.pos, collidable,
-        cells_r=cfg.contact_cells_r, cells_c=cfg.contact_cells_c,
-        cap=cfg.contact_cell_cap, payload=ents.radius[:, None],
-        cell_size=CONTACT_CELL_SIZE)
     _, kpos, kpay, kvalid = grid.contact_candidates(cgrid, ents.pos, slots)
     kdist = jnp.linalg.norm(kpos - ents.pos[:, None, :], axis=-1)
     krad = kpay[..., 0]

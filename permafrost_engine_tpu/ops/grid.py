@@ -108,6 +108,102 @@ def build_grid(
     )
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cells_r", "cells_c", "cap", "cell_size",
+    "fine_r", "fine_c", "fine_cap", "fine_cell_size"))
+def build_grid_pair(
+    pos: jax.Array,
+    alive: jax.Array,
+    *,
+    cells_r: int,
+    cells_c: int,
+    cap: int,
+    payload: jax.Array,                 # f32[N, P] coarse payload
+    fine_r: int,
+    fine_c: int,
+    fine_cap: int,
+    fine_payload: jax.Array,            # f32[N, Q] fine payload
+    cell_size: float = SPATIAL_CELL_SIZE,
+    fine_cell_size: float,
+) -> tuple[SpatialGrid, SpatialGrid]:
+    """Build the coarse avoidance grid AND the fine contact grid from ONE
+    argsort.
+
+    The movement substep needs both grids every tick over the same entity
+    set (ref: the reference's single bitmap grid serves both queries,
+    src/lib/public/bitmap_grid.h:36; we split coarse/fine because contact
+    resolution saturates 16u buckets at choke density). The fine cell size
+    divides the coarse one, so sorting by the composite key
+    ``coarse_id * subcells + sub_id`` groups entities by coarse cell AND,
+    within it, by fine cell — one sort yields both grids' within-cell ranks
+    via two searchsorted passes. Within-cell overflow drop ORDER differs
+    from two separate builds (sub-cell-major instead of slot-major); both
+    honour the bounded-output semantics (clearpath.c:390).
+    """
+    ratio = int(round(cell_size / fine_cell_size))
+    assert abs(ratio * fine_cell_size - cell_size) < 1e-6
+    n = pos.shape[0]
+    num_coarse = cells_r * cells_c
+    num_fine = fine_r * fine_c
+    sub2 = ratio * ratio
+
+    fr_, fc_ = cell_coords(pos, fine_r, fine_c, fine_cell_size)
+    cr_ = jnp.minimum(fr_ // ratio, cells_r - 1)
+    cc_ = jnp.minimum(fc_ // ratio, cells_c - 1)
+    coarse = cr_ * cells_c + cc_
+    fine_flat = fr_ * fine_c + fc_
+    sub = (fr_ - cr_ * ratio) * ratio + (fc_ - cc_ * ratio)
+    key = jnp.where(alive, coarse * sub2 + sub, num_coarse * sub2)
+
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+    spos = pos[order]
+    sorder = order.astype(jnp.int32)
+
+    # within-fine-cell rank (composite key identifies the fine cell)
+    rank_f = (jnp.arange(n, dtype=jnp.int32)
+              - jnp.searchsorted(skey, skey, side="left").astype(jnp.int32))
+    scoarse = skey // sub2
+    rank_c = (jnp.arange(n, dtype=jnp.int32)
+              - jnp.searchsorted(scoarse, scoarse,
+                                 side="left").astype(jnp.int32))
+
+    valid_c = (scoarse < num_coarse) & (rank_c < cap)
+    slot_c = jnp.where(valid_c, scoarse * cap + rank_c, num_coarse * cap)
+    sfine = fine_flat[order]
+    valid_f = (skey < num_coarse * sub2) & (rank_f < fine_cap)
+    slot_f = jnp.where(valid_f, sfine * fine_cap + rank_f,
+                       num_fine * fine_cap)
+
+    def scatter(slot, total, val, fill):
+        out = jnp.full((total,) + val.shape[1:], fill, val.dtype)
+        return out.at[slot].set(val, mode="drop")
+
+    cg = SpatialGrid(
+        buckets=scatter(slot_c, num_coarse * cap, sorder,
+                        -1).reshape(num_coarse, cap),
+        bucket_xy=scatter(slot_c, num_coarse * cap, spos,
+                          1e30).reshape(num_coarse, cap, 2),
+        cell_of=jnp.where(alive, coarse, num_coarse).astype(jnp.int32),
+        bucket_payload=scatter(
+            slot_c, num_coarse * cap,
+            payload[order].astype(jnp.float32),
+            0.0).reshape(num_coarse, cap, payload.shape[1]),
+        cells_r=cells_r, cells_c=cells_c, cell_size=cell_size)
+    fg = SpatialGrid(
+        buckets=scatter(slot_f, num_fine * fine_cap, sorder,
+                        -1).reshape(num_fine, fine_cap),
+        bucket_xy=scatter(slot_f, num_fine * fine_cap, spos,
+                          1e30).reshape(num_fine, fine_cap, 2),
+        cell_of=jnp.where(alive, fine_flat, num_fine).astype(jnp.int32),
+        bucket_payload=scatter(
+            slot_f, num_fine * fine_cap,
+            fine_payload[order].astype(jnp.float32),
+            0.0).reshape(num_fine, fine_cap, fine_payload.shape[1]),
+        cells_r=fine_r, cells_c=fine_c, cell_size=fine_cell_size)
+    return cg, fg
+
+
 def _prewindow(a: jax.Array, cells_r: int, cells_c: int, window: int,
                fill) -> jax.Array:
     """[cells_r*cells_c, cap, ...] -> [cells, W2*cap, ...]: every cell's

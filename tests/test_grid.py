@@ -116,3 +116,57 @@ def test_central_block_cols_selects_centre_cells():
     for b in expect:
         seg = [c for c in cols if c // cap == b]
         assert list(seg) == list(range(b * cap, (b + 1) * cap))
+
+
+def test_build_grid_pair_matches_separate_builds():
+    """One composite-key sort must index the same entity SETS per cell as
+    two independent builds (bucket order may differ; overflow drop order
+    is allowed to differ, so caps here are high enough not to overflow)."""
+    rng = np.random.default_rng(7)
+    pos, alive, cells = make_world(rng, n=400, world=160.0)
+    fine_cells = int(np.ceil(160.0 / 4.0))
+    pay = rng.random((400, 3)).astype(np.float32)
+    fpay = rng.random((400, 1)).astype(np.float32)
+    cg, fg = g.build_grid_pair(
+        jnp.asarray(pos), jnp.asarray(alive),
+        cells_r=cells, cells_c=cells, cap=64, payload=jnp.asarray(pay),
+        fine_r=fine_cells, fine_c=fine_cells, fine_cap=16,
+        fine_payload=jnp.asarray(fpay), fine_cell_size=4.0)
+    ref_c = g.build_grid(jnp.asarray(pos), jnp.asarray(alive),
+                         cells_r=cells, cells_c=cells, cap=64,
+                         payload=jnp.asarray(pay))
+    ref_f = g.build_grid(jnp.asarray(pos), jnp.asarray(alive),
+                         cells_r=fine_cells, cells_c=fine_cells, cap=16,
+                         payload=jnp.asarray(fpay), cell_size=4.0)
+
+    for got, ref in ((cg, ref_c), (fg, ref_f)):
+        gb, rb = np.asarray(got.buckets), np.asarray(ref.buckets)
+        assert gb.shape == rb.shape
+        for c in range(gb.shape[0]):
+            assert set(gb[c][gb[c] >= 0]) == set(rb[c][rb[c] >= 0])
+        # positions/payload ride with the right slots
+        gx = np.asarray(got.bucket_xy)
+        gp = np.asarray(got.bucket_payload)
+        for c in range(gb.shape[0]):
+            for j in range(gb.shape[1]):
+                s = gb[c, j]
+                if s >= 0:
+                    assert np.allclose(gx[c, j], pos[s])
+                    ref_pay = pay if got is cg else fpay
+                    assert np.allclose(gp[c, j], ref_pay[s])
+        assert np.array_equal(np.asarray(got.cell_of), np.asarray(ref.cell_of))
+
+
+def test_build_grid_pair_overflow_counts():
+    """Overflowing cells keep exactly `cap` entries (drop order may differ
+    from build_grid's slot-major order)."""
+    # 40 entities piled into one 4u fine cell / one 16u coarse cell
+    pos = np.full((40, 2), 2.0, np.float32)
+    alive = np.ones(40, bool)
+    cg, fg = g.build_grid_pair(
+        jnp.asarray(pos), jnp.asarray(alive),
+        cells_r=4, cells_c=4, cap=8, payload=jnp.zeros((40, 1)),
+        fine_r=16, fine_c=16, fine_cap=6,
+        fine_payload=jnp.zeros((40, 1)), fine_cell_size=4.0)
+    assert (np.asarray(cg.buckets)[0] >= 0).sum() == 8
+    assert (np.asarray(fg.buckets) >= 0).sum() == 6

@@ -82,6 +82,23 @@ def ablate(eng, scan=True):
     }
 
 
+def raw_loop_fps(eng, frames=120, windows=3):
+    """Tight dispatch loop on the engine's own tick_fn/state — the step()
+    path minus all host machinery (drains, perf scopes, host systems).
+    The gap between this and step()-no_host is step()'s fixed overhead."""
+    state, acc = eng.state, eng._acc
+    vals = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            state, acc = eng._tick_fn(state, acc)
+        jax.block_until_ready(state.ents.pos)
+        vals.append(frames / (time.perf_counter() - t0))
+    eng.state, eng._acc = state, acc
+    eng._frame += frames * windows
+    return float(np.median(vals))
+
+
 def main():
     import bench
 
@@ -103,9 +120,14 @@ def main():
     late_scan = ablate(eng)
     print("== late (step) ==", flush=True)
     late_step = ablate(eng, scan=False)
+    raw = raw_loop_fps(eng)
+    print(f"raw dispatch loop: {raw:.1f} fps", flush=True)
+    dev = eng.profile_tick(30)
+    print(f"device-exact tick: {dev['ms_p50']:.2f} ms p50", flush=True)
 
     print({"contact_scan": contact, "late_scan": late_scan,
-           "late_step": late_step})
+           "late_step": late_step, "raw_loop": round(raw, 1),
+           "device_ms_p50": round(dev["ms_p50"], 2)})
 
 
 if __name__ == "__main__":
