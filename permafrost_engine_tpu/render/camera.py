@@ -35,6 +35,9 @@ class Camera:
     sensitivity: float = 0.05
     mode: int = CameraMode.RTS
 
+    def __post_init__(self):
+        self.pos = np.asarray(self.pos, np.float64)
+
     # -- basis ------------------------------------------------------------------
 
     def direction(self) -> np.ndarray:
@@ -90,6 +93,17 @@ class Camera:
         ny = 1 - (py + 0.5) / h * 2
         d = front + right * (nx * tan * self.aspect) + up * (ny * tan)
         return d / np.linalg.norm(d)
+
+    def world_to_screen(self, world, w: int, h: int):
+        """World point -> (px, py) on a w x h viewport, or None when the
+        point is behind the near plane (the inverse of screen_ray; game
+        scripts use it to aim injected clicks at world positions)."""
+        vp = self.proj_matrix() @ self.view_matrix()
+        p = vp @ np.array([world[0], world[1], world[2], 1.0], np.float64)
+        if p[3] <= 1e-6:
+            return None
+        ndc = p[:3] / p[3]
+        return (float((ndc[0] + 1) / 2 * w), float((1 - ndc[1]) / 2 * h))
 
     def ground_point(self, px: float, py: float, w: int, h: int,
                      ground_y: float = 0.0):

@@ -86,6 +86,9 @@ for _e in FogState:
     globals()[f"FOG_{_e.name}"] = int(_e)
 
 ANIM_LOOP, ANIM_ONCE = 0, 1
+CAM_MODE_FPS = CameraMode.FPS
+CAM_MODE_RTS = CameraMode.RTS
+CAM_MODE_FREE = CameraMode.FREE
 
 # SDL-style scancodes for script key handling
 _KEYS = [*"ABCDEFGHIJKLMNOPQRSTUVWXYZ", *"0123456789", "SPACE", "RETURN",
@@ -95,6 +98,42 @@ _KEYS = [*"ABCDEFGHIJKLMNOPQRSTUVWXYZ", *"0123456789", "SPACE", "RETURN",
          "END", "PAGEUP", "PAGEDOWN", "GRAVE", "MINUS", "EQUALS"]
 for _i, _k in enumerate(_KEYS):
     globals()[f"SDL_SCANCODE_{_k}"] = _i + 4
+
+# SDL event types, registrable like engine events (the reference exposes
+# these via PY_EXPOSE_ENUM and scripts subscribe key/mouse handlers on
+# them, ref: src/script/py_constants.c + scripts/rts/main.py's
+# pf.register_ui_event_handler(pf.SDL_KEYDOWN, ...)). Values are SDL2's;
+# they sit below EventType.SCRIPT_BASE (0x10000) and above the engine
+# event range (0..29), so they never collide with either.
+SDL_QUIT = 0x100
+SDL_KEYDOWN = 0x300
+SDL_KEYUP = 0x301
+SDL_MOUSEMOTION = 0x400
+SDL_MOUSEBUTTONDOWN = 0x401
+SDL_MOUSEBUTTONUP = 0x402
+
+# nuklear window/flag constants under the reference's script-facing names
+# (ref: py_ui.c exposes NK_WINDOW_* / alignment enums; our ui.py holds the
+# canonical values)
+from permafrost_engine_tpu.script import ui as _ui  # noqa: E402
+
+NK_WINDOW_BORDER = _ui.WINDOW_BORDER
+NK_WINDOW_MOVABLE = _ui.WINDOW_MOVABLE
+NK_WINDOW_SCALABLE = _ui.WINDOW_SCALABLE
+NK_WINDOW_CLOSABLE = _ui.WINDOW_CLOSABLE
+NK_WINDOW_MINIMIZABLE = _ui.WINDOW_MINIMIZABLE
+NK_WINDOW_NO_SCROLLBAR = _ui.WINDOW_NO_SCROLLBAR
+NK_WINDOW_TITLE = _ui.WINDOW_TITLE
+NK_TEXT_ALIGN_LEFT = 0x01 | 0x10
+NK_TEXT_ALIGN_CENTERED = 0x02 | 0x10
+NK_TEXT_ALIGN_RIGHT = 0x04 | 0x10
+ANCHOR_X_LEFT = _ui.ANCHOR_X_LEFT
+ANCHOR_X_RIGHT = _ui.ANCHOR_X_RIGHT
+ANCHOR_X_CENTER = _ui.ANCHOR_X_CENTER
+ANCHOR_Y_TOP = _ui.ANCHOR_Y_TOP
+ANCHOR_Y_BOT = _ui.ANCHOR_Y_BOT
+ANCHOR_Y_CENTER = _ui.ANCHOR_Y_CENTER
+ANCHOR_DEFAULT = _ui.ANCHOR_DEFAULT
 
 
 # ---------------------------------------------------------------------------
@@ -262,18 +301,22 @@ def load_map_string(text: str) -> bool:
     return True
 
 
-def load_scene(path: str) -> list:
+def load_scene(path: str, classes: dict | None = None) -> list:
     """Load a .pfscene: one entity per line,
     `<ClassName> <name> <pfobj> <x> <y> <z> [key=value ...]`
-    (the reference's attr-record scene format reduced to its content)."""
+    (the reference's attr-record scene format reduced to its content).
+    `classes` maps scene class names to game-script entity classes (the
+    reference resolves attr-record class names against the loaded script
+    modules the same way); pf's own classes are the fallback."""
     out = []
+    classes = classes or {}
     with open(os.path.join(context().basedir, path)) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
-            cls = globals().get(parts[0], Entity)
+            cls = classes.get(parts[0]) or globals().get(parts[0], Entity)
             kw = {}
             for kv in parts[6:]:
                 k, v = kv.split("=")
@@ -566,12 +609,22 @@ def inject_mouse_motion(x: float, y: float) -> None:
         uids, pos, rad, flags, alive = _sel_arrays()
         ctx.engine.selection.update_hovered((wp[0], wp[2]), uids, pos, rad,
                                             flags, alive)
+    _eng().bus.notify_immediate(SDL_MOUSEMOTION, {"pos": (x, y)},
+                                simstate=_eng().sim_state)
 
 
 def inject_mouse_click(x: float, y: float, button: int = 1) -> str:
     """Dispatch a click: UI first (widget routing), then armed click-mode
     orders, then unit selection / click-move. Returns what consumed it:
-    'ui' | 'order:<mode>' | 'select' | 'move' | 'none'."""
+    'ui' | 'order:<mode>' | 'select' | 'move' | 'none'. Script handlers
+    registered on SDL_MOUSEBUTTONDOWN see every click (with the consumed
+    verdict), mirroring the reference's SDL event fan-out."""
+    consumed = _inject_mouse_click_impl(x, y, button)
+    _notify_mouse_button(x, y, button, consumed)
+    return consumed
+
+
+def _inject_mouse_click_impl(x: float, y: float, button: int = 1) -> str:
     ctx = context()
     ctx.mouse_pos = (x, y)
     if ctx.ui.route_click(ctx.ui_windows, (x, y), ctx.ui.virtual_resolution):
@@ -620,6 +673,14 @@ def inject_mouse_click(x: float, y: float, button: int = 1) -> str:
     return "none"
 
 
+def _notify_mouse_button(x: float, y: float, button: int,
+                         consumed: str) -> None:
+    _eng().bus.notify_immediate(
+        SDL_MOUSEBUTTONDOWN,
+        {"pos": (x, y), "button": button, "consumed": consumed},
+        simstate=_eng().sim_state)
+
+
 def inject_mouse_drag(x0: float, y0: float, x1: float, y1: float) -> list:
     """Box selection between two virtual-resolution corners
     (ref: G_Sel drag box, src/game/selection.c)."""
@@ -636,11 +697,19 @@ def inject_mouse_drag(x0: float, y0: float, x1: float, y1: float) -> list:
 
 
 def inject_key_down(scancode: int) -> None:
+    """Press a key: updates the modifier set and dispatches SDL_KEYDOWN to
+    registered script handlers, event payload (scancode,) — the tuple shape
+    the reference's handlers index as event[0] (ref: scripts/rts/main.py
+    toggle_camera/toggle_pause)."""
     context().keys_down.add(int(scancode))
+    _eng().bus.notify_immediate(SDL_KEYDOWN, (int(scancode),),
+                                simstate=_eng().sim_state)
 
 
 def inject_key_up(scancode: int) -> None:
     context().keys_down.discard(int(scancode))
+    _eng().bus.notify_immediate(SDL_KEYUP, (int(scancode),),
+                                simstate=_eng().sim_state)
 
 
 def inject_text_input(text: str) -> bool:

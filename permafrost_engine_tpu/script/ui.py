@@ -120,6 +120,16 @@ class Window:
         self.draw_list.append(("option", label, active))
         return self._widget_state.get(("option", label), active)
 
+    def selectable_label(self, label: str, align: int, selected: bool
+                         ) -> bool:
+        """List-row selection widget (ref: nk_selectable_label via
+        py_ui.c; the demo window's controlled-faction list uses it).
+        Returns the row's selected state after any pending click."""
+        self.draw_list.append(("selectable", label, align, selected))
+        if self._widget_state.pop(("select", label), False):
+            return True
+        return selected
+
     def slider_float(self, minv: float, value: float, maxv: float,
                      step: float) -> float:
         """Sliders are keyed by their ordinal within the window (they carry
@@ -242,6 +252,8 @@ class UISystem:
                 win._widget_state[("check", item[1])] = not cur
             elif kind == "option":
                 win._widget_state[("option", item[1])] = True
+            elif kind == "selectable":
+                win._widget_state[("select", item[1])] = True
             elif kind == "slider":
                 _, minv, _cur, maxv, step = item
                 frac = (vx - x) / max(w, 1e-6)
