@@ -1076,6 +1076,30 @@ def update_tile(chunk_rc, tile_rc, tile: dict) -> bool:
     return True
 
 
+def update_tiles(updates: list) -> bool:
+    """Batched tile edits: [(chunk_rc, tile_rc, tile_dict), ...] applied
+    with ONE nav recompile (the reference marks touched chunks dirty and
+    re-bakes once per frame, ref: src/map/map.c M_AL_UpdateTile batching;
+    a per-tile reload would recompile costs 25x for a 5x5 brush)."""
+    md = _eng().map_data
+    if md is None or not updates:
+        return False
+    from permafrost_engine_tpu.core.config import TILES_PER_CHUNK
+    for chunk_rc, tile_rc, tile in updates:
+        r = chunk_rc[0] * TILES_PER_CHUNK + tile_rc[0]
+        c = chunk_rc[1] * TILES_PER_CHUNK + tile_rc[1]
+        for key, arr in (("type", md.tile_type),
+                         ("base_height", md.base_height),
+                         ("ramp_height", md.ramp_height),
+                         ("top_mat_idx", md.top_mat),
+                         ("sides_mat_idx", md.side_mat),
+                         ("pathable", md.pathable)):
+            if key in tile:
+                arr[r, c] = tile[key]
+    _eng().load_map_data(md)
+    return True
+
+
 def tiles_under_obj(ent) -> list[tuple[int, int]]:
     from permafrost_engine_tpu.core.config import TILES_PER_CHUNK, UNITS_PER_TILE
     eng = _eng()
