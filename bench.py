@@ -175,10 +175,12 @@ def measure_phase(eng: Engine, windows: int = 3, frames: int = 120,
                   scan: bool = False) -> float:
     """Median fps over `windows` timed windows.
 
-    scan=False drives frame-by-frame (`step`) — the interactive mode the
-    headline uses. scan=True drives `step_scan` — the headless-throughput
-    mode (segmented device dispatches at exact host cadences), reported as
-    an aux metric."""
+    scan=False drives `step` — the interactive mode the headline uses
+    (micro-batched: frames between host-cadence boundaries fuse into one
+    dispatch, bit-identical to per-frame stepping; live tasks or queued
+    events fall back to per-frame). scan=True drives `step_scan` — the
+    headless-throughput mode (whole windows in segmented device
+    dispatches), reported as an aux metric."""
     drive = eng.step_scan if scan else eng.step
     vals = []
     for _ in range(windows):

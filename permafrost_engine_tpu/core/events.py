@@ -104,6 +104,11 @@ class EventBus:
     def queued_this_frame(self, event: int) -> bool:
         return int(event) in self._queued_this_frame
 
+    @property
+    def pending(self) -> int:
+        """Number of queued (not yet serviced) events."""
+        return len(self._queue)
+
     def service_queue(self, simstate: SimState = SimState.RUNNING) -> int:
         """Drain the queue, dispatching to handlers whose mask admits the
         current sim state (ref: E_ServiceQueue). Returns events delivered.

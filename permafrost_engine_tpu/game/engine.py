@@ -102,6 +102,11 @@ class Engine:
         self.nav = NavService(self.cfg, cost_base)
         self._tick_fn = make_tick(self.cfg)
         self._scan_fn = None
+        # micro-batched interactive stepping: step() fuses the frames up to
+        # the next host-cadence boundary into ONE device dispatch (k -> fn)
+        self._micro_fns: dict[int, object] = {}
+        self._tick_fn_nodonate = None
+        self.micro_batching = True
         self._next_uid = 1
         self._free_slots = list(range(self.cfg.max_ents - 1, -1, -1))
         self.uid_to_slot: dict[int, int] = {}
@@ -325,6 +330,8 @@ class Engine:
             th = jnp.asarray(heights[::2, ::2].astype(np.float32))
             self._tick_fn = make_tick(self.cfg, th)
             self._scan_fn = None
+            self._micro_fns = {}
+            self._tick_fn_nodonate = None
             self._tile_height = th
         else:
             self._tile_height = None
@@ -950,25 +957,83 @@ class Engine:
 
     # -- stepping ----------------------------------------------------------------
 
+    def _micro_step_fn(self, k: int):
+        """Jitted k-frame stepper threading the SAME (state, acc) pair as k
+        single ticks: lax.scan of the tick, donated in and out. Because the
+        tick is pure and folds its own events into the accumulator, k fused
+        frames are bit-identical to k per-frame dispatches."""
+        fn = self._micro_fns.get(k)
+        if fn is None:
+            if self._tick_fn_nodonate is None:
+                self._tick_fn_nodonate = make_tick(
+                    self.cfg, getattr(self, "_tile_height", None),
+                    donate=False)
+            tick = self._tick_fn_nodonate
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step_k(state, acc):
+                def body(carry, _):
+                    return tick(*carry), None
+
+                (state, acc), _ = jax.lax.scan(
+                    body, (state, acc), None, length=k)
+                return state, acc
+
+            fn = self._micro_fns[k] = step_k
+        return fn
+
+    def _fusible_frames(self) -> int:
+        """Frames until the next host-cadence boundary — the largest device
+        dispatch that is provably identical to per-frame stepping. Every
+        host effect in step() fires only when `_frame % period == 0` for
+        one of these periods (delta drains, economy/anim/audio, seek/chase
+        refresh + blocker machinery), so no intermediate frame can observe
+        or produce host work. Caller guarantees no live tasks (tasks may
+        wake every frame) and an empty event queue (a handler chain must
+        service at frame granularity)."""
+        f = self._frame
+        k = self.drain_period - f % self.drain_period
+        for p in (self.economy_period, self.seek_refresh_period,
+                  2 * self.seek_refresh_period):
+            k = min(k, p - f % p)
+        return max(k, 1)
+
     def step(self, n_frames: int = 1) -> None:
         """Advance n 60 Hz frames; collect host events from deltas and run
         host systems (economy, regions, tasks) at their decimated rates —
-        the analogue of the reference's frame loop (ref: src/main.c:816)."""
+        the analogue of the reference's frame loop (ref: src/main.c:816).
+
+        Frames between host-cadence boundaries fuse into one lax.scan
+        dispatch (micro-batching): through a remote transport the
+        per-dispatch overhead is the interactive-mode floor (~4.4 ms/frame
+        measured), and the fused segment is bit-identical because the tick
+        is pure and all host work is cadence-gated. Live tasks, queued
+        events or a pause force per-frame dispatches (the reference's
+        frame-granular semantics, main.c:86-98)."""
         from permafrost_engine_tpu.core.config import SimState
 
-        for _ in range(n_frames):
-            # re-read each frame: a task pausing mid-window must take
+        left = n_frames
+        while left > 0:
+            # re-read each segment: a task pausing mid-window must take
             # effect at frame granularity like the reference (main.c:86-98)
             paused = self.sim_state == SimState.PAUSED_FULL
+            k = 1
+            if (self.micro_batching and not paused
+                    and not self.sched.tasks and not self.bus.pending):
+                k = min(left, self._fusible_frames())
             self.perf.begin_tick()
-            self._frame += 1
+            self._frame += k
             self._commit_nav()
             if not paused:
                 with self.perf.scope("device_tick"):
-                    # the tick folds this frame's events into the running
-                    # accumulator on device: ONE dispatch per frame
-                    self.state, self._acc = self._tick_fn(self.state,
-                                                          self._acc)
+                    # the tick folds each frame's events into the running
+                    # accumulator on device: ONE dispatch per segment
+                    if k == 1:
+                        self.state, self._acc = self._tick_fn(self.state,
+                                                              self._acc)
+                    else:
+                        self.state, self._acc = self._micro_step_fn(k)(
+                            self.state, self._acc)
                 # every `drain_period` frames the accumulated window starts
                 # an ASYNC copy to host and the PREVIOUS window (whose copy
                 # has completed by now) is consumed. A synchronous
@@ -988,6 +1053,7 @@ class Engine:
                             self._drain(jax.device_get(ready))
             with self.perf.scope("host_systems"):
                 self._host_systems_tick()
+            left -= k
         # one sync at the end of the call: callers observe all their frames
         self.flush_deltas()
         self.bus.service_queue(self.sim_state)

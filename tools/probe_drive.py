@@ -37,7 +37,12 @@ def main():
     print("at contact, alive:", int(np.asarray(eng.state.ents.alive).sum()))
 
     fps_step = fps_of(eng, eng.step)
-    print("step() fps:", round(fps_step, 2), flush=True)
+    print("step() fps (micro-batched):", round(fps_step, 2), flush=True)
+    eng.micro_batching = False
+    fps_step1 = fps_of(eng, eng.step)
+    print("step() fps (per-frame dispatch):", round(fps_step1, 2),
+          flush=True)
+    eng.micro_batching = True
     fps_scan = fps_of(eng, eng.step_scan)
     print("step_scan() fps:", round(fps_scan, 2), flush=True)
     st = eng.profile_tick(30)
