@@ -144,6 +144,20 @@ def measure_rebuild():
     return p50_single, per_chunk
 
 
+def _class_spread(a: dict, b: dict):
+    """Worst per-cadence-class p50 disagreement (%) between two
+    consecutive profile_tick runs — the attribution's own error bar."""
+    worst = None
+    for key, ca in (a.get("classes") or {}).items():
+        cb = (b.get("classes") or {}).get(key)
+        if cb is None or ca["n"] < 6 or cb["n"] < 6:
+            continue
+        m = (ca["ms_p50"] + cb["ms_p50"]) / 2
+        d = abs(ca["ms_p50"] - cb["ms_p50"]) / max(m, 1e-9) * 100
+        worst = d if worst is None else max(worst, d)
+    return round(worst, 1) if worst is not None else None
+
+
 def alive_count(eng: Engine) -> int:
     return int(np.asarray(eng.state.ents.alive).sum())
 
@@ -226,7 +240,10 @@ def run_battle(terrain: bool) -> dict:
     fps_contact_scan = measure_phase(eng, scan=True)
     alive_contact = alive_count(eng)
     overlap_frac = overlap_fraction(eng)
-    tick_stats = eng.profile_tick(20)
+    # two consecutive probes: per-cadence-class p50s must agree run-to-run
+    # (the r3 bench's single mixed-phase p50 didn't measure anything stable)
+    tick_stats = eng.profile_tick(60)
+    tick_rerun = eng.profile_tick(60)
 
     # ---- late phase: most of one side dead ------------------------------------
     fast_forward_until(eng, lambda a: a < 0.55 * n0)
@@ -244,11 +261,13 @@ def run_battle(terrain: bool) -> dict:
         "overlap_frac_contact": round(overlap_frac, 4),
         "alive_at_end": alive_end,
         "frames_to_contact": 60 + 3 * 120 + ff1,
-        "tick_ms_p50": round(tick_stats.get("ms_p50", 0.0), 3),
-        "tick_flops": tick_stats.get("tick_flops"),
+        "tick_ms_amortized": round(tick_stats.get("ms_mean", 0.0), 3),
+        "tick_classes": tick_stats.get("classes"),
+        "tick_classes_rerun": tick_rerun.get("classes"),
+        "tick_rerun_spread_pct": _class_spread(tick_stats, tick_rerun),
+        "tick_flops_upper": tick_stats.get("tick_flops_upper"),
         "tick_hbm_bytes_upper": tick_stats.get("tick_hbm_bytes_upper"),
-        "mfu_pct": tick_stats.get("mfu_pct"),
-        "hbm_util_upper_pct": tick_stats.get("hbm_util_upper_pct"),
+        "mfu_upper_pct": tick_stats.get("mfu_upper_pct"),
         "nav_stats": {k: v for k, v in eng.nav.stats.items()},
     }
 

@@ -272,6 +272,8 @@ class EngineConfig:
                                      # bound of a 4u cell, never saturates)
     move_hz: int = 20
     combat_hz: int = 10
+    fog_hz: int = 6                  # vision/fog flush rate (the reference
+                                     # flushes lazily/batched per update)
     vision_radius_buckets: int = 4   # distinct vision radii for fog stamps
 
     # ---- derived geometry -------------------------------------------------

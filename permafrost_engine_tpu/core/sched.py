@@ -102,6 +102,10 @@ class Task:
         self.args = args
         self.name = name or fn.__name__
         self.state: dict = {}           # picklable user state
+        self.state0: dict | None = None  # state at generator start — the
+        # base a restore-replay re-derives from (body mutations like
+        # `state["n"] += 1` re-run during replay; starting from the saved
+        # state would double-apply them)
         self.gen: Generator = fn(self, *args)
         self.status = _READY
         self.inbox: deque[tuple[Any, int]] = deque()
@@ -204,6 +208,9 @@ class Scheduler:
         """Advance a task one request. Returns True if it stays READY."""
         val, t.send_value = t.send_value, None
         if t.replayable and not t.replaying:
+            if t.state0 is None:
+                import copy
+                t.state0 = copy.deepcopy(t.state)
             t.resume_log.append(val)
             if len(t.resume_log) > REPLAY_LOG_CAP:
                 t.replayable = False
@@ -270,10 +277,23 @@ class Scheduler:
 
     # -- mid-execution persistence (deterministic replay) -----------------------
 
-    def snapshot(self) -> dict:
+    def snapshot(self, probe=None) -> dict:
         """Serializable scheduler image. Replayable live tasks carry their
-        resume/effect logs; others degrade to restart-from-entry records."""
-        import pickle
+        resume/effect logs; others degrade to restart-from-entry records.
+
+        `probe(rec) -> bool` tests serializability — session saves pass a
+        GraphPickler probe (core/pickling.py), so closure/lambda entries
+        and captured script objects survive; the stock-pickle default is
+        kept for direct snapshot() callers."""
+        if probe is None:
+            import pickle
+
+            def probe(rec):
+                try:
+                    pickle.dumps(rec, protocol=4)
+                    return True
+                except Exception:
+                    return False
         tasks = []
         for t in self.tasks.values():
             if t.status == _DONE:
@@ -292,18 +312,15 @@ class Scheduler:
             if t.replayable:
                 rec.update(resume_log=t.resume_log,
                            request_log=t.request_log,
-                           effect_log=t.effect_log)
-            try:
-                pickle.dumps(rec, protocol=4)
-            except Exception:
-                # retry without the logs (some yielded value unpicklable)
+                           effect_log=t.effect_log,
+                           state0=t.state0)
+            if not probe(rec):
+                # retry without the logs (some yielded value unserializable)
                 rec.pop("resume_log", None)
                 rec.pop("request_log", None)
                 rec.pop("effect_log", None)
-                try:
-                    pickle.dumps(rec, protocol=4)
-                except Exception:
-                    continue        # closure/lambda entry: drop (documented)
+                if not probe(rec):
+                    continue        # unserializable entry: drop (documented)
             tasks.append(rec)
         return {"tick": self._tick, "next_tid": self._next_tid,
                 "names": dict(self._names), "tasks": tasks}
@@ -327,6 +344,14 @@ class Scheduler:
                 # restart-from-entry fallback sees the snapshotted state.
                 import copy
                 pristine = copy.deepcopy(t.state)
+                base = rec.get("state0")
+                if base is not None and isinstance(t.state, dict):
+                    # replay re-derives the saved state from the generator-
+                    # start base; reset IN PLACE so identity stays shared
+                    # with script-side wrappers unpickled in the same stream
+                    t.state.clear()
+                    t.state.update(copy.deepcopy(base))
+                    t.state0 = base
                 try:
                     self._replay(t, rec["resume_log"], rec["request_log"],
                                  rec["effect_log"])
@@ -336,7 +361,12 @@ class Scheduler:
                     # non-deterministic replay: fresh generator, snapshot state
                     t.gen = t.fn(t, *t.args)
                     t.replaying = False
-                    t.state = pristine
+                    if isinstance(t.state, dict):
+                        t.state.clear()
+                        t.state.update(pristine)
+                    else:
+                        t.state = pristine
+                    t.state0 = None
                     t.resume_log, t.request_log, t.effect_log = [], [], []
             if replayed:
                 t.status = rec["status"]

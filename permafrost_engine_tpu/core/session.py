@@ -26,37 +26,59 @@ import pickle
 import flax.serialization
 import numpy as np
 
+from permafrost_engine_tpu.core import pickling as graphpickle
 from permafrost_engine_tpu.core.config import EngineConfig
 from permafrost_engine_tpu.state.schema import init_state
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
+
+
+def engine_tokens(engine) -> dict[str, object]:
+    """Engine-side singletons swapped for named tokens in the blob and
+    re-bound to the freshly built engine at load. Script closures that
+    captured e.g. the event bus keep working after a fresh-process load."""
+    return {
+        "ENGINE": engine, "BUS": engine.bus, "SCHED": engine.sched,
+        "SETTINGS": engine.settings, "ECONOMY": engine.economy,
+        "NAV": engine.nav, "REGIONS": engine.regions,
+        "SELECTION": engine.selection, "ANIM": engine.anim,
+        "AUDIO": engine.audio, "PERF": engine.perf,
+    }
 
 
 def _picklable(obj) -> bool:
-    try:
-        pickle.dumps(obj, protocol=4)
-        return True
-    except Exception:
-        return False
+    return graphpickle.picklable(obj)
 
 
-def save_session_bytes(engine) -> bytes:
+def save_session_bytes(engine, *, script_state=None, extra_tokens=None,
+                       by_value=None) -> bytes:
     """Serialize an Engine (game/engine.py) to bytes.
 
     Covers every subsystem's state the way the reference's subsession_save
     serializes per-subsystem entity streams (ref: src/session.c:176-233,
     src/game/game.c:3679-3713): device pytree, nav caches (flow + LOS),
     economy/garrison components, regions, selection, anim, audio, and
-    scheduler tasks (restarted from entry on load — the documented scope
-    cut vs the reference's mid-execution fiber pickling, py_task.c:654).
+    scheduler tasks (live tasks resume mid-execution via replay logs).
+
+    `script_state` (any object graph — the pf layer passes its whole
+    context image) rides in the same GraphPickler stream as the host
+    dict, so entity wrappers shared between task closures and event
+    handlers keep one identity across the save (the reference gets this
+    from pickling the whole interpreter in one pass, py_pickle.c).
     """
     engine.flush_deltas()   # no in-flight events may be lost in the blob
     state_bytes = flax.serialization.to_bytes(engine.state)
+    tokens = {id(o): name for name, o in engine_tokens(engine).items()}
+    for oid, name in (extra_tokens or {}).items():
+        tokens[oid] = name
+
+    def probe(rec):
+        # serializability under the REAL save conditions: tokenized
+        # engine singletons + the script-territory by-value policy
+        return graphpickle.picklable(rec, tokens=tokens, by_value=by_value)
+
     eco = engine.economy
     host = {
-        "version": FORMAT_VERSION,
-        "cfg": engine.cfg.__dict__ if hasattr(engine.cfg, "__dict__")
-               else dataclass_dict(engine.cfg),
         "frame": engine._frame,
         "sim_state": engine.sim_state,
         "economy_period": engine.economy_period,
@@ -73,9 +95,7 @@ def save_session_bytes(engine) -> bytes:
         "host_factions": set(engine._host_factions),
         "host_diplomacy": engine._host_diplomacy,
         "structures": dict(engine._structures),
-        "map_data": engine.map_data,
-        # nav: terrain + structure overlay + both caches + path tracking
-        "nav_terrain_cost": engine.nav.terrain_cost,
+        # nav: structure overlay + both caches + path tracking
         "nav_structure_ref": engine.nav.structure_ref,
         "nav_slot_mirror": engine.nav.slot_mirror,
         "nav_los_mirror": engine.nav.los_mirror,
@@ -111,12 +131,24 @@ def save_session_bytes(engine) -> bytes:
         # scheduler image: replayable tasks resume mid-execution via their
         # resume/effect logs; others restart from entry with their state
         # (ref: py_task.c:654 mid-execution fiber pickling)
-        "sched": engine.sched.snapshot(),
+        "sched": engine.sched.snapshot(probe=probe),
     }
     if hasattr(engine, "settings"):
         host["settings"] = engine.settings.snapshot()
+
+    # boot (plain pickle): just enough to construct the Engine that the
+    # graph-pickled part's tokens resolve against
+    boot = {
+        "cfg": engine.cfg.__dict__ if hasattr(engine.cfg, "__dict__")
+               else dataclass_dict(engine.cfg),
+        "nav_terrain_cost": engine.nav.terrain_cost,
+        "map_data": engine.map_data,
+    }
+    rest = graphpickle.dumps({"host": host, "script": script_state},
+                             tokens=tokens, by_value=by_value)
     buf = io.BytesIO()
-    pickle.dump({"host": host, "state": state_bytes}, buf, protocol=4)
+    pickle.dump({"version": FORMAT_VERSION, "boot": boot,
+                 "state": state_bytes, "rest": rest}, buf, protocol=4)
     return buf.getvalue()
 
 
@@ -125,29 +157,42 @@ def dataclass_dict(cfg: EngineConfig) -> dict:
     return dataclasses.asdict(cfg)
 
 
-def load_session_bytes(data: bytes):
-    """Reconstruct an Engine from bytes; returns the new Engine."""
+def load_session_bytes(data: bytes, *, extra_resolve=None,
+                       return_script: bool = False):
+    """Reconstruct an Engine from bytes; returns the new Engine (or
+    `(engine, script_state)` with return_script=True).
+
+    `extra_resolve(engine) -> dict[str, object]` supplies additional
+    token bindings (the pf layer binds "CONTEXT" to its fresh context)."""
     from permafrost_engine_tpu.game.engine import Engine
     from permafrost_engine_tpu.nav.service import LruSlab
 
     blob = pickle.loads(data)
-    host = blob["host"]
-    if host["version"] != FORMAT_VERSION:
+    version = blob.get("version") or blob.get("host", {}).get("version")
+    if version != FORMAT_VERSION:
         # older blobs can't restore anyway: the flax state schema changed
-        # (FactionTable.chase_slot added, NavState.dirty_chunks removed),
-        # so from_bytes would raise on them — reject with a clear error
+        # across versions, so from_bytes would raise on them — reject
+        # with a clear error
         raise ValueError(
-            f"unsupported session version {host['version']} "
+            f"unsupported session version {version} "
             f"(expected {FORMAT_VERSION}; the device-state schema is not "
             f"compatible across versions)")
 
-    cfg = EngineConfig(**host["cfg"])
-    engine = Engine(cfg, cost_base=np.asarray(host["nav_terrain_cost"]))
-    if host.get("map_data") is not None:
+    boot = blob["boot"]
+    cfg = EngineConfig(**boot["cfg"])
+    engine = Engine(cfg, cost_base=np.asarray(boot["nav_terrain_cost"]))
+    if boot.get("map_data") is not None:
         # restores heights + the height-aware tick before state overwrite
-        engine.load_map_data(host["map_data"])
+        engine.load_map_data(boot["map_data"])
     template = init_state(cfg)
     engine.state = flax.serialization.from_bytes(template, blob["state"])
+
+    resolve = {name: o for name, o in engine_tokens(engine).items()}
+    for name, o in (extra_resolve(engine) if extra_resolve else {}).items():
+        resolve[name] = o
+    rest = graphpickle.loads(blob["rest"], resolve=resolve)
+    host = rest["host"]
+    script_state = rest.get("script")
 
     engine._frame = host.get("frame", 0)
     engine.sim_state = host.get("sim_state", 0)
@@ -216,6 +261,8 @@ def load_session_bytes(data: bytes):
 
     if "settings" in host and hasattr(engine, "settings"):
         engine.settings.restore(host["settings"])
+    if return_script:
+        return engine, script_state
     return engine
 
 

@@ -360,7 +360,7 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
     move_period = FRAME_HZ // cfg.move_hz
     combat_period = FRAME_HZ // cfg.combat_hz
     proj_period = FRAME_HZ // 30
-    fog_period = 10  # 6 Hz — the reference flushes vision lazily/batched
+    fog_period = max(FRAME_HZ // cfg.fog_hz, 1)
     corpse_period = FRAME_HZ  # 1 Hz
 
     from permafrost_engine_tpu.ops.crowd_pallas import select_crowd_backend

@@ -54,10 +54,11 @@ def project(tris: jax.Array, vp: jax.Array, w: int, h: int):
 
     tris: f32[T, 3, 3] world xyz. vp: f32[4, 4] view-projection.
     Returns (xy f32[T,3,2] pixel coords, z f32[T,3] ndc depth,
-    inv_w f32[T,3], valid bool[T]). Triangles with any vertex behind the
-    near plane are rejected (no near clipping — RTS cameras look down, a
-    documented simplification). Winding is normalized to CCW so mirrored
-    passes (water reflection) need no state flip.
+    inv_w f32[T,3], valid bool[T]). Callers that may see geometry
+    straddling the near plane run `clip_near` first (below); triangles
+    still holding a behind-plane vertex here are rejected. Winding is
+    normalized to CCW so mirrored passes (water reflection) need no
+    state flip.
     """
     hom = jnp.concatenate([tris, jnp.ones(tris.shape[:2] + (1,), tris.dtype)],
                           axis=-1)                        # [T,3,4]

@@ -23,6 +23,7 @@ import io
 import os
 import pickle
 import random as _random
+import sys
 import time as _time
 
 import numpy as np
@@ -1320,31 +1321,148 @@ def set_simstate(state: int) -> None:
     _eng().sim_state = int(state)
 
 
+def _script_by_value(basedir: str):
+    """by-value policy for session pickles: game-script modules must never
+    be re-imported (and re-executed) by a fresh-process load, so their
+    functions/classes/modules ship by value (ref: the reference pickles
+    whole script modules by value, py_pickle.c module handler)."""
+    base = os.path.abspath(basedir)
+
+    def by_value(mod_name: str) -> bool:
+        root = mod_name.partition(".")[0]
+        if root in ("permafrost_engine_tpu",):
+            return False            # the engine itself is import-safe
+        if mod_name in ("__main__", "__mp_main__") or root == "scripts":
+            return True
+        m = sys.modules.get(mod_name)
+        f = getattr(m, "__file__", None) if m is not None else None
+        return bool(f and os.path.abspath(f).startswith(base + os.sep))
+
+    return by_value
+
+
+def _collect_script_state(ctx) -> dict:
+    """Image of the script layer for the session blob: event handlers,
+    entity wrappers, UI windows/system, cameras, click modes, presentation
+    state. pf.Task instances ride inside the scheduler snapshot (their
+    _entry bound methods) and are re-bound on load; the GraphPickler memo
+    keeps wrapper identity shared between here and there."""
+    import weakref as _weakref
+
+    from permafrost_engine_tpu.core import pickling as graphpickle
+    eng = ctx.engine
+    entities = {}
+    for uid, ref in list(ctx.entities.items()):
+        obj = ref() if isinstance(ref, _weakref.ref) else ref
+        if obj is not None:
+            entities[uid] = obj
+    return {
+        "handlers": {k: list(v) for k, v in eng.bus._handlers.items() if v},
+        "queue": list(eng.bus._queue),
+        "entities": entities,
+        "ui": ctx.ui,
+        "ui_windows": dict(ctx.ui_windows),
+        "cameras": ctx.cameras,
+        "active_camera": ctx.active_camera,
+        "rts_zoom_enabled": ctx.rts_zoom_enabled,
+        "click_modes": ctx.click_modes,
+        "player_faction": ctx.player_faction,
+        "mouse_pos": ctx.mouse_pos,
+        "keys_down": set(ctx.keys_down),
+        "cursor": ctx.cursor,
+        "minimap": ctx.minimap,
+        "healthbars": ctx.healthbars,
+        "unit_icons": ctx.unit_icons,
+        "show_regions_flag": ctx.show_regions_flag,
+        "skybox": ctx.skybox,
+        "lighting": ctx.lighting,
+        "storage_ui": ctx.storage_ui,
+        "garrison_ui": ctx.garrison_ui,
+        "console_shown": ctx.console_shown,
+        "highlight_size": ctx.highlight_size,
+        "models": {k: v for k, v in ctx.models.items()
+                   if graphpickle.picklable(v)},
+    }
+
+
+def _apply_script_state(ctx, st: dict) -> None:
+    import weakref as _weakref
+    from collections import defaultdict
+
+    eng = ctx.engine
+    eng.bus._handlers = defaultdict(
+        list, {k: list(v) for k, v in st["handlers"].items()})
+    eng.bus._queue = list(st.get("queue", []))
+    # restored wrappers must outlive this call in a fresh process where no
+    # script module holds them — the context retains them strongly (the
+    # reference's unpickled module graph is what holds them there)
+    ctx._retained_entities = list(st["entities"].values())
+    ctx.entities = {uid: _weakref.ref(obj)
+                    for uid, obj in st["entities"].items()}
+    ctx.ui = st["ui"]
+    ctx.ui_windows = dict(st["ui_windows"])
+    ctx.cameras = st["cameras"]
+    ctx.active_camera = st["active_camera"]
+    ctx.rts_zoom_enabled = st["rts_zoom_enabled"]
+    ctx.click_modes = st["click_modes"]
+    ctx.player_faction = st["player_faction"]
+    ctx.mouse_pos = st["mouse_pos"]
+    ctx.keys_down = set(st["keys_down"])
+    ctx.cursor = st["cursor"]
+    ctx.minimap = st["minimap"]
+    ctx.healthbars = st["healthbars"]
+    ctx.unit_icons = st["unit_icons"]
+    ctx.show_regions_flag = st["show_regions_flag"]
+    ctx.skybox = st["skybox"]
+    ctx.lighting = st["lighting"]
+    ctx.storage_ui = st["storage_ui"]
+    ctx.garrison_ui = st["garrison_ui"]
+    ctx.console_shown = st["console_shown"]
+    ctx.highlight_size = st["highlight_size"]
+    ctx.models.update(st.get("models", {}))
+
+
 def save_session(path: str) -> bool:
-    from permafrost_engine_tpu.core.session import save_session as _save
-    _save(_eng(), os.path.join(context().basedir, path))
+    """Save the full session: engine + the whole script layer (handlers,
+    entity wrappers, UI, live pf.Task fibers). A fresh process can rebuild
+    everything from the file alone (ref: src/session.c:176-233 +
+    py_pickle.c whole-interpreter pickling)."""
+    from permafrost_engine_tpu.core.session import save_session_bytes
+    ctx = context()
+    blob = save_session_bytes(
+        ctx.engine,
+        script_state=_collect_script_state(ctx),
+        extra_tokens={id(ctx): "CONTEXT"},
+        by_value=_script_by_value(ctx.basedir))
+    with open(os.path.join(ctx.basedir, path), "wb") as f:
+        f.write(blob)
     return True
 
 
 def load_session(path: str) -> bool:
-    from permafrost_engine_tpu.core.session import load_session as _load
+    """Restore a session saved by save_session — in-process or in a FRESH
+    process: handlers, UI views, entity wrappers and mid-execution pf.Task
+    fibers are rebuilt from the blob alone (the py_pickle.c capability;
+    fibers resume via the scheduler's deterministic replay)."""
+    from permafrost_engine_tpu.core.session import load_session_bytes
     ctx = context()
-    old_bus = ctx.engine.bus if ctx.engine is not None else None
-    ctx.engine = _load(os.path.join(ctx.basedir, path))
-    if old_bus is not None:
-        # script-registered handlers survive a session load, as the
-        # reference's pickled script subscriptions do (ref: src/session.c
-        # S_PickleObjgraph round-trips the handler lists)
-        for key, lst in old_bus._handlers.items():
-            ctx.engine.bus._handlers[key].extend(lst)
+    with open(os.path.join(ctx.basedir, path), "rb") as f:
+        data = f.read()
+    engine, script = load_session_bytes(
+        data, extra_resolve=lambda eng: {"CONTEXT": ctx},
+        return_script=True)
+    ctx.engine = engine
+    if script is not None:
+        _apply_script_state(ctx, script)
     # rebind restored pf.Task instances (their _entry bound methods came
-    # back through the scheduler snapshot)
+    # back through the scheduler snapshot, replayed to their yield point)
     ctx.tasks = {}
     for tid, t in ctx.engine.sched.tasks.items():
         owner = getattr(t.fn, "__self__", None)
         if isinstance(owner, Task):
             owner.tid = tid
             owner.state = t.state
+            owner._task = t
             ctx.tasks[tid] = owner
     return True
 
@@ -1381,11 +1499,27 @@ def session_stack_depth() -> int:
 
 
 def pickle_object(obj) -> bytes:
-    return pickle.dumps(obj, protocol=4)
+    """Serialize ANY script object graph — closures, lambdas, dynamic
+    classes, bound methods, weakrefs, modules — not just the stock-pickle
+    subset (ref: src/script/py_pickle.c:278-369; conformance suite:
+    tests/test_pickle.py, mirroring the reference's scripts/test_pickle.py)."""
+    from permafrost_engine_tpu.core import pickling as graphpickle
+    ctx = _context
+    if ctx is not None:
+        return graphpickle.dumps(
+            obj,
+            tokens={id(ctx.engine): "ENGINE", id(ctx): "CONTEXT"},
+            by_value=_script_by_value(ctx.basedir))
+    return graphpickle.dumps(obj)
 
 
 def unpickle_object(data: bytes):
-    return pickle.loads(data)
+    from permafrost_engine_tpu.core import pickling as graphpickle
+    ctx = _context
+    resolve = {}
+    if ctx is not None:
+        resolve = {"ENGINE": ctx.engine, "CONTEXT": ctx}
+    return graphpickle.loads(data, resolve=resolve)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,12 @@ class Task:
         ctx.tasks[self.tid] = self
 
     def _entry(self, task, *args):
+        import copy
         task.state = self.state
+        # the replay base must be the WRAPPER dict's content at generator
+        # start (the scheduler's pre-send capture saw its own empty dict
+        # before this swap) — see core/sched.py Task.state0
+        task.state0 = copy.deepcopy(self.state)
         self._task = task
         return (yield from self.__run__())
 

@@ -4,8 +4,8 @@ step() fuses the frames between host-cadence boundaries into one lax.scan
 dispatch. The contract: fused stepping is BIT-IDENTICAL to per-frame
 stepping — same device state, same drained events in the same order —
 because the tick is pure and every host effect is cadence-gated
-(drain/economy/seek periods). Live tasks or queued events force
-per-frame dispatches.
+(drain/economy/seek periods). Live tasks force per-frame dispatches;
+a non-empty event queue does not (both modes service it at call end).
 """
 
 import numpy as np
@@ -66,6 +66,32 @@ def test_fused_bit_identical_to_per_frame():
     assert int(a.state.tick) == int(b.state.tick)
     # drained host events match exactly (kind, uid) in order
     assert a.events == b.events
+
+
+def test_fused_handler_parity_with_events_flowing():
+    """Drains deliver events mid-window (motion/arrival while fused):
+    registered handlers must fire with the same payloads in the same
+    order as per-frame stepping — fusion with a non-empty queue is
+    behaviour-identical because both modes service the queue at call
+    end (game/engine.py Engine.step)."""
+    from permafrost_engine_tpu.core.events import EventType
+
+    def drive(micro: bool):
+        eng, _ = build(micro=micro)
+        calls = []
+        for ev in (EventType.MOTION_START, EventType.MOTION_END):
+            eng.bus.subscribe(ev, lambda a, e=ev: calls.append((int(e),
+                                                                a["uid"])))
+        for _ in range(15):     # segment-sized calls: queue stays warm
+            eng.step(5)
+        return eng, calls
+
+    a, ca = drive(False)
+    b, cb = drive(True)
+    assert ca, "scenario generated no events — test is vacuous"
+    assert ca == cb
+    np.testing.assert_array_equal(np.asarray(a.state.ents.pos),
+                                  np.asarray(b.state.ents.pos))
 
 
 def test_fusible_frames_respects_cadences():
