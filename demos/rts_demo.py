@@ -79,6 +79,12 @@ def main():
     # --- save MID-MARCH (formation flock live), reload, keep fighting -------
     assert pf.save_session("/tmp/rts_demo_mid.bin")
     assert pf.load_session("/tmp/rts_demo_mid.bin")
+    # load_session rebuilds the script layer from the blob alone (fresh-
+    # process semantics, ref: session.c:176-233): the pre-save handler now
+    # lives on inside the restored layer, bound to the restored list. This
+    # harness runs OUTSIDE the saved layer, so re-register its local
+    # accumulator to keep observing deaths from here.
+    pf.register_event_handler(pf.EVENT_ENTITY_DEATH, deaths.append)
 
     for second in range(30):
         pf.step(60)

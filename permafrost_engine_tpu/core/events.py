@@ -50,6 +50,54 @@ class EventType(IntEnum):
     SELECTION_CHANGED = 27
     GARRISONED_UNITS_CHANGED = 28
     ANIM_FINISHED = 29
+    # -- remainder of the reference's engine event enum
+    # (ref: src/event.h:60-131; values here are our own — scripts use the
+    # symbolic names, which pf exports under the reference's spellings)
+    UPDATE_FACTION = 30
+    NEW_GAME = 31
+    SELECTED_TILE_CHANGED = 32
+    RENDER_3D_PRE = 33
+    RENDER_3D_POST = 34
+    RENDER_UI = 35
+    RENDER_FINISH = 36
+    TICK_15HZ = 37
+    TICK_5HZ = 38
+    TICK_HALFHZ = 39
+    ANIM_CYCLE_FINISHED = 40
+    MOVE_ISSUED = 41
+    ENTITY_DEATH_IMMEDIATE = 42
+    ATTACK_END = 43
+    GAME_SIMSTATE_CHANGED = 44
+    SESSION_POPPED = 45
+    SESSION_SAVED = 46
+    SESSION_FAIL_LOAD = 47
+    SESSION_FAIL_SAVE = 48
+    SCRIPT_TASK_EXCEPTION = 49
+    SCRIPT_TASK_FINISHED = 50
+    BUILD_BEGIN = 51
+    BUILD_END = 52
+    BUILD_FAIL_FOUND = 53
+    BUILD_TARGET_ACQUIRED = 54
+    BUILDING_CONSTRUCTED = 55
+    ENTITY_DIED = 56
+    ENTITY_STOP = 57
+    HARVEST_BEGIN = 58
+    HARVEST_END = 59
+    TRANSPORT_TARGET_ACQUIRED = 60
+    STORAGE_SITE_AMOUNT_CHANGED = 61
+    RESOURCE_DROPPED_OFF = 62
+    RESOURCE_PICKED_UP = 63
+    RESOURCE_AMOUNT_CHANGED = 64
+    PROJECTILE_DISAPPEAR = 65
+    ENTITY_DISAPPEARED = 66
+    MOVABLE_ENTITY_UNBLOCK = 67
+    MOVABLE_ENTITY_BLOCK = 68
+    BUILDING_PLACED = 69
+    BUILDING_REMOVED = 70
+    RALLY_POINT_SET = 71
+    UNIT_BECAME_IDLE = 72
+    UNIT_BECAME_ACTIVE = 73
+    ENGINE_LAST = 0xFFFF
     SCRIPT_BASE = 0x10000
 
 

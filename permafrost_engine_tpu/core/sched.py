@@ -38,7 +38,7 @@ import dataclasses
 from collections import deque
 from typing import Any, Callable, Generator
 
-from permafrost_engine_tpu.core.events import EventBus
+from permafrost_engine_tpu.core.events import EventBus, EventType
 
 
 # -- request protocol (ref: sched.h:120-133) -----------------------------------
@@ -228,6 +228,26 @@ class Scheduler:
                 if w and w.status == _BLOCKED_REPLY:
                     w.status = _READY
                     w.send_value = None
+            if self.events is not None:
+                self.events.notify(int(EventType.SCRIPT_TASK_FINISHED),
+                                   (t.tid, t.result))
+            return False
+        except Exception:
+            # A faulting task dies; the engine keeps running (ref: the
+            # reference displays the error and emits
+            # EVENT_SCRIPT_TASK_EXCEPTION, py_task.c task_main's S_ShowLastError)
+            import traceback
+            traceback.print_exc()
+            t.result = None
+            t.status = _DONE
+            for wtid in t.reply_waiters:
+                w = self.tasks.get(wtid)
+                if w and w.status == _BLOCKED_REPLY:
+                    w.status = _READY
+                    w.send_value = None
+            if self.events is not None:
+                self.events.notify(int(EventType.SCRIPT_TASK_EXCEPTION),
+                                   (t.tid, traceback.format_exc()))
             return False
 
         if t.replayable and not t.replaying:

@@ -91,49 +91,41 @@ CAM_MODE_FPS = CameraMode.FPS
 CAM_MODE_RTS = CameraMode.RTS
 CAM_MODE_FREE = CameraMode.FREE
 
-# SDL-style scancodes for script key handling
-_KEYS = [*"ABCDEFGHIJKLMNOPQRSTUVWXYZ", *"0123456789", "SPACE", "RETURN",
-         "ESCAPE", "TAB", "LSHIFT", "RSHIFT", "LCTRL", "RCTRL", "LEFT",
-         "RIGHT", "UP", "DOWN", "F1", "F2", "F3", "F4", "F5", "F6", "F7",
-         "F8", "F9", "F10", "F11", "F12", "DELETE", "BACKSPACE", "HOME",
-         "END", "PAGEUP", "PAGEDOWN", "GRAVE", "MINUS", "EQUALS"]
-for _i, _k in enumerate(_KEYS):
-    globals()[f"SDL_SCANCODE_{_k}"] = _i + 4
+# The full constant surface — SDL scancodes/keycodes/keymods/events,
+# cursor kinds, tile types, nuklear UI enums, engine enum families
+# (ref: src/script/py_constants.c exposes ~781 names; constants.py
+# generates the same tables).
+from permafrost_engine_tpu.script import constants as _constants  # noqa: E402
 
-# SDL event types, registrable like engine events (the reference exposes
-# these via PY_EXPOSE_ENUM and scripts subscribe key/mouse handlers on
-# them, ref: src/script/py_constants.c + scripts/rts/main.py's
-# pf.register_ui_event_handler(pf.SDL_KEYDOWN, ...)). Values are SDL2's;
-# they sit below EventType.SCRIPT_BASE (0x10000) and above the engine
-# event range (0..29), so they never collide with either.
-SDL_QUIT = 0x100
-SDL_KEYDOWN = 0x300
-SDL_KEYUP = 0x301
-SDL_MOUSEMOTION = 0x400
-SDL_MOUSEBUTTONDOWN = 0x401
-SDL_MOUSEBUTTONUP = 0x402
+_constants.export_into(globals())
 
-# nuklear window/flag constants under the reference's script-facing names
-# (ref: py_ui.c exposes NK_WINDOW_* / alignment enums; our ui.py holds the
-# canonical values)
+# Reference spellings for the tick/region/selection events whose internal
+# enum names differ (Python identifiers can't start with a digit):
+EVENT_60HZ_TICK = int(EventType.TICK_60HZ)
+EVENT_30HZ_TICK = int(EventType.TICK_30HZ)
+EVENT_20HZ_TICK = int(EventType.TICK_20HZ)
+EVENT_15HZ_TICK = int(EventType.TICK_15HZ)
+EVENT_10HZ_TICK = int(EventType.TICK_10HZ)
+EVENT_5HZ_TICK = int(EventType.TICK_5HZ)
+EVENT_1HZ_TICK = int(EventType.TICK_1HZ)
+EVENT_HALFHZ_TICK = int(EventType.TICK_HALFHZ)
+EVENT_ENTERED_REGION = int(EventType.REGION_ENTERED)
+EVENT_EXITED_REGION = int(EventType.REGION_EXITED)
+EVENT_UNIT_SELECTION_CHANGED = int(EventType.SELECTION_CHANGED)
+EVENT_BUILDING_FOUNDED = int(EventType.BUILDING_FOUNDED)
+EVENT_BUILDING_COMPLETED = int(EventType.BUILDING_COMPLETED)
+
+# ANCHOR_* values come from ui.py (our canonical layout-anchor bits)
 from permafrost_engine_tpu.script import ui as _ui  # noqa: E402
 
-NK_WINDOW_BORDER = _ui.WINDOW_BORDER
-NK_WINDOW_MOVABLE = _ui.WINDOW_MOVABLE
-NK_WINDOW_SCALABLE = _ui.WINDOW_SCALABLE
-NK_WINDOW_CLOSABLE = _ui.WINDOW_CLOSABLE
-NK_WINDOW_MINIMIZABLE = _ui.WINDOW_MINIMIZABLE
-NK_WINDOW_NO_SCROLLBAR = _ui.WINDOW_NO_SCROLLBAR
-NK_WINDOW_TITLE = _ui.WINDOW_TITLE
-NK_TEXT_ALIGN_LEFT = 0x01 | 0x10
-NK_TEXT_ALIGN_CENTERED = 0x02 | 0x10
-NK_TEXT_ALIGN_RIGHT = 0x04 | 0x10
 ANCHOR_X_LEFT = _ui.ANCHOR_X_LEFT
 ANCHOR_X_RIGHT = _ui.ANCHOR_X_RIGHT
 ANCHOR_X_CENTER = _ui.ANCHOR_X_CENTER
+ANCHOR_X_MASK = ANCHOR_X_LEFT | ANCHOR_X_RIGHT | ANCHOR_X_CENTER
 ANCHOR_Y_TOP = _ui.ANCHOR_Y_TOP
 ANCHOR_Y_BOT = _ui.ANCHOR_Y_BOT
 ANCHOR_Y_CENTER = _ui.ANCHOR_Y_CENTER
+ANCHOR_Y_MASK = ANCHOR_Y_TOP | ANCHOR_Y_BOT | ANCHOR_Y_CENTER
 ANCHOR_DEFAULT = _ui.ANCHOR_DEFAULT
 
 
@@ -293,12 +285,14 @@ def load_map(path: str) -> bool:
     from permafrost_engine_tpu.assets.pfmap import parse_pfmap
     with open(os.path.join(context().basedir, path)) as f:
         _eng().load_map_data(cached_parse("pfmap", f.read(), parse_pfmap))
+    _eng().bus.notify(int(EventType.NEW_GAME), path)
     return True
 
 
 def load_map_string(text: str) -> bool:
     from permafrost_engine_tpu.assets.pfmap import parse_pfmap
     _eng().load_map_data(parse_pfmap(text))
+    _eng().bus.notify(int(EventType.NEW_GAME), None)
     return True
 
 
@@ -575,8 +569,8 @@ def ctrl_pressed() -> bool:
 
 
 def get_key_name(scancode: int) -> str:
-    for k in _KEYS:
-        if globals()[f"SDL_SCANCODE_{k}"] == scancode:
+    for k, v in _constants.SDL_SCANCODES.items():
+        if v == scancode:
             return k
     return f"KEY_{scancode}"
 
@@ -1318,7 +1312,11 @@ def get_simstate() -> int:
 
 
 def set_simstate(state: int) -> None:
-    _eng().sim_state = int(state)
+    eng = _eng()
+    prev = int(eng.sim_state)
+    eng.sim_state = int(state)
+    if prev != int(state):
+        eng.bus.notify(int(EventType.GAME_SIMSTATE_CHANGED), int(state))
 
 
 def _script_by_value(basedir: str):
@@ -1429,13 +1427,18 @@ def save_session(path: str) -> bool:
     py_pickle.c whole-interpreter pickling)."""
     from permafrost_engine_tpu.core.session import save_session_bytes
     ctx = context()
-    blob = save_session_bytes(
-        ctx.engine,
-        script_state=_collect_script_state(ctx),
-        extra_tokens={id(ctx): "CONTEXT"},
-        by_value=_script_by_value(ctx.basedir))
-    with open(os.path.join(ctx.basedir, path), "wb") as f:
-        f.write(blob)
+    try:
+        blob = save_session_bytes(
+            ctx.engine,
+            script_state=_collect_script_state(ctx),
+            extra_tokens={id(ctx): "CONTEXT"},
+            by_value=_script_by_value(ctx.basedir))
+        with open(os.path.join(ctx.basedir, path), "wb") as f:
+            f.write(blob)
+    except Exception:
+        ctx.engine.bus.notify(int(EventType.SESSION_FAIL_SAVE), path)
+        raise
+    ctx.engine.bus.notify(int(EventType.SESSION_SAVED), path)
     return True
 
 
@@ -1446,11 +1449,15 @@ def load_session(path: str) -> bool:
     fibers resume via the scheduler's deterministic replay)."""
     from permafrost_engine_tpu.core.session import load_session_bytes
     ctx = context()
-    with open(os.path.join(ctx.basedir, path), "rb") as f:
-        data = f.read()
-    engine, script = load_session_bytes(
-        data, extra_resolve=lambda eng: {"CONTEXT": ctx},
-        return_script=True)
+    try:
+        with open(os.path.join(ctx.basedir, path), "rb") as f:
+            data = f.read()
+        engine, script = load_session_bytes(
+            data, extra_resolve=lambda eng: {"CONTEXT": ctx},
+            return_script=True)
+    except Exception:
+        ctx.engine.bus.notify(int(EventType.SESSION_FAIL_LOAD), path)
+        raise
     ctx.engine = engine
     if script is not None:
         _apply_script_state(ctx, script)
@@ -1486,11 +1493,15 @@ def exec_push(path: str) -> None:
 
 
 def exec_pop() -> None:
-    context().engine = context().session_stack.pop()
+    ctx = context()
+    ctx.engine = ctx.session_stack.pop()
+    ctx.engine.bus.notify(int(EventType.SESSION_POPPED), None)
 
 
 def exec_pop_to_root() -> None:
-    context().engine = context().session_stack.pop_to_root()
+    ctx = context()
+    ctx.engine = ctx.session_stack.pop_to_root()
+    ctx.engine.bus.notify(int(EventType.SESSION_POPPED), None)
 
 
 def session_stack_depth() -> int:

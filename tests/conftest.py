@@ -19,3 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite's wall clock is dominated by XLA compiles: every Engine builds
+# fresh jit closures, so identical-config engines recompile identical HLO.
+# The persistent compilation cache dedupes those compiles both within one
+# pytest run (2nd+ engine with the same cfg deserializes instead of
+# compiling) and across runs on the same box.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
