@@ -627,6 +627,9 @@ class SceneRenderer:
         img = np.asarray(jnp.clip(col * 255.0, 0, 255).astype(jnp.uint8))
         if overlays:
             img = self._overlays(img, camera, alpha)
+            from permafrost_engine_tpu.render.debug_overlays import (
+                apply_debug_overlays)
+            img = apply_debug_overlays(img, self.engine, camera, w, h)
             img = self._compose_ui(img)
         return img
 

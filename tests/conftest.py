@@ -11,6 +11,11 @@ forced through jax.config *after* import.
 
 import os
 
+# The persistent-cache AOT loader logs a full CPU-feature dump per cache hit
+# ("+prefer-no-scatter is not supported..." — XLA tuning flags misread as
+# CPU features); at 100s of hits it drowns real failures in test output.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
