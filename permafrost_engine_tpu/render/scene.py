@@ -593,6 +593,14 @@ class SceneRenderer:
             self._light_vp, fog, fog_scale, jnp.asarray(SKY), rays,
             atlas=atlas, tex_table=table, tex_size=TEX_SIZE)
 
+    def _setting(self, name: str, default):
+        """Video settings drive the renderer like the reference's do
+        (ref: game.c:1070-1536 settings -> R_* state)."""
+        try:
+            return self.engine.settings.get(name)
+        except Exception:   # raw Engine without the pf settings registry
+            return default
+
     def render(self, camera, *, faction_pov=None, alpha: float = 1.0,
                overlays: bool = True) -> np.ndarray:
         """Render one frame -> u8[h, w, 3]."""
@@ -601,7 +609,7 @@ class SceneRenderer:
         vp = jnp.asarray((camera.proj_matrix()
                           @ camera.view_matrix()).astype(np.float32))
 
-        if self.shadows:
+        if self.shadows and self._setting("pf.video.shadows_enabled", True):
             # Host-side frame counter, NOT state.tick: a scalar device->host
             # fetch costs ~490 ms through the axon relay and would stall the
             # dispatch pipeline once per rendered frame.
@@ -619,7 +627,8 @@ class SceneRenderer:
         col = self._shade(camera, tri, bary, inv_w, pattrs, shadow_z,
                           fog, fog_scale, w, h)
 
-        if self.reflections:
+        if self.reflections and self._setting("pf.video.water_reflection",
+                                              True):
             col = self._water_composite(camera, verts, attrs, vp, zbuf,
                                         col, shadow_z, fog, fog_scale)
 
@@ -629,7 +638,9 @@ class SceneRenderer:
             img = self._overlays(img, camera, alpha)
             from permafrost_engine_tpu.render.debug_overlays import (
                 apply_debug_overlays)
+            from permafrost_engine_tpu.render.hud import compose_hud
             img = apply_debug_overlays(img, self.engine, camera, w, h)
+            img = compose_hud(img, self.engine, camera)
             img = self._compose_ui(img)
         return img
 
@@ -673,16 +684,45 @@ class SceneRenderer:
         # clip-plane analogue: below-water geometry must not occlude the
         # mirrored view (the GL path uses glClipPlane in the FBO pass)
         above = jnp.any(verts[..., 1] > wl - 0.25, axis=1)
-        _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r, h=h, w=w,
-                                                 keep=above)
+        # pf.video.water_rt_scale: the reflection pass renders at a reduced
+        # resolution and upsamples, like the reference's scaled water FBOs
+        # (ref: gl_water.c render-target scale setting)
+        rt_scale = float(self._setting("pf.video.water_rt_scale", 1.0))
+        if rt_scale < 0.999:
+            h2 = max(int(h * rt_scale), 8)
+            w2 = max(int(w * rt_scale), 8)
+        else:
+            h2, w2 = h, w
+        _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r,
+                                                 h=h2, w=w2, keep=above)
         refl = self._shade(camera, tri2, bary2, iw2, a2, shadow_z,
-                           fog, fog_scale, w, h)
+                           fog, fog_scale, w2, h2)
+        if (h2, w2) != (h, w):
+            refl = jax.image.resize(refl, (h, w, 3), method="linear")
 
         fresnel = jnp.asarray(
             np.clip(0.25 + 0.6 * (1 + rays_np[..., 1]) ** 2, 0, 0.9)
             .astype(np.float32))[..., None]
         deep = jnp.asarray(WATER_DEEP)[None, None]
-        water_col = deep * (1 - fresnel) + refl * fresnel
+        if self._setting("pf.video.water_refraction", True):
+            # refraction: the shaded underwater scene at the same pixel
+            # (the raster includes below-water geometry), attenuated toward
+            # the deep color with water depth; soft shore edges fade the
+            # water layer out where depth -> 0 (ref: gl_water.c:736
+            # reflection + refraction FBOs with depth-based soft edges)
+            hts = jnp.asarray(self.engine.heights)
+            from permafrost_engine_tpu.core.config import NAV_TILE_SIZE
+            ri = jnp.clip((wpt[..., 2] / NAV_TILE_SIZE).astype(jnp.int32),
+                          0, hts.shape[0] - 1)
+            ci = jnp.clip((wpt[..., 0] / NAV_TILE_SIZE).astype(jnp.int32),
+                          0, hts.shape[1] - 1)
+            depth = jnp.maximum(wl - hts[ri, ci], 0.0)[..., None]
+            refr = deep + (col - deep) * jnp.exp(-0.55 * depth)
+            water_col = refr * (1 - fresnel) + refl * fresnel
+            edge = jnp.clip(depth / 0.75, 0.0, 1.0)
+            water_col = col + (water_col - col) * edge
+        else:
+            water_col = deep * (1 - fresnel) + refl * fresnel
         return jnp.where(water_vis[..., None], water_col, col)
 
     # -- host overlays (healthbars / selection, ref: gl_statusbar.c) ---------
@@ -697,7 +737,17 @@ class SceneRenderer:
         max_hp = np.asarray(e.max_hp)[alive]
         pos = np.asarray(e.pos)[alive]
         hgt = np.asarray(e.height)[alive]
-        hurt = (hp < max_hp) & (max_hp > 0)
+        # pf.game.healthbar_mode: ALWAYS / DAMAGED / NEVER
+        # (ref: game.c healthbar setting; HB_MODE_* constants)
+        hb_mode = int(self._setting("pf.game.healthbar_mode", 1))
+        if hb_mode == 0:          # HB_MODE_ALWAYS
+            hurt = max_hp > 0
+        elif hb_mode == 2:        # HB_MODE_NEVER
+            hurt = np.zeros(len(hp), bool)
+        else:                     # HB_MODE_DAMAGED
+            hurt = (hp < max_hp) & (max_hp > 0)
+        if not _ctx_healthbars_enabled(self.engine):
+            hurt = np.zeros(len(hp), bool)
         sel = np.zeros(len(alive), bool)
         for u in list(eng.selection.selection):
             s = eng.uid_to_slot.get(int(u))
@@ -724,6 +774,17 @@ class SceneRenderer:
         for i in np.nonzero(on & sel)[0]:
             img[yi[i] + 1, xi[i] - 5:xi[i] + 5] = (240, 240, 240)
         return img
+
+
+def _ctx_healthbars_enabled(engine) -> bool:
+    """pf.hide_healthbars() routes here (ref: the reference's healthbar
+    visibility toggles, py_script.c hide/show_healthbars)."""
+    try:
+        from permafrost_engine_tpu.script import pf
+        ctx = pf._context
+        return ctx is None or ctx.engine is not engine or ctx.healthbars
+    except Exception:
+        return True
 
 
 def render_frame(engine, camera, w: int = 640, h: int = 384,

@@ -166,7 +166,7 @@ class PfContext:
         self.cursor = {"rts_mode": False, "active": "default", "named": {}}
         self.minimap = {"position": (10, 950), "size": 256,
                         "border_clr": (0, 0, 0, 255), "render_all": False,
-                        "resize_mask": 0}
+                        "resize_mask": 0, "shown": True}
         self.healthbars = True
         self.unit_icons = True
         self.show_regions_flag = False

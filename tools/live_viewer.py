@@ -67,6 +67,14 @@ class LiveServer:
         self.renderer = SceneRenderer(engine, w, h)
         self.fps = fps
         self.step_frames = step_frames
+        # streamed frames carry no OS cursor: compose the engine's cursor
+        # glyph (pf cursor styling state) into each frame
+        try:
+            from permafrost_engine_tpu.script import pf
+            if pf._context is not None and pf._context.engine is engine:
+                pf._context.cursor["compose"] = True
+        except Exception:
+            pass
         self.lock = threading.Lock()
         self.frame_jpeg = b""
         self.running = True
