@@ -839,3 +839,102 @@ def test_pf_pickle_ui_window(pf_ctx):
     w2.simulate_click("go")
     w2._render()
     assert w2.clicks == 2       # subclass update() logic survived by value
+
+
+# ---------------------------------------------------------------------------
+# additional categories (ref: test_pickle.py's methodcaller / property /
+# descriptor / exception-state cases)
+# ---------------------------------------------------------------------------
+
+
+def test_operator_methodcaller():
+    mc = rt(operator.methodcaller("upper"))
+    assert mc("abc") == "ABC"
+    mc2 = rt(operator.methodcaller("replace", "a", "b"))
+    assert mc2("banana") == "bbnbnb"
+
+
+def test_partial_with_kwargs_and_nesting():
+    p = functools.partial(sorted, key=operator.itemgetter(1), reverse=True)
+    got = rt(p)([(1, "b"), (2, "a"), (0, "c")])
+    assert got == [(0, "c"), (1, "b"), (2, "a")]
+    nested = functools.partial(functools.partial(pow, 2))
+    assert rt(nested)(5) == 32
+
+
+def test_property_and_descriptors_by_value():
+    class C:
+        def __init__(self):
+            self._x = 3
+
+        @property
+        def x(self):
+            return self._x * 2
+
+        @x.setter
+        def x(self, v):
+            self._x = v
+
+        @staticmethod
+        def s():
+            return "stat"
+
+        @classmethod
+        def c(cls):
+            return cls.__name__
+    C.__module__ = "__main__"
+    o = rt(C())
+    assert o.x == 6
+    o.x = 10
+    assert o.x == 20
+    assert type(o).s() == "stat"
+    assert type(o).c() == type(o).__name__
+
+
+def test_exception_instances_with_state():
+    try:
+        raise ValueError("boom", 42)
+    except ValueError as e:
+        e.custom = "extra"
+        got = rt(e)
+    assert isinstance(got, ValueError)
+    assert got.args == ("boom", 42)
+    assert got.custom == "extra"
+
+
+def test_nested_closures_share_one_cell():
+    def make():
+        n = [0]
+
+        def inc():
+            n[0] += 1
+            return n[0]
+
+        def get():
+            return n[0]
+        return inc, get
+    inc, get = rt(make())
+    assert inc() == 1 and inc() == 2
+    assert get() == 2        # both restored closures share the same cell
+
+
+def test_default_args_and_kwonly_survive():
+    def f(a, b=7, *args, k="x", **kw):
+        return (a, b, args, k, kw)
+    g = rt(f)
+    assert g(1) == (1, 7, (), "x", {})
+    assert g(1, 2, 3, k="y", z=4) == (1, 2, (3,), "y", {"z": 4})
+    assert g.__defaults__ == (7,) and g.__kwdefaults__ == {"k": "x"}
+
+
+def test_dict_with_object_keys_preserves_identity():
+    class K:
+        pass
+    K.__module__ = "__main__"
+    k = K()
+    d = {k: "v", "self": None}
+    d["self"] = d
+    got = rt((d, k))
+    gd, gk = got
+    assert gd[gk] == "v"
+    assert gd["self"] is gd
