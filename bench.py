@@ -73,6 +73,11 @@ def build_battle(n_per_side: int = 5000, terrain: bool = False) -> Engine:
                         vision_range=80.0, hp=200.0)
     eng.move(a, (820.0, 512.0))
     eng.move(b, (200.0, 512.0))
+    # compile the batched nav kernels' capped bucket shapes NOW (load
+    # time): a mid-fight rebuild storm must dispatch into already-compiled
+    # shapes, not stall a measured window on a remote XLA compile
+    # (measured 8-11 s inside one contact window before this)
+    eng.prewarm_nav()
     return eng
 
 

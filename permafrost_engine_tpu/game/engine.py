@@ -1398,6 +1398,14 @@ class Engine:
         period = FRAME_HZ // self.cfg.move_hz
         return ((self._frame % period) + 1) / period
 
+    def prewarm_nav(self) -> None:
+        """Compile every batched nav kernel at its capped bucket shapes so
+        a mid-battle rebuild storm (structure drop -> mass invalidation)
+        never pays a remote XLA compile inside the interactive loop.
+        Call at load time (bench/demos); tests skip it — CPU compiles are
+        cheap and the shapes compile lazily anyway."""
+        self.nav.prewarm(self.state)
+
     def profile_tick(self, n_frames: int = 60) -> dict:
         """Per-cadence-class device-tick timing: run n frames SYNCHRONOUSLY
         (each tick blocked on) and report per-tick ms stats PER CADENCE
@@ -1420,6 +1428,12 @@ class Engine:
         cp = FRAME_HZ // self.cfg.combat_hz
         fp = max(FRAME_HZ // self.cfg.fog_hz, 1)
 
+        jax.block_until_ready(self.state.ents.pos)
+        # untimed warmup dispatch: the interactive path usually drives
+        # fused segments, so the k==1 tick may not be compiled yet — a
+        # compile here would otherwise land in one class's first record
+        self.state, self._acc = self._tick_fn(self.state, self._acc)
+        self._frame += 1
         jax.block_until_ready(self.state.ents.pos)
         t_base = int(self.state.tick)       # sync scalar fetch: probe-only
         recs: list[tuple[str, float]] = []

@@ -35,6 +35,31 @@ from permafrost_engine_tpu.nav import portals as pt
 from permafrost_engine_tpu.ops import flowfield as ff
 from permafrost_engine_tpu.state.schema import GameState
 
+# Compile-shape discipline: every batched device call pads its batch to a
+# size from a SMALL FIXED bucket set ({1, 2, 4, .., cap}) and splits
+# anything larger into cap-sized chunks, so a mid-battle storm (structure
+# drop -> mass invalidation -> many rebuilds at once) can never present a
+# batch size that was not already compiled. Through a remote-compile
+# backend a fresh XLA compile lands INSIDE the interactive loop as a
+# multi-second stall (measured: an 8.4 s field-batch + 10.7 s extension
+# compile collapsed one bench window to 3.7 fps); capped buckets plus
+# NavService.prewarm() move every compile to load time — the analogue of
+# the reference baking shaders behind its loading screen.
+CHUNK_BATCH_CAP = 16   # per-chunk [K, 64, 64] integrates
+LOS_BATCH_CAP = 2      # whole-map [U, H, W] LOS builds
+SEEK_BATCH_CAP = 4     # whole-map [K, H, W] enemy-seek builds
+
+
+def batch_buckets(k: int, cap: int) -> list[tuple[int, int, int]]:
+    """Split k jobs into (start, count, padded_size) slices whose padded
+    sizes come from the fixed set {1, 2, 4, ..., cap}."""
+    out, s = [], 0
+    while s < k:
+        take = min(k - s, cap)
+        out.append((s, take, min(1 << (take - 1).bit_length(), cap)))
+        s += take
+    return out
+
 
 @jax.jit
 def _batched_seek_fields(pos, alive, hp, faction, diplomacy, cost_base,
@@ -174,6 +199,52 @@ class NavService:
                       "retargeted": 0, "invalidations": 0,
                       "blocked_edges": 0, "blocker_replans": 0,
                       "chunks_rebuilt": 0}
+
+    def prewarm(self, state: GameState) -> None:
+        """Compile every batched nav kernel at its capped bucket shapes.
+
+        All batch sites pad to sizes from the fixed sets {1,2,4,8,16}
+        (per-chunk integrates), {1,2} (whole-map LOS) and {1,2,4}
+        (whole-map enemy-seek), so compiling those shapes here means a
+        mid-battle rebuild storm can never trigger a fresh XLA compile
+        inside the interactive loop (measured 8-11 s stalls through the
+        remote-compile relay). State is functional — every result here is
+        simply discarded, nothing is written. The analogue of the
+        reference baking its shaders behind the loading screen
+        (ref: src/render/gl_shader.c compile-at-init discipline)."""
+        cfg = self.cfg
+        last = None
+        kk = 1
+        while kk <= CHUNK_BATCH_CAP:
+            costs = jnp.ones((kk, FIELD_RES, FIELD_RES), jnp.uint8)
+            seeds = jnp.zeros((kk, FIELD_RES, FIELD_RES), bool
+                              ).at[:, 0, 0].set(True)
+            svals = jnp.zeros((kk, FIELD_RES, FIELD_RES), jnp.float32)
+            i2 = self._integrate(costs, seeds)
+            last = ff.flow_dirs(i2, costs)
+            i3 = self._integrate(costs, seeds, svals)
+            last = ff.flow_dirs(i3, costs)
+            kk *= 2
+        uu = 1
+        while uu <= LOS_BATCH_CAP:
+            passable = jnp.ones((uu, cfg.field_h, cfg.field_w), bool)
+            zi = jnp.zeros((uu,), jnp.int32)
+            last = ff.los_field(passable, zi, zi,
+                                max_iters=2 * max(cfg.field_h, cfg.field_w))
+            uu *= 2
+        if self.sharded_integrate is None:
+            e = state.ents
+            kk = 1
+            while kk <= SEEK_BATCH_CAP:
+                zk = jnp.zeros((kk,), jnp.int32)
+                last, _ = _batched_seek_fields(
+                    e.pos, e.alive, e.hp, e.faction.astype(jnp.int32),
+                    state.factions.diplomacy, state.nav.cost_base,
+                    state.fields.global_flow, state.flocks.global_slot,
+                    zk, zk, zk, jnp.full((kk,), -1, jnp.int32))
+                kk *= 2
+        if last is not None:
+            jax.block_until_ready(last)
 
     # -- portal graphs -------------------------------------------------------
 
@@ -673,8 +744,7 @@ class NavService:
         # (static cost: the requesting units' own blocker stamps must not
         # bury the seeds)
         k = 2 * len(live)
-        k_pad = 1 << (k - 1).bit_length()
-        costs, seeds = [], np.zeros((k_pad, FIELD_RES, FIELD_RES), bool)
+        costs, seeds = [], np.zeros((k, FIELD_RES, FIELD_RES), bool)
         for i, (_ri, _fid, layer, (sr, sc), (gr, gc), _g) in enumerate(live):
             s_chunk = self._chunk_of_tile(sr, sc)
             g_chunk = self._chunk_of_tile(gr, gc)
@@ -684,10 +754,15 @@ class NavService:
                 state, layer, *g_chunk, with_blockers=False))
             seeds[2 * i, sr % FIELD_RES, sc % FIELD_RES] = True
             seeds[2 * i + 1, gr % FIELD_RES, gc % FIELD_RES] = True
-        for _ in range(k_pad - k):
-            costs.append(costs[0])
-        integ = np.asarray(self._integrate(
-            jnp.asarray(np.stack(costs)), jnp.asarray(seeds)))
+        costs_np = np.stack(costs)
+        integ = np.empty((k, FIELD_RES, FIELD_RES), np.float32)
+        for s0, cnt, padn in batch_buckets(k, CHUNK_BATCH_CAP):
+            cs = np.repeat(costs_np[:1], padn, axis=0)
+            sd = np.zeros((padn, FIELD_RES, FIELD_RES), bool)
+            cs[:cnt] = costs_np[s0:s0 + cnt]
+            sd[:cnt] = seeds[s0:s0 + cnt]
+            integ[s0:s0 + cnt] = np.asarray(self._integrate(
+                jnp.asarray(cs), jnp.asarray(sd)))[:cnt]
 
         # ---- stage B: A* + chunk sequences per request ---------------------
         plans = []   # dicts for _install_fields_batch
@@ -1000,27 +1075,30 @@ class NavService:
                 seed_arr.append(j["seeds"])
                 cost_arr.append(j["svals"])
                 slots.append(j["slot"])
-            # padded to powers of two: K takes log-many compile shapes
-            # (each distinct shape is a full XLA compile on remote backends)
-            k_pad = 1 << (len(jobs) - 1).bit_length()
-            for _ in range(k_pad - len(jobs)):
-                costs.append(costs[0])
-                blks.append(blks[0])
-                seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
-                cost_arr.append(np.zeros((FIELD_RES, FIELD_RES), np.float32))
-                slots.append(state.fields.flow.shape[0])   # dropped write
             seeds_np = np.stack(seed_arr)
             # installed fields flow around parked units (blockers), but a
             # blocker must never bury a seed tile (goal/portal span)
-            costs = jnp.asarray(np.where(
+            costs_np = np.where(
                 (np.stack(blks) > 0) & ~seeds_np,
-                np.uint8(COST_IMPASSABLE), np.stack(costs)))
-            seeds_j = jnp.asarray(seeds_np)
-            integ = self._integrate(costs, seeds_j,
-                                    jnp.asarray(np.stack(cost_arr)))
-            dirs = ff.flow_dirs(integ, costs)
-            flow = state.fields.flow.at[jnp.asarray(slots)].set(
-                dirs, mode="drop")
+                np.uint8(COST_IMPASSABLE), np.stack(costs))
+            svals_np = np.stack(cost_arr)
+            slots_np = np.asarray(slots)
+            drop = state.fields.flow.shape[0]   # dropped write
+            flow = state.fields.flow
+            # capped buckets: batch sizes come from the fixed compiled set
+            for s0, cnt, padn in batch_buckets(len(jobs), CHUNK_BATCH_CAP):
+                cs = np.repeat(costs_np[:1], padn, axis=0)
+                sd = np.zeros((padn, FIELD_RES, FIELD_RES), bool)
+                sv = np.zeros((padn, FIELD_RES, FIELD_RES), np.float32)
+                sl = np.full((padn,), drop, np.int64)
+                cs[:cnt] = costs_np[s0:s0 + cnt]
+                sd[:cnt] = seeds_np[s0:s0 + cnt]
+                sv[:cnt] = svals_np[s0:s0 + cnt]
+                sl[:cnt] = slots_np[s0:s0 + cnt]
+                cj = jnp.asarray(cs)
+                integ = self._integrate(cj, jnp.asarray(sd), jnp.asarray(sv))
+                dirs = ff.flow_dirs(integ, cj)
+                flow = flow.at[jnp.asarray(sl)].set(dirs, mode="drop")
             state = state.replace(fields=state.fields.replace(flow=flow))
 
         # ---- one batched build for every missing LOS map -------------------
@@ -1033,17 +1111,20 @@ class NavService:
                 if key not in uidx:
                     uidx[key] = len(uniq)
                     uniq.append(key)
-            # padded to powers of two: U takes log-many compile shapes
-            u_pad = 1 << (len(uniq) - 1).bit_length()
-            padded = uniq + [uniq[0]] * (u_pad - len(uniq))
-            passable = jnp.stack([
-                state.nav.cost_base[layer] != COST_IMPASSABLE
-                for layer, _gr, _gc in padded])
-            grs = jnp.asarray([g for _l, g, _c in padded])
-            gcs = jnp.asarray([c for _l, _g, c in padded])
-            los_maps = np.asarray(ff.los_field(
-                passable, grs, gcs,
-                max_iters=2 * max(cfg.field_h, cfg.field_w)))
+            # capped buckets: whole-map LOS builds are heavy, so the
+            # bucket cap is small and big invalidation storms chunk
+            parts = []
+            for s0, cnt, padn in batch_buckets(len(uniq), LOS_BATCH_CAP):
+                padded = uniq[s0:s0 + cnt] + [uniq[s0]] * (padn - cnt)
+                passable = jnp.stack([
+                    state.nav.cost_base[layer] != COST_IMPASSABLE
+                    for layer, _gr, _gc in padded])
+                grs = jnp.asarray([g for _l, g, _c in padded])
+                gcs = jnp.asarray([c for _l, _g, c in padded])
+                parts.append(np.asarray(ff.los_field(
+                    passable, grs, gcs,
+                    max_iters=2 * max(cfg.field_h, cfg.field_w)))[:cnt])
+            los_maps = np.concatenate(parts, axis=0)
             tiles = np.stack([
                 los_maps[uidx[(j["layer"], j["gr"], j["gc"])]]
                 [j["chunk"][0] * FIELD_RES:(j["chunk"][0] + 1) * FIELD_RES,
@@ -1110,22 +1191,25 @@ class NavService:
                     seeds[r % FIELD_RES, c % FIELD_RES] = True
                 seed_arr.append(seeds)
                 slots.append(slot)
-            k = len(to_build)
-            k_pad = 1 << (k - 1).bit_length()
-            for _ in range(k_pad - k):
-                costs.append(costs[0])
-                blks.append(blks[0])
-                seed_arr.append(np.zeros((FIELD_RES, FIELD_RES), bool))
-                slots.append(state.fields.flow.shape[0])
             seeds_np = np.stack(seed_arr)
-            costs = jnp.asarray(np.where(
+            costs_np = np.where(
                 (np.stack(blks) > 0) & ~seeds_np,
-                np.uint8(COST_IMPASSABLE), np.stack(costs)))
-            seeds_j = jnp.asarray(seeds_np)
-            integ = self._integrate(costs, seeds_j)
-            dirs = ff.flow_dirs(integ, costs)
-            flow = state.fields.flow.at[jnp.asarray(slots)].set(
-                dirs, mode="drop")
+                np.uint8(COST_IMPASSABLE), np.stack(costs))
+            slots_np = np.asarray(slots)
+            drop = state.fields.flow.shape[0]
+            flow = state.fields.flow
+            for s0, cnt, padn in batch_buckets(len(to_build),
+                                               CHUNK_BATCH_CAP):
+                cs = np.repeat(costs_np[:1], padn, axis=0)
+                sd = np.zeros((padn, FIELD_RES, FIELD_RES), bool)
+                sl = np.full((padn,), drop, np.int64)
+                cs[:cnt] = costs_np[s0:s0 + cnt]
+                sd[:cnt] = seeds_np[s0:s0 + cnt]
+                sl[:cnt] = slots_np[s0:s0 + cnt]
+                cj = jnp.asarray(cs)
+                integ = self._integrate(cj, jnp.asarray(sd))
+                dirs = ff.flow_dirs(integ, cj)
+                flow = flow.at[jnp.asarray(sl)].set(dirs, mode="drop")
             state = state.replace(fields=state.fields.replace(flow=flow))
 
         for chunk, slot in assignments:
@@ -1168,22 +1252,23 @@ class NavService:
                 state = self.build_enemy_seek_field(state, f, lay, slot,
                                                     flock_id=fid)
             return state
-        k = 1 << (len(specs) - 1).bit_length()
-        padded = specs + [specs[-1]] * (k - len(specs))
-        facs = jnp.asarray([s[0] for s in padded], jnp.int32)
-        lays = jnp.asarray([s[1] for s in padded], jnp.int32)
-        slots = jnp.asarray([s[2] for s in padded], jnp.int32)
-        fids = jnp.asarray([-1 if s[3] is None else s[3] for s in padded],
-                           jnp.int32)
-        ents = state.ents
-        gf, gs = _batched_seek_fields(
-            ents.pos, ents.alive, ents.hp,
-            ents.faction.astype(jnp.int32), state.factions.diplomacy,
-            state.nav.cost_base, state.fields.global_flow,
-            state.flocks.global_slot, facs, lays, slots, fids)
-        return state.replace(
-            fields=state.fields.replace(global_flow=gf),
-            flocks=state.flocks.replace(global_slot=gs))
+        for s0, cnt, padn in batch_buckets(len(specs), SEEK_BATCH_CAP):
+            padded = specs[s0:s0 + cnt] + [specs[s0 + cnt - 1]] * (padn - cnt)
+            facs = jnp.asarray([s[0] for s in padded], jnp.int32)
+            lays = jnp.asarray([s[1] for s in padded], jnp.int32)
+            slots = jnp.asarray([s[2] for s in padded], jnp.int32)
+            fids = jnp.asarray([-1 if s[3] is None else s[3]
+                                for s in padded], jnp.int32)
+            ents = state.ents
+            gf, gs = _batched_seek_fields(
+                ents.pos, ents.alive, ents.hp,
+                ents.faction.astype(jnp.int32), state.factions.diplomacy,
+                state.nav.cost_base, state.fields.global_flow,
+                state.flocks.global_slot, facs, lays, slots, fids)
+            state = state.replace(
+                fields=state.fields.replace(global_flow=gf),
+                flocks=state.flocks.replace(global_slot=gs))
+        return state
 
     def build_enemy_seek_field(
         self, state: GameState, faction: int, layer: int, slot: int,

@@ -116,10 +116,19 @@ def minimap_raster(engine, size: int = 256, faction_pov: int | None = None) -> n
     one faction's point of view."""
     cfg: EngineConfig = engine.cfg
     heights = engine.heights
-    hg = heights[:: max(1, heights.shape[0] // size),
-                 :: max(1, heights.shape[1] // size)]
-    hg = hg[:size, :size]
-    img = np.zeros((hg.shape[0], hg.shape[1], 3), np.uint8)
+
+    def _resample(src: np.ndarray) -> np.ndarray:
+        # exact nearest-neighbour index map: strided slicing only works
+        # when the source resolution divides `size` (a 64-tile fog plane
+        # vs an 85-px scripted minimap crashed the HUD compositor)
+        ri = np.minimum(np.arange(size) * src.shape[0] // size,
+                        src.shape[0] - 1)
+        ci = np.minimum(np.arange(size) * src.shape[1] // size,
+                        src.shape[1] - 1)
+        return src[ri[:, None], ci[None, :]]
+
+    hg = _resample(np.asarray(heights))
+    img = np.zeros((size, size, 3), np.uint8)
     water = hg < 0
     img[water] = (40, 60, 140)
     land_shade = np.clip(90 + hg * 4, 60, 200).astype(np.uint8)
@@ -129,9 +138,7 @@ def minimap_raster(engine, size: int = 256, faction_pov: int | None = None) -> n
 
     if faction_pov is not None:
         fog = np.asarray(engine.state.fog.state)[faction_pov]
-        fr = fog[:: max(1, fog.shape[0] // img.shape[0]),
-                 :: max(1, fog.shape[1] // img.shape[1])]
-        fr = fr[:img.shape[0], :img.shape[1]]
+        fr = _resample(fog)
         img[fr == int(FogState.UNEXPLORED)] = 0
         img[fr == int(FogState.IN_FOG)] //= 2
 

@@ -57,9 +57,13 @@ def test_replanning_20_flocks_is_one_batch():
     eng._commit_nav()
     replanned = eng.nav.stats["requests"] - requests0
     assert replanned >= 10, f"only {replanned} flocks replanned"
-    assert counter.calls <= 2, (
+    # capped compile-shape buckets: batches of >16 split into 16-sized
+    # chunks (service.CHUNK_BATCH_CAP) so storm batch sizes always hit
+    # already-compiled shapes; the dispatch count stays O(jobs/16), far
+    # from the 40+ of per-flock sequential installs
+    assert counter.calls <= 8, (
         f"{replanned} replans dispatched {counter.calls} integrations "
-        "(expected 1 start/goal batch + 1 field batch)")
+        "(expected ~1 start/goal batch + ~1 field batch per 16 jobs)")
 
 
 def test_mixed_layer_move_is_one_batch():
