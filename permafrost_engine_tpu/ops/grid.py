@@ -108,6 +108,35 @@ def build_grid(
     )
 
 
+@flax.struct.dataclass
+class ContactGrid:
+    """Fine contact grid as ONE packed f32[cells, cap, 2+Q+1] array with
+    channels (x, z, payload..., slot) — "pack at the point of a gather":
+    the only consumer is the 3x3-cell contact query, and one wide row
+    gather per cell beats three narrow ones (buckets/xy/payload
+    separately) 3x in gather count and 4x in row width. Slots stay exact
+    as f32 below 2^24; -1 marks empty entries."""
+
+    packed: jax.Array
+    cell_of: jax.Array     # i32[N] flat fine cell per entity (dead: cells)
+    cells_r: int = flax.struct.field(pytree_node=False)
+    cells_c: int = flax.struct.field(pytree_node=False)
+    cell_size: float = flax.struct.field(pytree_node=False)
+
+    @property
+    def buckets(self):
+        """i32[cells, cap] slot view (tests/debug; not the hot path)."""
+        return self.packed[..., -1].astype(jnp.int32)
+
+    @property
+    def bucket_xy(self):
+        return self.packed[..., 0:2]
+
+    @property
+    def bucket_payload(self):
+        return self.packed[..., 2:-1]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cells_r", "cells_c", "cap", "cell_size",
     "fine_r", "fine_c", "fine_cap", "fine_cell_size"))
@@ -190,16 +219,19 @@ def build_grid_pair(
             payload[order].astype(jnp.float32),
             0.0).reshape(num_coarse, cap, payload.shape[1]),
         cells_r=cells_r, cells_c=cells_c, cell_size=cell_size)
-    fg = SpatialGrid(
-        buckets=scatter(slot_f, num_fine * fine_cap, sorder,
-                        -1).reshape(num_fine, fine_cap),
-        bucket_xy=scatter(slot_f, num_fine * fine_cap, spos,
-                          1e30).reshape(num_fine, fine_cap, 2),
+    # fine grid: ONE packed scatter (xy | payload | slot)
+    q = fine_payload.shape[1]
+    pvals = jnp.concatenate([
+        spos, fine_payload[order].astype(jnp.float32),
+        sorder.astype(jnp.float32)[:, None]], axis=1)       # [N, 2+Q+1]
+    fill_row = jnp.concatenate([
+        jnp.full((2,), 1e30, jnp.float32), jnp.zeros((q,), jnp.float32),
+        jnp.full((1,), -1.0, jnp.float32)])
+    packed = jnp.tile(fill_row, (num_fine * fine_cap, 1)).at[slot_f].set(
+        pvals, mode="drop")
+    fg = ContactGrid(
+        packed=packed.reshape(num_fine, fine_cap, 2 + q + 1),
         cell_of=jnp.where(alive, fine_flat, num_fine).astype(jnp.int32),
-        bucket_payload=scatter(
-            slot_f, num_fine * fine_cap,
-            fine_payload[order].astype(jnp.float32),
-            0.0).reshape(num_fine, fine_cap, fine_payload.shape[1]),
         cells_r=fine_r, cells_c=fine_c, cell_size=fine_cell_size)
     return cg, fg
 
@@ -276,37 +308,39 @@ def window_candidates(
 
 @jax.jit
 def contact_candidates(
-    grid: SpatialGrid,
+    grid: ContactGrid,
     query_pos: jax.Array,
     query_slot: jax.Array,
 ):
     """All bucket candidates in the 3x3-cell neighbourhood of each query
-    point, gathered as 9 direct row fetches per query.
+    point, gathered as 9 direct row fetches of the PACKED rows per query.
 
     Built for a FINE contact grid (small cells, small cap): a fine grid
     has far more cells than queriers, so materializing every cell's
     window (`_prewindow`, right for the coarse 16u avoidance grid) would
-    copy orders of magnitude more data than the 9 queried rows. Returns
-    (cand i32[Q, 9*cap], cpos f32[Q, 9*cap, 2], cpay | None, valid).
+    copy orders of magnitude more data than the 9 queried rows; and the
+    xy/payload/slot channels ride ONE wide row each (narrow rows waste
+    most of a memory tile — 27 narrow gathers measured ~4 ms/move-frame
+    at 10k contact). Returns (cand i32[Q, 9*cap], cpos f32[Q, 9*cap, 2],
+    cpay f32[Q, 9*cap, Q], valid).
     """
     cr, cc = grid.cells_r, grid.cells_c
     qr, qc = cell_coords(query_pos, cr, cc, grid.cell_size)
-    pay = grid.bucket_payload
-    cands, cposs, cpays = [], [], []
+    cap = grid.packed.shape[1]
+    rows, inbs = [], []
     for dr in (-1, 0, 1):
         for dc in (-1, 0, 1):
             rr, ccol = qr + dr, qc + dc
             inb = (rr >= 0) & (rr < cr) & (ccol >= 0) & (ccol < cc)
             idx = jnp.where(inb, rr * cc + ccol, 0)
-            cand = grid.buckets[idx]                   # [Q, cap] row gather
-            cands.append(jnp.where(inb[:, None], cand, -1))
-            cposs.append(grid.bucket_xy[idx])
-            if pay is not None:
-                cpays.append(pay[idx])
-    cand = jnp.concatenate(cands, axis=1)
-    cpos = jnp.concatenate(cposs, axis=1)
-    cpay = jnp.concatenate(cpays, axis=1) if pay is not None else None
-    valid = (cand >= 0) & (cand != query_slot[:, None])
+            rows.append(grid.packed[idx])           # [Q, cap, C] row gather
+            inbs.append(jnp.repeat(inb[:, None], cap, axis=1))
+    pk = jnp.concatenate(rows, axis=1)              # [Q, 9*cap, C]
+    inb = jnp.concatenate(inbs, axis=1)             # [Q, 9*cap]
+    cand = pk[..., -1].astype(jnp.int32)
+    cpos = pk[..., 0:2]
+    cpay = pk[..., 2:-1]
+    valid = inb & (cand >= 0) & (cand != query_slot[:, None])
     return cand, cpos, cpay, valid
 
 
