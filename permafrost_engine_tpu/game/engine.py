@@ -1234,6 +1234,8 @@ class Engine:
                         # into walls
                         _t0 = _time.perf_counter()
                         occ = np.asarray(docc)
+                        _cnt["blk_occ_fetch_ms"] += (
+                            _time.perf_counter() - _t0) * 1e3
                         wants = {}
                         for fid in list(self.nav.flock_chunks):
                             missing = np.nonzero(

@@ -214,6 +214,7 @@ class NavService:
         (ref: src/render/gl_shader.c compile-at-init discipline)."""
         cfg = self.cfg
         last = None
+        flow_slab, los_slab = state.fields.flow, state.fields.los
         kk = 1
         while kk <= CHUNK_BATCH_CAP:
             costs = jnp.ones((kk, FIELD_RES, FIELD_RES), jnp.uint8)
@@ -223,12 +224,25 @@ class NavService:
             i2 = self._integrate(costs, seeds)
             last = ff.flow_dirs(i2, costs)
             i3 = self._integrate(costs, seeds, svals)
-            last = ff.flow_dirs(i3, costs)
+            dirs = ff.flow_dirs(i3, costs)
+            # the EAGER slab scatters compile per batch shape too (each
+            # tiny glue op is ~0.45 s through a remote-compile relay), so
+            # warm them exactly as the install sites dispatch them
+            sl = jnp.asarray(np.full((kk,), flow_slab.shape[0], np.int64))
+            last = flow_slab.at[sl].set(dirs, mode="drop")
+            sll = jnp.asarray(np.full((kk,), los_slab.shape[0], np.int64))
+            last = los_slab.at[sll].set(
+                jnp.asarray(np.zeros((kk, FIELD_RES, FIELD_RES),
+                                     los_slab.dtype)),
+                mode="drop")
             kk *= 2
         uu = 1
         while uu <= LOS_BATCH_CAP:
-            passable = jnp.ones((uu, cfg.field_h, cfg.field_w), bool)
-            zi = jnp.zeros((uu,), jnp.int32)
+            # mirror the install's passable-stack glue (layer slice + !=)
+            passable = jnp.stack([
+                state.nav.cost_base[0] != COST_IMPASSABLE
+                for _ in range(uu)])
+            zi = jnp.asarray([0] * uu)
             last = ff.los_field(passable, zi, zi,
                                 max_iters=2 * max(cfg.field_h, cfg.field_w))
             uu *= 2
@@ -852,11 +866,16 @@ class NavService:
         chunks and installs all missing fields in one padded integrate
         (per-flock sequential installs measured seconds of host stall at
         battle contact after a structure drop invalidated many chunks)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         plans = []
         for fid, chunk_idxs in wants.items():
             p = self._extend_plan(state, fid, chunk_idxs)
             if p is not None:
                 plans.append(p)
+        self.stats["extend_plan_ms"] = self.stats.get(
+            "extend_plan_ms", 0.0) + (_time.perf_counter() - _t0) * 1e3
         if not plans:
             return state
         return self._install_fields_batch(state, plans)
@@ -1064,6 +1083,9 @@ class NavService:
                 self.los_mirror[flock_id, self._chunk_idx(*chunk)] = slot
 
         # ---- one padded integrate for every missing flow field -------------
+        import time as _time
+
+        _t0 = _time.perf_counter()
         jobs = [j for j in flow_jobs if j is not None]
         if jobs:
             costs, blks, seed_arr, cost_arr, slots = [], [], [], [], []
@@ -1101,7 +1123,13 @@ class NavService:
                 flow = flow.at[jnp.asarray(sl)].set(dirs, mode="drop")
             state = state.replace(fields=state.fields.replace(flow=flow))
 
+        self.stats["install_flow_ms"] = self.stats.get(
+            "install_flow_ms", 0.0) + (_time.perf_counter() - _t0) * 1e3
+        self.stats["install_flow_jobs"] = self.stats.get(
+            "install_flow_jobs", 0) + len(jobs)
+
         # ---- one batched build for every missing LOS map -------------------
+        _t0 = _time.perf_counter()
         ljobs = [j for j in los_jobs if j is not None]
         if ljobs:
             uniq: list[tuple[int, int, int]] = []
@@ -1130,10 +1158,26 @@ class NavService:
                 [j["chunk"][0] * FIELD_RES:(j["chunk"][0] + 1) * FIELD_RES,
                  j["chunk"][1] * FIELD_RES:(j["chunk"][1] + 1) * FIELD_RES]
                 for j in ljobs])
-            slots_j = jnp.asarray([j["slot"] for j in ljobs])
-            state = state.replace(fields=state.fields.replace(
-                los=state.fields.los.at[slots_j].set(
-                    jnp.asarray(tiles), mode="drop")))
+            slots_np = np.asarray([j["slot"] for j in ljobs])
+            # bucketed slab scatter: the eager .at[].set compiles per
+            # BATCH SHAPE through the relay (~0.45 s per tiny glue op —
+            # a storm of new job counts cost ~3 s per novel count), so
+            # the install pads to the same fixed shape set as the builds
+            drop_l = state.fields.los.shape[0]
+            los = state.fields.los
+            for s0, cnt, padn in batch_buckets(len(ljobs), CHUNK_BATCH_CAP):
+                tl = np.zeros((padn, FIELD_RES, FIELD_RES), tiles.dtype)
+                sl = np.full((padn,), drop_l, np.int64)
+                tl[:cnt] = tiles[s0:s0 + cnt]
+                sl[:cnt] = slots_np[s0:s0 + cnt]
+                los = los.at[jnp.asarray(sl)].set(
+                    jnp.asarray(tl), mode="drop")
+            state = state.replace(fields=state.fields.replace(los=los))
+
+        self.stats["install_los_ms"] = self.stats.get(
+            "install_los_ms", 0.0) + (_time.perf_counter() - _t0) * 1e3
+        self.stats["install_los_jobs"] = self.stats.get(
+            "install_los_jobs", 0) + len(ljobs)
 
         # ---- push both flock tables once -----------------------------------
         return state.replace(flocks=state.flocks.replace(
