@@ -57,6 +57,21 @@ def _chunk_sig_kernel(pos, alive, faction, *, f_n: int, cr: int, cc: int):
     return sig.reshape(f_n, cr, cc)
 
 
+def _pad_slots(slots: np.ndarray, sentinel: int) -> np.ndarray:
+    """Pad a slot-index vector to the next power of two with `sentinel`
+    (an out-of-bounds slot index: every batch write uses mode='drop', so
+    padding rows are ignored). Eager `.at[slots].set` updates compile PER
+    BATCH SHAPE — through the remote-compile relay each novel size costs
+    ~0.45 s per scatter/glue op, so a 6-building mid-fight spawn measured
+    an ~8 s interactive hitch from ~23 such compiles. Pow2-bucketed
+    shapes make batch-write compiles a log-bounded load-time cost."""
+    m = len(slots)
+    m_pad = 1 << (max(m, 1) - 1).bit_length()
+    out = np.full((m_pad,), sentinel, np.int32)
+    out[:m] = slots
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("f_n", "cr", "cc"))
 def _flock_chunk_occupancy(pos, alive, flock, *, f_n: int, cr: int, cc: int):
     """bool[max_flocks, num_chunks]: chunks each flock's living members
@@ -287,17 +302,23 @@ class Engine:
                 if np.linalg.norm(np.asarray(eff) - np.asarray(goal)) < 1.0:
                     continue
                 g = jnp.asarray(np.asarray(eff, np.float32))
-                sl = jnp.asarray(members)
+                members_p = _pad_slots(members, self.cfg.max_ents)
+                sl = jnp.asarray(members_p)
                 if members.size > 1:
                     ring, cells_on = self._ring_dests(
                         members, eff, int(layers[fid]))
+                    ring_p = np.zeros((len(members_p), 2), np.float32)
+                    ring_p[:len(members)] = ring
+                    rj = jnp.asarray(ring_p)
                     e = e.replace(
-                        dest=e.dest.at[sl].set(ring),
-                        formation_cell=e.formation_cell.at[sl].set(ring),
+                        dest=e.dest.at[sl].set(rj, mode="drop"),
+                        formation_cell=e.formation_cell.at[sl].set(
+                            rj, mode="drop"),
                         has_formation_cell=(
-                            e.has_formation_cell.at[sl].set(cells_on)))
+                            e.has_formation_cell.at[sl].set(
+                                cells_on, mode="drop")))
                 else:
-                    e = e.replace(dest=e.dest.at[sl].set(g))
+                    e = e.replace(dest=e.dest.at[sl].set(g, mode="drop"))
                 self.state = self.state.replace(
                     ents=e,
                     flocks=self.state.flocks.replace(
@@ -306,7 +327,8 @@ class Engine:
                 # now unreachable: drop the flock; members direct-seek and
                 # the stuck counter settles them (get-as-close semantics)
                 self.state = self.state.replace(ents=e.replace(
-                    flock=e.flock.at[jnp.asarray(members)].set(-1)))
+                    flock=e.flock.at[jnp.asarray(_pad_slots(
+                        members, self.cfg.max_ents))].set(-1, mode="drop")))
         return set(members_of)
 
     def load_map_data(self, map_data) -> None:
@@ -377,42 +399,62 @@ class Engine:
             self.uid_to_slot[int(u)] = int(s)
         self._slot_uid[slots] = uids
 
+        # batch writes pad to pow2 shapes (see _pad_slots): padding rows
+        # carry the sentinel slot and are dropped by mode="drop"
+        slots_p = _pad_slots(slots, self.cfg.max_ents)
+        m_pad = len(slots_p)
+
         def bc(v, dtype=np.float32):
-            return np.broadcast_to(np.asarray(v, dtype), (m,))
+            a = np.zeros((m_pad,), dtype)
+            a[:m] = np.broadcast_to(np.asarray(v, dtype), (m,))
+            return a
 
         radius_arr = bc(radius)
         layers = np.array(
-            [nav_layer(domain, footprint_for_radius(float(r))) for r in radius_arr],
-            np.int32)
+            [nav_layer(domain, footprint_for_radius(float(r)))
+             for r in radius_arr], np.int32)
+        pos_p = np.zeros((m_pad, 2), np.float32)
+        pos_p[:m] = pos.astype(np.float32)
+        uids_p = np.zeros((m_pad,), np.int32)
+        uids_p[:m] = uids
 
         e = self.state.ents
-        sl = jnp.asarray(slots)
+        sl = jnp.asarray(slots_p)
         e = e.replace(
-            alive=e.alive.at[sl].set(True),
-            uid=e.uid.at[sl].set(jnp.asarray(uids)),
-            flags=e.flags.at[sl].set(jnp.uint32(int(flags))),
-            faction=e.faction.at[sl].set(jnp.asarray(bc(faction, np.int32))),
-            layer=e.layer.at[sl].set(jnp.asarray(layers)),
-            pos=e.pos.at[sl].set(jnp.asarray(pos.astype(np.float32))),
-            prev_pos=e.prev_pos.at[sl].set(jnp.asarray(pos.astype(np.float32))),
-            radius=e.radius.at[sl].set(jnp.asarray(radius_arr)),
+            alive=e.alive.at[sl].set(True, mode="drop"),
+            uid=e.uid.at[sl].set(jnp.asarray(uids_p), mode="drop"),
+            flags=e.flags.at[sl].set(jnp.uint32(int(flags)), mode="drop"),
+            faction=e.faction.at[sl].set(
+                jnp.asarray(bc(faction, np.int32)), mode="drop"),
+            layer=e.layer.at[sl].set(jnp.asarray(layers), mode="drop"),
+            pos=e.pos.at[sl].set(jnp.asarray(pos_p), mode="drop"),
+            prev_pos=e.prev_pos.at[sl].set(jnp.asarray(pos_p), mode="drop"),
+            radius=e.radius.at[sl].set(jnp.asarray(radius_arr), mode="drop"),
             sel_radius=e.sel_radius.at[sl].set(
-                jnp.asarray(bc(sel_radius if sel_radius is not None else radius))),
-            max_speed=e.max_speed.at[sl].set(jnp.asarray(bc(max_speed))),
-            hp=e.hp.at[sl].set(jnp.asarray(bc(hp))),
-            max_hp=e.max_hp.at[sl].set(jnp.asarray(bc(hp))),
-            movestate=e.movestate.at[sl].set(MoveState.ARRIVED),
-            flock=e.flock.at[sl].set(-1),
-            vision_range=e.vision_range.at[sl].set(jnp.asarray(bc(vision_range))),
-            attack_range=e.attack_range.at[sl].set(jnp.asarray(bc(attack_range))),
-            base_dmg=e.base_dmg.at[sl].set(jnp.asarray(bc(base_dmg))),
-            armour_pc=e.armour_pc.at[sl].set(jnp.asarray(bc(armour_pc))),
+                jnp.asarray(bc(sel_radius if sel_radius is not None
+                               else radius)), mode="drop"),
+            max_speed=e.max_speed.at[sl].set(
+                jnp.asarray(bc(max_speed)), mode="drop"),
+            hp=e.hp.at[sl].set(jnp.asarray(bc(hp)), mode="drop"),
+            max_hp=e.max_hp.at[sl].set(jnp.asarray(bc(hp)), mode="drop"),
+            movestate=e.movestate.at[sl].set(MoveState.ARRIVED, mode="drop"),
+            flock=e.flock.at[sl].set(-1, mode="drop"),
+            vision_range=e.vision_range.at[sl].set(
+                jnp.asarray(bc(vision_range)), mode="drop"),
+            attack_range=e.attack_range.at[sl].set(
+                jnp.asarray(bc(attack_range)), mode="drop"),
+            base_dmg=e.base_dmg.at[sl].set(
+                jnp.asarray(bc(base_dmg)), mode="drop"),
+            armour_pc=e.armour_pc.at[sl].set(
+                jnp.asarray(bc(armour_pc)), mode="drop"),
             attack_period=e.attack_period.at[sl].set(
-                jnp.asarray(bc(attack_period, np.int32))),
-            is_ranged=e.is_ranged.at[sl].set(jnp.asarray(bc(is_ranged, bool))),
-            stance=e.stance.at[sl].set(jnp.asarray(bc(stance, np.int32))),
-            combatstate=e.combatstate.at[sl].set(0),
-            target=e.target.at[sl].set(-1),
+                jnp.asarray(bc(attack_period, np.int32)), mode="drop"),
+            is_ranged=e.is_ranged.at[sl].set(
+                jnp.asarray(bc(is_ranged, bool)), mode="drop"),
+            stance=e.stance.at[sl].set(
+                jnp.asarray(bc(stance, np.int32)), mode="drop"),
+            combatstate=e.combatstate.at[sl].set(0, mode="drop"),
+            target=e.target.at[sl].set(-1, mode="drop"),
         )
         self.state = self.state.replace(ents=e)
         return [int(u) for u in uids]
@@ -498,7 +540,7 @@ class Engine:
         dests = assign_ring_slots(
             pos, np.asarray(goal_xz, np.float32), spacing,
             self.nav.cost_base[layer])
-        return jnp.asarray(dests), True
+        return np.asarray(dests, np.float32), True
 
     def _apply_move_result(self, uids: list[int], slots: np.ndarray,
                            goal_xz: tuple[float, float], layer: int,
@@ -507,20 +549,25 @@ class Engine:
         """Flock setup + events after a (possibly batched) path request."""
         goal = jnp.asarray(np.asarray(eff_goal if ok else goal_xz, np.float32))
         e = self.state.ents
-        sl = jnp.asarray(slots)
+        slots_p = _pad_slots(slots, self.cfg.max_ents)
+        sl = jnp.asarray(slots_p)
         if ok and len(uids) > 1:
             # per-unit ring arrival slots (ref: arrival.h:49-120): the
             # flock shares flow fields to the goal; each unit settles onto
             # its own packed ring slot
-            dests, cells_on = self._ring_dests(slots, eff_goal, layer)
+            ring, cells_on = self._ring_dests(slots, eff_goal, layer)
+            ring_p = np.zeros((len(slots_p), 2), np.float32)
+            ring_p[:len(slots)] = ring
+            dests = jnp.asarray(ring_p)
         else:
             dests, cells_on = goal, False
         e = e.replace(
-            dest=e.dest.at[sl].set(dests),
-            formation_cell=e.formation_cell.at[sl].set(dests),
-            flock=e.flock.at[sl].set(fid if ok else -1),
-            movestate=e.movestate.at[sl].set(MoveState.MOVING),
-            has_formation_cell=e.has_formation_cell.at[sl].set(cells_on),
+            dest=e.dest.at[sl].set(dests, mode="drop"),
+            formation_cell=e.formation_cell.at[sl].set(dests, mode="drop"),
+            flock=e.flock.at[sl].set(fid if ok else -1, mode="drop"),
+            movestate=e.movestate.at[sl].set(MoveState.MOVING, mode="drop"),
+            has_formation_cell=e.has_formation_cell.at[sl].set(
+                cells_on, mode="drop"),
         )
         fl = self.state.flocks
         fl = fl.replace(
@@ -708,14 +755,17 @@ class Engine:
         self._seek_created[fid] = self._frame
 
         e = self.state.ents
-        sl = jnp.asarray(slots)
+        sl = jnp.asarray(_pad_slots(slots, self.cfg.max_ents))
         far = jnp.asarray([self.cfg.world_w * 2, self.cfg.world_h * 2],
                           jnp.float32)
         e = e.replace(
-            flock=e.flock.at[sl].set(fid),
-            movestate=e.movestate.at[sl].set(MoveState.SEEK_ENEMIES),
-            dest=e.dest.at[sl].set(far),   # never "arrive": combat stops them
-            has_formation_cell=e.has_formation_cell.at[sl].set(False),
+            flock=e.flock.at[sl].set(fid, mode="drop"),
+            movestate=e.movestate.at[sl].set(
+                MoveState.SEEK_ENEMIES, mode="drop"),
+            # never "arrive": combat stops them
+            dest=e.dest.at[sl].set(far, mode="drop"),
+            has_formation_cell=e.has_formation_cell.at[sl].set(
+                False, mode="drop"),
         )
         fl = self.state.flocks
         fl = fl.replace(
@@ -755,13 +805,15 @@ class Engine:
             self.state, fid, tslot, layer, gslot)
 
         e = self.state.ents
-        sl = jnp.asarray(slots)
+        sl = jnp.asarray(_pad_slots(slots, self.cfg.max_ents))
         tpos = e.pos[tslot]
         e = e.replace(
-            flock=e.flock.at[sl].set(fid),
-            movestate=e.movestate.at[sl].set(MoveState.SURROUND_ENTITY),
-            dest=e.dest.at[sl].set(tpos),
-            has_formation_cell=e.has_formation_cell.at[sl].set(False),
+            flock=e.flock.at[sl].set(fid, mode="drop"),
+            movestate=e.movestate.at[sl].set(
+                MoveState.SURROUND_ENTITY, mode="drop"),
+            dest=e.dest.at[sl].set(tpos, mode="drop"),
+            has_formation_cell=e.has_formation_cell.at[sl].set(
+                False, mode="drop"),
         )
         fl = self.state.flocks
         fl = fl.replace(
@@ -869,12 +921,15 @@ class Engine:
             flocks=self.state.flocks.replace(field_slot=fs, los_slot=ls))
 
     def stop(self, uids: list[int]) -> None:
-        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        slots = jnp.asarray(_pad_slots(
+            np.asarray([self.uid_to_slot[u] for u in uids], np.int32),
+            self.cfg.max_ents))
         e = self.state.ents
         self.state = self.state.replace(ents=e.replace(
-            movestate=e.movestate.at[slots].set(MoveState.ARRIVED),
-            vel=e.vel.at[slots].set(0.0),
-            flock=e.flock.at[slots].set(-1),
+            movestate=e.movestate.at[slots].set(MoveState.ARRIVED,
+                                                mode="drop"),
+            vel=e.vel.at[slots].set(0.0, mode="drop"),
+            flock=e.flock.at[slots].set(-1, mode="drop"),
         ))
 
     # -- factions / diplomacy ------------------------------------------------------
@@ -952,10 +1007,13 @@ class Engine:
                 self.state, specs)
 
     def set_stance(self, uids: list[int], stance: int) -> None:
-        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        slots = jnp.asarray(_pad_slots(
+            np.asarray([self.uid_to_slot[u] for u in uids], np.int32),
+            self.cfg.max_ents))
         e = self.state.ents
         self.state = self.state.replace(
-            ents=e.replace(stance=e.stance.at[slots].set(int(stance))))
+            ents=e.replace(stance=e.stance.at[slots].set(int(stance),
+                                                         mode="drop")))
 
     # -- stepping ----------------------------------------------------------------
 
@@ -1373,12 +1431,16 @@ class Engine:
 
     def set_flags(self, uids: list[int], set_mask: int = 0,
                   clear_mask: int = 0) -> None:
-        slots = jnp.asarray([self.uid_to_slot[u] for u in uids], jnp.int32)
+        # padded gather reads a clamped row for padding slots; the
+        # matching padded scatter drops those rows again
+        slots = jnp.asarray(_pad_slots(
+            np.asarray([self.uid_to_slot[u] for u in uids], np.int32),
+            self.cfg.max_ents))
         e = self.state.ents
-        f = e.flags[slots]
+        f = e.flags[jnp.clip(slots, 0, self.cfg.max_ents - 1)]
         f = (f | jnp.uint32(set_mask)) & ~jnp.uint32(clear_mask)
         self.state = self.state.replace(ents=e.replace(
-            flags=e.flags.at[slots].set(f)))
+            flags=e.flags.at[slots].set(f, mode="drop")))
 
     def teleport(self, uid: int, pos_xz: tuple[float, float]) -> None:
         slot = self.uid_to_slot[uid]
