@@ -52,6 +52,11 @@ def build_battle(n_per_side: int = 5000, terrain: bool = False) -> Engine:
     eng.add_faction(0)
     eng.add_faction(1)
     eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+    # compile the batched nav kernels' capped bucket shapes BEFORE the
+    # first orders: a mid-fight rebuild storm (and the initial installs)
+    # must dispatch into already-compiled shapes, not stall on remote XLA
+    # compiles (measured 8-11 s inside one contact window before this)
+    eng.prewarm_nav()
 
     rng = np.random.default_rng(0)
 
@@ -73,11 +78,6 @@ def build_battle(n_per_side: int = 5000, terrain: bool = False) -> Engine:
                         vision_range=80.0, hp=200.0)
     eng.move(a, (820.0, 512.0))
     eng.move(b, (200.0, 512.0))
-    # compile the batched nav kernels' capped bucket shapes NOW (load
-    # time): a mid-fight rebuild storm must dispatch into already-compiled
-    # shapes, not stall a measured window on a remote XLA compile
-    # (measured 8-11 s inside one contact window before this)
-    eng.prewarm_nav()
     return eng
 
 

@@ -46,7 +46,9 @@ def main():
     fps_scan = fps_of(eng, eng.step_scan)
     print("step_scan() fps:", round(fps_scan, 2), flush=True)
     st = eng.profile_tick(30)
-    print("exact device tick:", {k: round(v, 2) for k, v in st.items()})
+    print("exact device tick:",
+          {k: (round(v, 2) if isinstance(v, (int, float)) else v)
+           for k, v in st.items()})
 
 
 if __name__ == "__main__":

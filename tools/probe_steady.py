@@ -40,14 +40,10 @@ def fps_of(eng, fn, frames=120, windows=3):
 def scope_totals(eng, frames=120):
     """Sum perf-scope ms over `frames` frames of step()."""
     totals: dict[str, float] = defaultdict(float)
-    # drive one frame at a time so begin_tick() archives every segment
-    t0 = time.perf_counter()
+    # run once untimed (compiles), then measure with a wide archive so
+    # every segment's scopes are captured
     eng.step(frames)
     jax.block_until_ready(eng.state.ents.pos)
-    wall = (time.perf_counter() - t0) * 1e3
-    for fr in eng.perf._frames[-eng.perf.keep_frames:]:
-        pass
-    # re-run with a wide archive to capture all segments
     eng.perf.keep_frames = 64
     eng.perf._frames = []
     t0 = time.perf_counter()
