@@ -57,6 +57,42 @@ def _chunk_sig_kernel(pos, alive, faction, *, f_n: int, cr: int, cc: int):
     return sig.reshape(f_n, cr, cc)
 
 
+@jax.jit
+def _spawn_write(e, sl, uids, faction, layers, pos, radius, sel_radius,
+                 max_speed, hp, vision_range, attack_range, base_dmg,
+                 armour_pc, attack_period, is_ranged, stance, flags):
+    """All of spawn's per-entity writes as ONE jitted program: dispatched
+    eagerly they are ~23 separate scatters, each compiling per batch
+    shape (~0.45 s per op through the remote-compile relay — a novel
+    spawn size cost ~8 s of interactive hitch; fused it is one compile)."""
+    return e.replace(
+        alive=e.alive.at[sl].set(True, mode="drop"),
+        uid=e.uid.at[sl].set(uids, mode="drop"),
+        flags=e.flags.at[sl].set(flags, mode="drop"),
+        faction=e.faction.at[sl].set(faction, mode="drop"),
+        layer=e.layer.at[sl].set(layers, mode="drop"),
+        pos=e.pos.at[sl].set(pos, mode="drop"),
+        prev_pos=e.prev_pos.at[sl].set(pos, mode="drop"),
+        radius=e.radius.at[sl].set(radius, mode="drop"),
+        sel_radius=e.sel_radius.at[sl].set(sel_radius, mode="drop"),
+        max_speed=e.max_speed.at[sl].set(max_speed, mode="drop"),
+        hp=e.hp.at[sl].set(hp, mode="drop"),
+        max_hp=e.max_hp.at[sl].set(hp, mode="drop"),
+        movestate=e.movestate.at[sl].set(MoveState.ARRIVED, mode="drop"),
+        flock=e.flock.at[sl].set(-1, mode="drop"),
+        vision_range=e.vision_range.at[sl].set(vision_range, mode="drop"),
+        attack_range=e.attack_range.at[sl].set(attack_range, mode="drop"),
+        base_dmg=e.base_dmg.at[sl].set(base_dmg, mode="drop"),
+        armour_pc=e.armour_pc.at[sl].set(armour_pc, mode="drop"),
+        attack_period=e.attack_period.at[sl].set(attack_period,
+                                                 mode="drop"),
+        is_ranged=e.is_ranged.at[sl].set(is_ranged, mode="drop"),
+        stance=e.stance.at[sl].set(stance, mode="drop"),
+        combatstate=e.combatstate.at[sl].set(0, mode="drop"),
+        target=e.target.at[sl].set(-1, mode="drop"),
+    )
+
+
 def _pad_slots(slots: np.ndarray, sentinel: int) -> np.ndarray:
     """Pad a slot-index vector to the next power of two with `sentinel`
     (an out-of-bounds slot index: every batch write uses mode='drop', so
@@ -418,44 +454,19 @@ class Engine:
         uids_p = np.zeros((m_pad,), np.int32)
         uids_p[:m] = uids
 
-        e = self.state.ents
-        sl = jnp.asarray(slots_p)
-        e = e.replace(
-            alive=e.alive.at[sl].set(True, mode="drop"),
-            uid=e.uid.at[sl].set(jnp.asarray(uids_p), mode="drop"),
-            flags=e.flags.at[sl].set(jnp.uint32(int(flags)), mode="drop"),
-            faction=e.faction.at[sl].set(
-                jnp.asarray(bc(faction, np.int32)), mode="drop"),
-            layer=e.layer.at[sl].set(jnp.asarray(layers), mode="drop"),
-            pos=e.pos.at[sl].set(jnp.asarray(pos_p), mode="drop"),
-            prev_pos=e.prev_pos.at[sl].set(jnp.asarray(pos_p), mode="drop"),
-            radius=e.radius.at[sl].set(jnp.asarray(radius_arr), mode="drop"),
-            sel_radius=e.sel_radius.at[sl].set(
-                jnp.asarray(bc(sel_radius if sel_radius is not None
-                               else radius)), mode="drop"),
-            max_speed=e.max_speed.at[sl].set(
-                jnp.asarray(bc(max_speed)), mode="drop"),
-            hp=e.hp.at[sl].set(jnp.asarray(bc(hp)), mode="drop"),
-            max_hp=e.max_hp.at[sl].set(jnp.asarray(bc(hp)), mode="drop"),
-            movestate=e.movestate.at[sl].set(MoveState.ARRIVED, mode="drop"),
-            flock=e.flock.at[sl].set(-1, mode="drop"),
-            vision_range=e.vision_range.at[sl].set(
-                jnp.asarray(bc(vision_range)), mode="drop"),
-            attack_range=e.attack_range.at[sl].set(
-                jnp.asarray(bc(attack_range)), mode="drop"),
-            base_dmg=e.base_dmg.at[sl].set(
-                jnp.asarray(bc(base_dmg)), mode="drop"),
-            armour_pc=e.armour_pc.at[sl].set(
-                jnp.asarray(bc(armour_pc)), mode="drop"),
-            attack_period=e.attack_period.at[sl].set(
-                jnp.asarray(bc(attack_period, np.int32)), mode="drop"),
-            is_ranged=e.is_ranged.at[sl].set(
-                jnp.asarray(bc(is_ranged, bool)), mode="drop"),
-            stance=e.stance.at[sl].set(
-                jnp.asarray(bc(stance, np.int32)), mode="drop"),
-            combatstate=e.combatstate.at[sl].set(0, mode="drop"),
-            target=e.target.at[sl].set(-1, mode="drop"),
-        )
+        e = _spawn_write(
+            self.state.ents, jnp.asarray(slots_p), jnp.asarray(uids_p),
+            jnp.asarray(bc(faction, np.int32)), jnp.asarray(layers),
+            jnp.asarray(pos_p), jnp.asarray(radius_arr),
+            jnp.asarray(bc(sel_radius if sel_radius is not None
+                           else radius)),
+            jnp.asarray(bc(max_speed)), jnp.asarray(bc(hp)),
+            jnp.asarray(bc(vision_range)), jnp.asarray(bc(attack_range)),
+            jnp.asarray(bc(base_dmg)), jnp.asarray(bc(armour_pc)),
+            jnp.asarray(bc(attack_period, np.int32)),
+            jnp.asarray(bc(is_ranged, bool)),
+            jnp.asarray(bc(stance, np.int32)),
+            jnp.asarray(bc(flags, np.uint32)))
         self.state = self.state.replace(ents=e)
         return [int(u) for u in uids]
 

@@ -154,3 +154,32 @@ def test_sharded_engine_seek_field_builds_row_sharded():
     fid = int(np.asarray(eng.state.ents.flock)[eng.uid_to_slot[hunters2[0]]])
     gslot = int(np.asarray(eng.state.flocks.global_slot)[fid])
     assert gslot >= 0
+
+
+def test_sharded_tick_hlo_has_expected_collectives():
+    """The scaling MODEL the v5e-8 north star relies on, asserted from the
+    compiled HLO (SURVEY §2.9): an entity-sharded tick communicates via
+    all-gathers of the entity arrays (the neighbour-query exchange), and
+    map sharding adds collective-permute halo traffic for the row-sharded
+    grids. Full inventory with byte counts: tools/probe_shard.py /
+    SHARD_r04.json."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from probe_shard import collective_inventory, compiled_tick
+
+    from permafrost_engine_tpu.parallel.mesh import make_mesh
+
+    cfg = EngineConfig(max_ents=1024, chunks_r=2, chunks_c=2, num_layers=1,
+                       max_flocks=8, max_projectiles=64,
+                       field_slab_slots=16, los_slab_slots=16)
+    mesh = make_mesh(8)
+
+    _, hlo = compiled_tick(cfg, mesh, "sharded")
+    inv = collective_inventory(hlo)
+    assert inv["all-gather"]["count"] > 0, "entity exchange missing"
+
+    _, hlo_m = compiled_tick(cfg, mesh, "map_sharded")
+    inv_m = collective_inventory(hlo_m)
+    assert inv_m["collective-permute"]["count"] > 0, "grid halo missing"
+    assert inv_m["all-gather"]["count"] > 0
