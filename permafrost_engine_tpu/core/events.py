@@ -13,7 +13,7 @@ Mirrors the reference's event system (ref: src/event.h:45-147, event.c):
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import defaultdict, deque
 from enum import IntEnum
 from typing import Any, Callable
 
@@ -117,6 +117,12 @@ class EventBus:
             defaultdict(list))
         self._queue: list[tuple[int, int, Any]] = []  # (uid, event, arg)
         self._queued_this_frame: set[int] = set()
+        # script-dispatch tracing (pf.debug.trace_python / log_python):
+        # when a predicate is installed and true, every handler invocation
+        # is appended to trace_log as (uid, event, handler_qualname)
+        # (ref: the reference's script tracing settings, py_script.c)
+        self.trace_pred: Callable[[], bool] | None = None
+        self.trace_log: deque = deque(maxlen=256)
 
     # -- registration -----------------------------------------------------------
 
@@ -173,8 +179,13 @@ class EventBus:
                   simstate: SimState) -> int:
         bit = 1 << int(simstate)
         n = 0
+        trace = self.trace_pred is not None and self.trace_pred()
         for handler, mask in list(self._handlers.get((uid, event), [])):
             if mask & bit:
+                if trace:
+                    self.trace_log.append(
+                        (uid, event, getattr(handler, "__qualname__",
+                                             repr(handler))))
                 handler(arg)
                 n += 1
         return n

@@ -177,6 +177,15 @@ class Engine:
         from permafrost_engine_tpu.render.anim_system import AnimSystem
 
         self.bus = EventBus()
+        # pf.debug.trace_python / log_python: record script handler
+        # dispatches into bus.trace_log while either setting is on
+        self.bus.trace_pred = (
+            lambda: self._debug_flag("trace_python")
+            or self._debug_flag("log_python"))
+        # pf.debug.log_call_graphs / log_mem_stats ring buffers
+        from collections import deque as _deque
+        self.call_graph_log: "deque" = _deque(maxlen=16)
+        self.mem_stats_log: "deque" = _deque(maxlen=8)
         self.sched = Scheduler(self.bus)
         self.perf = Perf()
         self.settings = Settings()
@@ -1028,6 +1037,14 @@ class Engine:
 
     # -- stepping ----------------------------------------------------------------
 
+    def _debug_flag(self, name: str) -> bool:
+        """A pf.debug.* bool, False when unregistered (engine built
+        without pf.init — most tests)."""
+        try:
+            return bool(self.settings.get(f"pf.debug.{name}"))
+        except Exception:
+            return False
+
     def _micro_step_fn(self, k: int):
         """Jitted k-frame stepper threading the SAME (state, acc) pair as k
         single ticks: lax.scan of the tick, donated in and out. Because the
@@ -1081,6 +1098,8 @@ class Engine:
         force per-frame dispatches (the reference's frame-granular
         semantics, main.c:86-98); a non-empty event queue does NOT — both
         modes service the queue once at call end."""
+        import time as _time
+
         from permafrost_engine_tpu.core.config import SimState
 
         left = n_frames
@@ -1120,7 +1139,16 @@ class Engine:
                 # through the remote transport (~30 ms measured at 10k
                 # entities); events arriving one window late matches the
                 # reference's deferred patch discipline (movement.c:245-262).
+                if self._debug_flag("trace_gpu"):
+                    # the reference's GPU timestamp queries made explicit
+                    # (perf.h:155-163): synchronously time this segment's
+                    # device completion — a measurement cost, like theirs
+                    _t0 = _time.perf_counter()
+                    jax.block_until_ready(self.state.ents.pos)
+                    self.perf.counters["trace_gpu_device_ms"] += (
+                        _time.perf_counter() - _t0) * 1e3
                 with self.perf.scope("drain_deltas"):
+                    _drain_t0 = _time.perf_counter()
                     if self._frame % self.drain_period == 0:
                         ready = self._inflight_deltas
                         self._inflight_deltas = self._acc
@@ -1130,8 +1158,21 @@ class Engine:
                             self._inflight_deltas)
                         if ready is not None:
                             self._drain(jax.device_get(ready))
+                if self._debug_flag("trace_gpu_stalls"):
+                    # a drain wait longer than the segment's frame budget
+                    # means the host out-ran the device (ref: GPU stall
+                    # tracing, R_GL_PerfStallFrameReport render.c:640)
+                    _dms = (_time.perf_counter() - _drain_t0) * 1e3
+                    if _dms > k * (1000.0 / 60.0):
+                        self.perf.counters["gpu_stall_events"] += 1
+                        self.perf.counters["gpu_stall_ms"] += _dms
             with self.perf.scope("host_systems"):
                 self._host_systems_tick()
+            if self._debug_flag("log_call_graphs"):
+                frame = (self.perf._frames[-1] if self.perf._frames
+                         else self.perf._current)
+                self.call_graph_log.append(
+                    [(e.name, round(e.ms, 3), e.parent) for e in frame])
             left -= k
         # one sync at the end of the call: callers observe all their frames
         self.flush_deltas()
@@ -1222,6 +1263,11 @@ class Engine:
             if self.anim.states:
                 self.anim.tick(self.economy_period / 60.0)
             self.audio.tick(self.economy_period)
+            if self._debug_flag("log_mem_stats"):
+                from permafrost_engine_tpu.state.schema import (
+                    state_mem_accounting)
+                self.mem_stats_log.append(
+                    (self._frame, state_mem_accounting(self.state)))
         if self._frame % self.seek_refresh_period == 0:
             import time as _time
             _cnt = self.perf.counters

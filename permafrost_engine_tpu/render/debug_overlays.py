@@ -365,10 +365,21 @@ def apply_debug_overlays(img: np.ndarray, engine, camera,
         e = st.ents
         hasc = np.asarray(e.has_formation_cell) & np.asarray(e.alive)
         cells = np.asarray(e.formation_cell)[hasc]
-        for cxz in cells:
-            _draw_polyline(img, engine, camera,
-                           circle_points(cxz, 1.6, segs=8), COL_FORMATION,
-                           w, h)
+        # pf.debug.formation_cell_index highlights one cell (drawn larger
+        # in a distinct color — ref: formation.c:1378 debug draw indexes)
+        try:
+            hi = int(get("pf.debug.formation_cell_index") or 0)
+        except Exception:
+            hi = 0
+        for i, cxz in enumerate(cells):
+            if i == hi:
+                _draw_polyline(img, engine, camera,
+                               circle_points(cxz, 2.6, segs=10),
+                               (255, 255, 80), w, h)
+            else:
+                _draw_polyline(img, engine, camera,
+                               circle_points(cxz, 1.6, segs=8),
+                               COL_FORMATION, w, h)
 
     if "show_hrvo_debug" in wanted:
         _hrvo_overlay(img, engine, camera, w, h)

@@ -605,7 +605,33 @@ class SceneRenderer:
                overlays: bool = True) -> np.ndarray:
         """Render one frame -> u8[h, w, 3]."""
         w, h = self.w, self.h
+        # pf.debug.render_log_mask: bit 1 = per-pass wall timings (each
+        # pass synced — a measurement cost, like the reference's render
+        # logging), bit 2 = geometry counts; appended to self.render_log
+        log_mask = 0
+        try:
+            log_mask = int(
+                self.engine.settings.get("pf.debug.render_log_mask") or 0)
+        except Exception:
+            pass
+        if log_mask and not hasattr(self, "render_log"):
+            from collections import deque
+            self.render_log = deque(maxlen=16)
+        import time as _time
+
+        def _mark(rec, key, t0, *sync):
+            if log_mask & 1:
+                for x in sync:
+                    jax.block_until_ready(x)
+                rec[key] = round((_time.perf_counter() - t0) * 1e3, 2)
+            return _time.perf_counter()
+
+        rec: dict = {}
+        _t = _time.perf_counter()
         verts, attrs = self.scene_soup(camera, alpha)
+        _t = _mark(rec, "soup_ms", _t, verts)
+        if log_mask & 2:
+            rec["triangles"] = int(verts.shape[0])
         vp = jnp.asarray((camera.proj_matrix()
                           @ camera.view_matrix()).astype(np.float32))
 
@@ -621,16 +647,20 @@ class SceneRenderer:
         else:
             shadow_z = jnp.full((2, 2), jnp.inf, jnp.float32)
 
+        _t = _mark(rec, "shadow_ms", _t, shadow_z)
         fog, fog_scale = self._fog_grid(faction_pov)
         zbuf, tri, bary, inv_w, pattrs = _raster_pass(
             verts, attrs, vp, h=h, w=w)
+        _t = _mark(rec, "raster_ms", _t, zbuf)
         col = self._shade(camera, tri, bary, inv_w, pattrs, shadow_z,
                           fog, fog_scale, w, h)
+        _t = _mark(rec, "shade_ms", _t, col)
 
         if self.reflections and self._setting("pf.video.water_reflection",
                                               True):
             col = self._water_composite(camera, verts, attrs, vp, zbuf,
                                         col, shadow_z, fog, fog_scale)
+            _t = _mark(rec, "water_ms", _t, col)
 
         col = jnp.clip(col, 0.0, 1.0) ** (1.0 / 2.2)     # linear -> sRGB-ish
         img = np.asarray(jnp.clip(col * 255.0, 0, 255).astype(jnp.uint8))
@@ -642,6 +672,9 @@ class SceneRenderer:
             img = apply_debug_overlays(img, self.engine, camera, w, h)
             img = compose_hud(img, self.engine, camera)
             img = self._compose_ui(img)
+            _t = _mark(rec, "overlays_ms", _t)
+        if log_mask:
+            self.render_log.append(rec)
         return img
 
     def _compose_ui(self, img: np.ndarray) -> np.ndarray:

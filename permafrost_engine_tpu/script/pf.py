@@ -699,6 +699,25 @@ def inject_key_down(scancode: int) -> None:
     context().keys_down.add(int(scancode))
     _eng().bus.notify_immediate(SDL_KEYDOWN, (int(scancode),),
                                 simstate=_eng().sim_state)
+    # paused frame-stepping (ref: main.c:337-350 — with
+    # pf.debug.paused_frame_step_enabled, SPACE while paused advances
+    # exactly one simulation frame)
+    from permafrost_engine_tpu.core.config import SimState
+    from permafrost_engine_tpu.script.constants import SDL_SCANCODES
+
+    eng = _eng()
+    try:
+        step_on = bool(eng.settings.get("pf.debug.paused_frame_step_enabled"))
+    except Exception:
+        step_on = False
+    if (step_on and int(scancode) == SDL_SCANCODES["SPACE"]
+            and eng.sim_state != SimState.RUNNING):
+        prev = eng.sim_state
+        eng.sim_state = SimState.RUNNING
+        try:
+            eng.step(1)
+        finally:
+            eng.sim_state = prev
 
 
 def inject_key_up(scancode: int) -> None:
