@@ -149,6 +149,30 @@ def measure_rebuild():
     return p50_single, per_chunk
 
 
+def measure_rtt_floor(n: int = 21) -> float:
+    """Session relay round-trip floor (ms): p50 of a synchronously-awaited
+    trivial chained dispatch. Through the shared axon relay the sync
+    per-dispatch round trip dominates interactive stepping (~29 ms
+    typical) and DRIFTS with relay load — the same code measures 76-98
+    fps across sessions. Reporting the floor at bench start and end lets
+    round-over-round fps comparisons separate engine changes from relay
+    drift (a chained x->f(x) loop is required: block_until_ready alone
+    returns at enqueue-queue drain, not device completion)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def bump(x):
+        return x + 1.0
+
+    x = jax.block_until_ready(bump(jnp.zeros(())))  # compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        x = jax.block_until_ready(bump(x))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
 def _class_spread(a: dict, b: dict):
     """Worst per-cadence-class p50 disagreement (%) between two
     consecutive profile_tick runs — the attribution's own error bar."""
@@ -278,6 +302,7 @@ def run_battle(terrain: bool) -> dict:
 
 
 def main():
+    rtt_start = measure_rtt_floor()
     rebuild_p50, rebuild_batched = measure_rebuild()
 
     # headline: the battle on the OBSTACLE map (walls/river/cliffs/chokes
@@ -286,6 +311,7 @@ def main():
     # comparability.
     obstacle = run_battle(terrain=True)
     flat = run_battle(terrain=False)
+    rtt_end = measure_rtt_floor()
 
     fps_min = obstacle["fps_min"]
     out = {
@@ -295,6 +321,12 @@ def main():
                 "obstacle map)",
         "vs_baseline": round(fps_min / 60.0, 3),
         "flat_map_worst_phase_fps": round(flat["fps_min"], 2),
+        # relay round-trip floor at bench start/end: cross-round fps deltas
+        # smaller than the implied dispatch-overhead delta are relay drift,
+        # not engine changes (fps_contact_scan is the relay-insensitive
+        # throughput number)
+        "relay_rtt_floor_ms_start": round(rtt_start, 2),
+        "relay_rtt_floor_ms_end": round(rtt_end, 2),
         "obstacle": obstacle,
         "flat": flat,
         "flow_field_rebuild_ms_p50": round(rebuild_p50, 3),

@@ -127,12 +127,13 @@ SEPARATION_RADIUS = 30.0
 ARRIVE_FORCE = 0.5
 ARRIVE_SLOWING_RADIUS = 10.0
 COHESION_FORCE = 0.15
-# NOTE: the knn window (5x5 cells of 16u) guarantees neighbour coverage
-# only to ~32 world units, so cohesion's effective radius is capped at
-# ~32u even though the reference constant is 50 (movement.c:418-437).
-# The reference's own GPU path truncates similarly (<=32 ClearPath
-# neighbours, <=128 near ents, movement.glsl:95-120); flockmates beyond
-# the window are invisible to cohesion by design, not by accident.
+# NOTE: cohesion is computed from per-(flock, cell) sums box-filtered
+# over 7x7 spatial cells (ops/boids.flock_cohesion_centroids), reaching
+# 48-64u — a cell-rectangle approximation of this 50u disc, with no
+# neighbour-cap truncation (every flockmate counts). The per-pair kernel
+# (`cohesion_force`) honours the constant exactly and remains for
+# callers with explicit neighbour sets. The reference's own GPU path
+# truncates at its neighbour caps too (movement.glsl:95-120).
 COHESION_RADIUS = 50.0
 ALIGNMENT_FORCE = 0.15
 ALIGNMENT_RADIUS = 10.0

@@ -93,6 +93,54 @@ def _spawn_write(e, sl, uids, faction, layers, pos, radius, sel_radius,
     )
 
 
+@jax.jit
+def _order_write(e, fl, sl, dests, flock_val, cells_on, fid, goal, layer):
+    """All of a move order's entity + flock-table writes as ONE jitted
+    program (the `_spawn_write` analogue for `_apply_move_result`):
+    dispatched eagerly they are ~9 separate scatter/set ops, each
+    compiling per pow2 batch shape (~0.45 s per op through the
+    remote-compile relay) and each a separate dispatch per order."""
+    e = e.replace(
+        dest=e.dest.at[sl].set(dests, mode="drop"),
+        formation_cell=e.formation_cell.at[sl].set(dests, mode="drop"),
+        flock=e.flock.at[sl].set(flock_val, mode="drop"),
+        movestate=e.movestate.at[sl].set(MoveState.MOVING, mode="drop"),
+        has_formation_cell=e.has_formation_cell.at[sl].set(
+            cells_on, mode="drop"),
+    )
+    fl = fl.replace(
+        active=fl.active.at[fid].set(True),
+        dest=fl.dest.at[fid].set(goal),
+        layer=fl.layer.at[fid].set(layer),
+        formation=fl.formation.at[fid].set(0),
+    )
+    return e, fl
+
+
+@jax.jit
+def _replan_write(e, fl, sl_dest, dests, sl_cell, cells_on, sl_fail, fids,
+                  goals):
+    """ALL flocks' replan writes after a batched path re-request as ONE
+    jitted program: a structure drop replanning 20 flocks previously paid
+    ~4 eager scatter compiles/dispatches per flock (the 'per-order write
+    compiles at novel selection sizes' residue of the r4 storm work).
+    Row conventions: `sl_dest`/`dests` update destinations for every
+    replanned member; `sl_cell` repeats `sl_dest` with single-member
+    flocks' rows replaced by the out-of-bounds sentinel (mode='drop'
+    skips them — their formation-cell state must not change); `sl_fail`
+    lists members of now-unreachable flocks (flock -> -1); `fids`/`goals`
+    update the flock table (sentinel-padded)."""
+    e = e.replace(
+        dest=e.dest.at[sl_dest].set(dests, mode="drop"),
+        formation_cell=e.formation_cell.at[sl_cell].set(dests, mode="drop"),
+        has_formation_cell=e.has_formation_cell.at[sl_cell].set(
+            cells_on, mode="drop"),
+        flock=e.flock.at[sl_fail].set(-1, mode="drop"),
+    )
+    fl = fl.replace(dest=fl.dest.at[fids].set(goals, mode="drop"))
+    return e, fl
+
+
 def _pad_slots(slots: np.ndarray, sentinel: int) -> np.ndarray:
     """Pad a slot-index vector to the next power of two with `sentinel`
     (an out-of-bounds slot index: every batch write uses mode='drop', so
@@ -336,9 +384,14 @@ class Engine:
         if not reqs:
             return set()
         self.state, results = self.nav.request_paths(self.state, reqs)
+        # collect every flock's writes, then apply them in ONE jitted
+        # dispatch (_replan_write): member sets are disjoint and flock ids
+        # distinct, so the batch is exactly the old sequential applies
+        n_ents = self.cfg.max_ents
+        sl_dest, dest_rows, sl_cell, cell_rows = [], [], [], []
+        fail_sl, fids_upd, goals_upd = [], [], []
         for (fid, _start, goal, layer), (ok, eff) in zip(reqs, results):
             members = members_of[fid]
-            e = self.state.ents
             if ok:
                 # unchanged effective goal (the common replan: same dest,
                 # fresh fields around the new obstacle): members keep
@@ -346,34 +399,54 @@ class Engine:
                 # churns a settling crowd into permanent motion
                 if np.linalg.norm(np.asarray(eff) - np.asarray(goal)) < 1.0:
                     continue
-                g = jnp.asarray(np.asarray(eff, np.float32))
-                members_p = _pad_slots(members, self.cfg.max_ents)
-                sl = jnp.asarray(members_p)
+                g = np.asarray(eff, np.float32)
+                sl_dest.append(members.astype(np.int32))
                 if members.size > 1:
                     ring, cells_on = self._ring_dests(
                         members, eff, int(layers[fid]))
-                    ring_p = np.zeros((len(members_p), 2), np.float32)
-                    ring_p[:len(members)] = ring
-                    rj = jnp.asarray(ring_p)
-                    e = e.replace(
-                        dest=e.dest.at[sl].set(rj, mode="drop"),
-                        formation_cell=e.formation_cell.at[sl].set(
-                            rj, mode="drop"),
-                        has_formation_cell=(
-                            e.has_formation_cell.at[sl].set(
-                                cells_on, mode="drop")))
+                    dest_rows.append(np.asarray(ring, np.float32))
+                    sl_cell.append(members.astype(np.int32))
+                    cell_rows.append(
+                        np.full(members.size, bool(cells_on)))
                 else:
-                    e = e.replace(dest=e.dest.at[sl].set(g, mode="drop"))
-                self.state = self.state.replace(
-                    ents=e,
-                    flocks=self.state.flocks.replace(
-                        dest=self.state.flocks.dest.at[fid].set(g)))
+                    dest_rows.append(g[None, :])
+                    # single-member replans only retarget dest; their
+                    # formation-cell state is preserved (sentinel rows)
+                    sl_cell.append(np.full(members.size, n_ents, np.int32))
+                    cell_rows.append(np.zeros(members.size, bool))
+                fids_upd.append(fid)
+                goals_upd.append(g)
             else:
                 # now unreachable: drop the flock; members direct-seek and
                 # the stuck counter settles them (get-as-close semantics)
-                self.state = self.state.replace(ents=e.replace(
-                    flock=e.flock.at[jnp.asarray(_pad_slots(
-                        members, self.cfg.max_ents))].set(-1, mode="drop")))
+                fail_sl.append(members.astype(np.int32))
+        if sl_dest or fail_sl:
+            sd = (np.concatenate(sl_dest) if sl_dest
+                  else np.zeros(0, np.int32))
+            sd_p = _pad_slots(sd, n_ents)
+            m = len(sd_p)
+            dr_p = np.zeros((m, 2), np.float32)
+            sc_p = np.full(m, n_ents, np.int32)
+            cr_p = np.zeros(m, bool)
+            if sl_dest:
+                dr = np.concatenate(dest_rows)
+                dr_p[:len(dr)] = dr
+                sc_p[:len(sd)] = np.concatenate(sl_cell)
+                cr_p[:len(sd)] = np.concatenate(cell_rows)
+            fs_p = _pad_slots(
+                np.concatenate(fail_sl) if fail_sl
+                else np.zeros(0, np.int32), n_ents)
+            fids_p = _pad_slots(np.asarray(fids_upd, np.int32),
+                                self.cfg.max_flocks)
+            gl_p = np.zeros((len(fids_p), 2), np.float32)
+            if goals_upd:
+                gl_p[:len(goals_upd)] = np.stack(goals_upd)
+            e, fl = _replan_write(
+                self.state.ents, self.state.flocks,
+                jnp.asarray(sd_p), jnp.asarray(dr_p), jnp.asarray(sc_p),
+                jnp.asarray(cr_p), jnp.asarray(fs_p),
+                jnp.asarray(fids_p), jnp.asarray(gl_p))
+            self.state = self.state.replace(ents=e, flocks=fl)
         return set(members_of)
 
     def load_map_data(self, map_data) -> None:
@@ -567,35 +640,23 @@ class Engine:
                            fid: int, ok: bool,
                            eff_goal: tuple[float, float]) -> bool:
         """Flock setup + events after a (possibly batched) path request."""
-        goal = jnp.asarray(np.asarray(eff_goal if ok else goal_xz, np.float32))
-        e = self.state.ents
+        goal = np.asarray(eff_goal if ok else goal_xz, np.float32)
         slots_p = _pad_slots(slots, self.cfg.max_ents)
-        sl = jnp.asarray(slots_p)
+        dests_p = np.zeros((len(slots_p), 2), np.float32)
         if ok and len(uids) > 1:
             # per-unit ring arrival slots (ref: arrival.h:49-120): the
             # flock shares flow fields to the goal; each unit settles onto
             # its own packed ring slot
             ring, cells_on = self._ring_dests(slots, eff_goal, layer)
-            ring_p = np.zeros((len(slots_p), 2), np.float32)
-            ring_p[:len(slots)] = ring
-            dests = jnp.asarray(ring_p)
+            dests_p[:len(slots)] = ring
         else:
-            dests, cells_on = goal, False
-        e = e.replace(
-            dest=e.dest.at[sl].set(dests, mode="drop"),
-            formation_cell=e.formation_cell.at[sl].set(dests, mode="drop"),
-            flock=e.flock.at[sl].set(fid if ok else -1, mode="drop"),
-            movestate=e.movestate.at[sl].set(MoveState.MOVING, mode="drop"),
-            has_formation_cell=e.has_formation_cell.at[sl].set(
-                cells_on, mode="drop"),
-        )
-        fl = self.state.flocks
-        fl = fl.replace(
-            active=fl.active.at[fid].set(True),
-            dest=fl.dest.at[fid].set(goal),
-            layer=fl.layer.at[fid].set(layer),
-            formation=fl.formation.at[fid].set(0),
-        )
+            dests_p[:len(slots)] = goal
+            cells_on = False
+        e, fl = _order_write(
+            self.state.ents, self.state.flocks, jnp.asarray(slots_p),
+            jnp.asarray(dests_p), np.int32(fid if ok else -1),
+            bool(cells_on), np.int32(fid), jnp.asarray(goal),
+            np.int32(layer))
         self.state = self.state.replace(ents=e, flocks=fl)
         # same event surface as device-side motion starts (_drain.emit):
         # events log + global + per-uid bus channels + scheduler waiters

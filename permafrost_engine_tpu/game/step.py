@@ -98,8 +98,19 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
     # attributes (vel/radius/static/flock/arrived) ride the bucket payload
     # channels, so no per-neighbour arena gathers are needed (TPU element
     # gathers run ~1 elem/cycle), and boids works over the FULL candidate
-    # window as masked sums — no top-k, and cohesion/alignment see every
-    # flockmate the window covers instead of the 32 nearest.
+    # window as masked sums — no top-k.
+    #
+    # The window is 3x3 cells (>=16u guaranteed reach): every per-pair
+    # consumer's horizon fits — HRVO cones never bind past 16u at <=1u/tick
+    # speeds, alignment/arrival-propagation cut off at 10u, and
+    # separation's 16-30u tail is <=1/256-weight noise (1/d^2 falloff).
+    # Cohesion — the one force that genuinely needs ~50u — leaves the
+    # window entirely: `flock_cohesion_centroids` factorizes it into
+    # per-(flock, cell) scatter-sums + a 7x7-cell box filter, reaching
+    # 48-64u (vs the old 5x5 window's ~32u cap against the reference's
+    # 50u constant) with no bucket-cap truncation. This halves the wide
+    # window gather ([N, 400, 9ch] -> [N, 144, 9ch]) that dominated the
+    # movement tick (~1.9 ms/frame by ablation).
     collidable = ents.alive & ((ents.flags & jnp.uint32(EntityFlags.COLLISION)) != 0)
     slots = jnp.arange(n, dtype=jnp.int32)
     ent_static = (
@@ -123,7 +134,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         fine_cap=cfg.contact_cell_cap, fine_payload=ents.radius[:, None],
         fine_cell_size=CONTACT_CELL_SIZE)
     cand, cpos, cpay, cvalid = grid.window_candidates(
-        sgrid, ents.pos, slots)
+        sgrid, ents.pos, slots, window=3)
     neigh_idx, neigh_valid, neigh_pos = cand, cvalid, cpos
     neigh_dist = jnp.linalg.norm(cpos - ents.pos[:, None, :], axis=-1)
     neigh_vel = cpay[..., 0:2]
@@ -168,13 +179,18 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         (dist_dest < 4 * ARRIVE_SLOWING_RADIUS) & ~chasing)
 
     max_speed_tick = ents.max_speed / float(cfg.move_hz)
+    coh_centroid, coh_cnt = boids.flock_cohesion_centroids(
+        ents.pos, ents.flock, collidable,
+        cells_r=cfg.grid_cells_r, cells_c=cfg.grid_cells_c,
+        cell_size=sgrid.cell_size, max_flocks=cfg.max_flocks)
     vpref = boids.preferred_velocity(
         ents.pos, ents.vel, ents.flock, ents.dest, flow_dir, use_arrive,
         max_speed_tick, neigh_idx, neigh_valid, moving_mask,
         neigh_pos=neigh_pos, neigh_vel=neigh_vel, neigh_flock=neigh_flock,
         formation_cell=ents.formation_cell,
         has_cell=ents.has_formation_cell,
-        flock_formation=state.flocks.formation, max_flocks=cfg.max_flocks)
+        flock_formation=state.flocks.formation, max_flocks=cfg.max_flocks,
+        coh_centroid=coh_centroid, coh_cnt=coh_cnt)
 
     # ---- HRVO solve (ref: clearpath.c:694) -----------------------------------
     if crowd_kernel is not None:
@@ -184,12 +200,10 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
             neigh_pos, neigh_vel, neigh_rad, neigh_valid, neigh_static)
         new_vel = jnp.where(moving_mask[:, None], raw, vpref)
     else:
-        # top-K nearest cones from the CENTRE 3x3 cells only: collision
-        # cones from neighbours >16u away never bind at <=1u/tick speeds,
-        # and the smaller top-k input is 2.8x cheaper
-        sel = jnp.asarray(grid.central_block_cols(5, 3, cfg.spatial_cell_cap))
-        d2c = jnp.sum((cpos[:, sel] - ents.pos[:, None, :]) ** 2, axis=-1)
-        d2c = jnp.where(cvalid[:, sel], d2c, jnp.inf)
+        # top-K nearest cones over the (already 3x3) window: collision
+        # cones from neighbours >16u away never bind at <=1u/tick speeds
+        d2c = jnp.sum((cpos - ents.pos[:, None, :]) ** 2, axis=-1)
+        d2c = jnp.where(cvalid, d2c, jnp.inf)
         neg_d2, ti = jax.lax.approx_max_k(
             -d2c, MAX_NEIGHBOURS, recall_target=0.95, aggregate_to_topk=True)
 
@@ -197,10 +211,10 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
         # (six separate take_along_axis calls are six per-element gather
         # passes; packed, each fetch moves a contiguous 24-byte unit)
         pack = jnp.concatenate([
-            cpos[:, sel],                                     # 0:2
-            neigh_vel[:, sel],                                # 2:4
-            neigh_rad[:, sel, None],                          # 4
-            neigh_static[:, sel, None].astype(jnp.float32),   # 5
+            cpos,                                             # 0:2
+            neigh_vel,                                        # 2:4
+            neigh_rad[..., None],                             # 4
+            neigh_static[..., None].astype(jnp.float32),      # 5
         ], axis=-1)
         sub = jnp.take_along_axis(pack, ti[..., None], axis=1)  # [N,K,6]
 

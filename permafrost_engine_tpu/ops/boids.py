@@ -91,6 +91,77 @@ def cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos, neigh_flock):
     return truncate(force, MAX_FORCE) * COHESION_FORCE
 
 
+def flock_cohesion_centroids(pos, flock, mask, *, cells_r, cells_c,
+                             cell_size, max_flocks, box: int = 7):
+    """Per-entity same-flock centroid via per-(flock, cell) sums + a
+    separable (box x box)-cell box filter — cohesion WITHOUT the per-entity
+    neighbour window.
+
+    Cohesion is a pure average over flockmates in range, so it factorizes:
+    scatter-add (pos, 1) into a [max_flocks, cells] grid keyed by
+    (flock, spatial cell), box-sum over the cell dims (two 1-D
+    reduce_windows), then each entity row-gathers ONE summed row and
+    subtracts itself. Versus the windowed form this (a) removes the
+    [N, W2*cap, ·] wide gather cohesion forced the 5x5 window to carry
+    (the other boids forces need only 3x3 — their cutoffs are <=10u),
+    (b) lifts the bucket-cap truncation (every flockmate counts, not just
+    the 16 indexed per cell), and (c) with box=7 reaches 48-64u — nearly
+    the reference's 50u COHESION_RADIUS disc (movement.c:418-437) where
+    the 5x5 window capped it at ~32u.
+
+    Accumulation is FIXED-POINT INTEGER (1/4096-unit resolution, each
+    coordinate split into two 11-bit limbs so i32 never overflows at
+    16k+ entities): integer adds are exact and order-independent, so the
+    result is bit-identical under ANY SPMD partitioning of the entity
+    axis — an f32 scatter-add re-associates across shards and broke the
+    sharded-tick == replicated-tick contract (tests/test_parallel.py).
+    The <=1.2e-4 u quantization is orders below the crowd forces.
+
+    Returns (centroid f32[N,2] — the entity's own position where it has
+    no flockmates in range, cnt f32[N])."""
+    num_cells = cells_r * cells_c
+    c = jnp.clip((pos[:, 0] / cell_size).astype(jnp.int32), 0, cells_c - 1)
+    r = jnp.clip((pos[:, 1] / cell_size).astype(jnp.int32), 0, cells_r - 1)
+    ok = mask & (flock >= 0)
+    f = jnp.clip(flock, 0, max_flocks - 1)
+    cell = r * cells_c + c
+    idx = jnp.where(ok, f * num_cells + cell, max_flocks * num_cells)
+    # fixed-point split: item = round(pos * 4096) in [0, 2^22); limbs
+    # q = item >> 11 (<= 2^11), rem = item & 2047 — each limb's sum over
+    # 2^14 entities stays <= 2^25, comfortably inside i32
+    item = jnp.clip(jnp.round(pos * 4096.0), 0, 2.0 ** 22 - 1
+                    ).astype(jnp.int32)                     # [N, 2]
+    q, rem = item >> 11, item & 2047
+    one = jnp.ones((pos.shape[0], 1), jnp.int32)
+    vals = jnp.where(ok[:, None],
+                     jnp.concatenate([q, rem, one], axis=1),
+                     0)                                      # [N, 5] i32
+    sums = jnp.zeros((max_flocks * num_cells + 1, 5), jnp.int32)
+    sums = sums.at[idx].add(vals, mode="drop")[:-1]
+    g = sums.reshape(max_flocks, cells_r, cells_c, 5)
+    g = jax.lax.reduce_window(
+        g, 0, jax.lax.add, (1, box, 1, 1), (1, 1, 1, 1), "SAME")
+    g = jax.lax.reduce_window(
+        g, 0, jax.lax.add, (1, 1, box, 1), (1, 1, 1, 1), "SAME")
+    flat = g.reshape(max_flocks * num_cells, 5)
+    row = flat[jnp.where(ok, f * num_cells + cell, 0)]      # [N, 5] row gather
+    pos_sum = (row[:, 0:2].astype(jnp.float32) * 2048.0
+               + row[:, 2:4].astype(jnp.float32)) / 4096.0
+    cnt = jnp.where(ok, (row[:, 4] - 1).astype(jnp.float32), 0.0)
+    own = item.astype(jnp.float32) / 4096.0                 # self, quantized
+    sum_excl = pos_sum - own
+    centroid = jnp.where((cnt > 0.5)[:, None],
+                         sum_excl / jnp.maximum(cnt, 1.0)[:, None], pos)
+    return centroid, cnt
+
+
+def cohesion_force_from_centroid(pos, centroid, cnt):
+    """Cohesion steering from precomputed flock centroids
+    (`flock_cohesion_centroids`): same force law as `cohesion_force`."""
+    force = jnp.where((cnt > 0.5)[:, None], centroid - pos, 0.0)
+    return truncate(force, MAX_FORCE) * COHESION_FORCE
+
+
 def alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos, neigh_vel,
                     neigh_flock, pos):
     """Match average velocity of same-flock neighbours within radius."""
@@ -157,6 +228,8 @@ def preferred_velocity(
     has_cell: jax.Array | None = None,        # bool[N]
     flock_formation: jax.Array | None = None,  # i32[max_flocks] FormationType
     max_flocks: int = 0,
+    coh_centroid: jax.Array | None = None,  # f32[N,2] flock_cohesion_centroids
+    coh_cnt: jax.Array | None = None,        # f32[N]
 ) -> jax.Array:
     """Combined steering -> preferred velocity for the ClearPath solve.
 
@@ -178,7 +251,11 @@ def preferred_velocity(
         flow_follow_force(flow_dir, vel, max_speed_tick),
     )
     sep = separation_force(pos, neigh_idx, neigh_valid, neigh_pos)
-    coh = cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos, neigh_flock)
+    if coh_centroid is not None and coh_cnt is not None:
+        coh = cohesion_force_from_centroid(pos, coh_centroid, coh_cnt)
+    else:
+        coh = cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos,
+                             neigh_flock)
     ali = alignment_force(vel, flock, neigh_idx, neigh_valid, neigh_pos,
                           neigh_vel, neigh_flock, pos)
 

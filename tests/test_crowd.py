@@ -127,33 +127,62 @@ def test_clearpath_static_obstacle_detour():
     assert np.linalg.norm(pos[0] - dest) < 3.0, f"never arrived: {pos[0]}"
 
 
-def test_cohesion_window_truncation_quantified():
-    """Quantifies the documented divergence (core/config.py COHESION_RADIUS
-    note): flockmates beyond the ~32u knn window are invisible to cohesion
-    even though the reference constant is 50 (movement.c:418-437; its GPU
-    path truncates the same way). Inside the window, cohesion pulls."""
+def test_cohesion_reach_quantified():
+    """Quantifies cohesion's effective reach (core/config.py
+    COHESION_RADIUS note): the cell-sum path (`flock_cohesion_centroids`,
+    a 7x7-cell box around the entity's cell) reaches 48-64u — bracketing
+    the reference's 50u disc (movement.c:418-437), where the old 5x5
+    neighbour window capped it at ~32u. The box is rectangular in CELL
+    space: a mate at 45u is always visible, one at 70u never is."""
     import jax.numpy as jnp
 
-    from permafrost_engine_tpu.ops.boids import cohesion_force
+    from permafrost_engine_tpu.ops.boids import flock_cohesion_centroids
 
-    def coh_at(dist):
-        pos = jnp.asarray([[0.0, 0.0]])
-        flock = jnp.asarray([0])
-        # one neighbour at `dist`, same flock
-        neigh_idx = jnp.asarray([[1]])
-        neigh_valid = jnp.asarray([[True]])
-        neigh_pos = jnp.asarray([[[dist, 0.0]]])
-        neigh_flock = jnp.asarray([[0]])
-        f = cohesion_force(pos, flock, neigh_idx, neigh_valid, neigh_pos,
-                           neigh_flock)
-        return float(f[0, 0])
+    def cnt_at(dist):
+        pos = jnp.asarray([[8.0, 8.0], [8.0 + dist, 8.0]], jnp.float32)
+        cen, cnt = flock_cohesion_centroids(
+            pos, jnp.asarray([0, 0], jnp.int32), jnp.ones(2, bool),
+            cells_r=16, cells_c=16, cell_size=16.0, max_flocks=4)
+        return float(cnt[0])
 
-    # within the grid window cohesion pulls toward the mate
-    assert coh_at(25.0) > 0.01
-    # the kernel itself honours the reference constant out to 50...
-    assert coh_at(45.0) > 0.01
-    # ...the truncation comes from the 5x5-cell window: window_candidates
-    # can't return neighbours beyond ~2.5 cells (40u) in the worst case
+    assert cnt_at(25.0) == 1.0
+    assert cnt_at(45.0) == 1.0   # the reference-50 regime now pulls
+    assert cnt_at(70.0) == 0.0   # beyond the 7x7 box: invisible
+    # guaranteed minimum reach: 3 whole cells
     from permafrost_engine_tpu.core.config import SPATIAL_CELL_SIZE
-    max_window_reach = 2.5 * SPATIAL_CELL_SIZE
-    assert max_window_reach == 40.0
+    assert 3 * SPATIAL_CELL_SIZE == 48.0
+
+
+def test_flock_cohesion_centroids_matches_oracle():
+    """flock_cohesion_centroids (per-(flock,cell) sums + 7x7 box filter)
+    must equal the brute-force definition: the mean position of same-flock
+    mates whose spatial CELL lies within +-3 cells, excluding self."""
+    import jax.numpy as jnp
+
+    from permafrost_engine_tpu.ops.boids import flock_cohesion_centroids
+
+    rng = np.random.default_rng(3)
+    n, cells, size = 96, 16, 16.0
+    pos = rng.random((n, 2)).astype(np.float32) * (cells * size)
+    flock = rng.integers(-1, 4, n).astype(np.int32)
+    mask = rng.random(n) < 0.85
+
+    cen, cnt = flock_cohesion_centroids(
+        jnp.asarray(pos), jnp.asarray(flock), jnp.asarray(mask),
+        cells_r=cells, cells_c=cells, cell_size=size, max_flocks=8)
+    cen, cnt = np.asarray(cen), np.asarray(cnt)
+
+    cell_c = (pos[:, 0] // size).astype(int)
+    cell_r = (pos[:, 1] // size).astype(int)
+    for i in range(n):
+        if not mask[i] or flock[i] < 0:
+            assert cnt[i] == 0
+            continue
+        mates = [j for j in range(n)
+                 if j != i and mask[j] and flock[j] == flock[i]
+                 and abs(cell_r[j] - cell_r[i]) <= 3
+                 and abs(cell_c[j] - cell_c[i]) <= 3]
+        assert cnt[i] == len(mates)
+        if mates:
+            np.testing.assert_allclose(
+                cen[i], pos[mates].mean(axis=0), rtol=1e-4, atol=1e-3)
