@@ -123,6 +123,11 @@ class EventBus:
         # (ref: the reference's script tracing settings, py_script.c)
         self.trace_pred: Callable[[], bool] | None = None
         self.trace_log: deque = deque(maxlen=256)
+        # trace_pred is settings lookups behind try/except — too slow to
+        # re-evaluate per dispatch on the hot path. It is sampled ONCE per
+        # queue drain (i.e. per frame) into trace_enabled; immediate
+        # notifies between drains see at most one frame of staleness.
+        self.trace_enabled: bool = False
 
     # -- registration -----------------------------------------------------------
 
@@ -170,16 +175,22 @@ class EventBus:
         reference's snapshot of the queue head)."""
         queue, self._queue = self._queue, []
         self._queued_this_frame.clear()
+        self.refresh_trace()
         n = 0
         for uid, event, arg in queue:
             n += self._dispatch(uid, event, arg, simstate)
         return n
 
+    def refresh_trace(self) -> None:
+        """Re-sample trace_pred into the per-frame trace_enabled cache."""
+        self.trace_enabled = (self.trace_pred is not None
+                              and self.trace_pred())
+
     def _dispatch(self, uid: int, event: int, arg: Any,
                   simstate: SimState) -> int:
         bit = 1 << int(simstate)
         n = 0
-        trace = self.trace_pred is not None and self.trace_pred()
+        trace = self.trace_enabled
         for handler, mask in list(self._handlers.get((uid, event), [])):
             if mask & bit:
                 if trace:

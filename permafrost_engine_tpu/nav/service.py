@@ -84,7 +84,9 @@ def _batched_seek_fields(pos, alive, hp, faction, diplomacy, cost_base,
     cost = cost_base[lays]                                      # [K, H, W]
     integ = ff.integrate(cost, seeds, max_iters=4 * max(h, w))
     dirs = ff.flow_dirs(integ, cost)
-    gf = global_flow.at[slots].set(dirs)
+    # padded specs carry slot == num_global_slots (out of range): dropped,
+    # matching the flow/LOS install convention — no live slot is rewritten
+    gf = global_flow.at[slots].set(dirs, mode="drop")
     n_fl = global_slot.shape[0]
     gs = global_slot.at[jnp.where(fids >= 0, fids, n_fl)].set(
         slots, mode="drop")
@@ -1285,9 +1287,9 @@ class NavService:
         flow quantization and slab write into one jitted call (the
         reference rebuilds each faction's enemy-seek field in its own
         fiber, field.c:1209-1678 — fibers compose here as a batch axis).
-        Spec count pads to the next power of two (repeating the last
-        spec — duplicate slab writes of identical fields are idempotent)
-        so compile shapes stay bucketed."""
+        Spec count pads to the next power of two with a SENTINEL spec
+        (fid=-1, slot=num_global_slots) whose writes are dropped, so
+        compile shapes stay bucketed without rewriting any live slot."""
         if not specs:
             return state
         if self.sharded_integrate is not None:
@@ -1296,8 +1298,10 @@ class NavService:
                 state = self.build_enemy_seek_field(state, f, lay, slot,
                                                     flock_id=fid)
             return state
+        n_global = state.fields.global_flow.shape[0]
+        sentinel = (0, 0, n_global, None)     # slot out of range -> dropped
         for s0, cnt, padn in batch_buckets(len(specs), SEEK_BATCH_CAP):
-            padded = specs[s0:s0 + cnt] + [specs[s0 + cnt - 1]] * (padn - cnt)
+            padded = specs[s0:s0 + cnt] + [sentinel] * (padn - cnt)
             facs = jnp.asarray([s[0] for s in padded], jnp.int32)
             lays = jnp.asarray([s[1] for s in padded], jnp.int32)
             slots = jnp.asarray([s[2] for s in padded], jnp.int32)

@@ -109,13 +109,20 @@ def flock_cohesion_centroids(pos, flock, mask, *, cells_r, cells_c,
     the reference's 50u COHESION_RADIUS disc (movement.c:418-437) where
     the 5x5 window capped it at ~32u.
 
-    Accumulation is FIXED-POINT INTEGER (1/4096-unit resolution, each
-    coordinate split into two 11-bit limbs so i32 never overflows at
-    16k+ entities): integer adds are exact and order-independent, so the
-    result is bit-identical under ANY SPMD partitioning of the entity
-    axis — an f32 scatter-add re-associates across shards and broke the
-    sharded-tick == replicated-tick contract (tests/test_parallel.py).
-    The <=1.2e-4 u quantization is orders below the crowd forces.
+    Accumulation is FIXED-POINT INTEGER (each coordinate split into two
+    11-bit limbs so i32 never overflows at 16k+ entities): integer adds
+    are exact and order-independent, so the result is bit-identical
+    under ANY SPMD partitioning of the entity axis — an f32 scatter-add
+    re-associates across shards and broke the sharded-tick ==
+    replicated-tick contract (tests/test_parallel.py).
+
+    The fixed-point scale is derived from the WORLD EXTENT
+    (cells * cell_size): positions must fit the 22-bit item budget, so
+    the resolution is 2^(22 - ceil(log2(extent))) per unit — 1/4096 u at
+    the default 1024u world, 1/1024 u at a 4096u world. Either way the
+    quantization is orders below the crowd forces. (A fixed 4096 scale
+    silently clamped coordinates past 1024u and dragged large-map flock
+    centroids toward the 1024u boundary.)
 
     Returns (centroid f32[N,2] — the entity's own position where it has
     no flockmates in range, cnt f32[N])."""
@@ -126,10 +133,18 @@ def flock_cohesion_centroids(pos, flock, mask, *, cells_r, cells_c,
     f = jnp.clip(flock, 0, max_flocks - 1)
     cell = r * cells_c + c
     idx = jnp.where(ok, f * num_cells + cell, max_flocks * num_cells)
-    # fixed-point split: item = round(pos * 4096) in [0, 2^22); limbs
+    # fixed-point split: item = round(pos * scale) in [0, 2^22); limbs
     # q = item >> 11 (<= 2^11), rem = item & 2047 — each limb's sum over
-    # 2^14 entities stays <= 2^25, comfortably inside i32
-    item = jnp.clip(jnp.round(pos * 4096.0), 0, 2.0 ** 22 - 1
+    # 2^14 entities stays <= 2^25, comfortably inside i32.  scale is the
+    # largest power of two keeping the whole world inside the 22-bit
+    # budget (cells_r/cells_c/cell_size are static, so this is traced
+    # out as a constant).
+    extent = float(max(cells_r, cells_c)) * float(cell_size)
+    scale_bits = 12
+    while scale_bits > 0 and extent * (1 << scale_bits) > 2.0 ** 22 - 1:
+        scale_bits -= 1
+    scale = float(1 << scale_bits)
+    item = jnp.clip(jnp.round(pos * scale), 0, 2.0 ** 22 - 1
                     ).astype(jnp.int32)                     # [N, 2]
     q, rem = item >> 11, item & 2047
     one = jnp.ones((pos.shape[0], 1), jnp.int32)
@@ -146,9 +161,9 @@ def flock_cohesion_centroids(pos, flock, mask, *, cells_r, cells_c,
     flat = g.reshape(max_flocks * num_cells, 5)
     row = flat[jnp.where(ok, f * num_cells + cell, 0)]      # [N, 5] row gather
     pos_sum = (row[:, 0:2].astype(jnp.float32) * 2048.0
-               + row[:, 2:4].astype(jnp.float32)) / 4096.0
+               + row[:, 2:4].astype(jnp.float32)) / scale
     cnt = jnp.where(ok, (row[:, 4] - 1).astype(jnp.float32), 0.0)
-    own = item.astype(jnp.float32) / 4096.0                 # self, quantized
+    own = item.astype(jnp.float32) / scale                  # self, quantized
     sum_excl = pos_sum - own
     centroid = jnp.where((cnt > 0.5)[:, None],
                          sum_excl / jnp.maximum(cnt, 1.0)[:, None], pos)

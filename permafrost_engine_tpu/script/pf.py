@@ -1302,7 +1302,12 @@ def settings_get(name: str):
 
 
 def settings_set(name: str, value) -> None:
-    _eng().settings.set(name, value)
+    eng = _eng()
+    eng.settings.set(name, value)
+    if name in ("pf.debug.trace_python", "pf.debug.log_python"):
+        # the bus caches the trace flag per frame (events.py:_dispatch);
+        # re-sample immediately so toggles take effect mid-frame too
+        eng.bus.refresh_trace()
 
 
 def settings_create(name: str, value) -> None:

@@ -186,3 +186,27 @@ def test_flock_cohesion_centroids_matches_oracle():
         if mates:
             np.testing.assert_allclose(
                 cen[i], pos[mates].mean(axis=0), rtol=1e-4, atol=1e-3)
+
+
+def test_flock_cohesion_large_map_no_clamp():
+    """Regression: on worlds larger than 1024u the fixed-point centroid
+    accumulator must NOT clamp coordinates to 1024u (a fixed 1/4096
+    scale used to, dragging large-map flock centroids toward the 1024u
+    boundary). A 4096u world (16x16 chunks, like
+    tests/test_portal_update.py) with flockmates near (1500,1500) must
+    read each other's true positions."""
+    import jax.numpy as jnp
+
+    from permafrost_engine_tpu.ops.boids import flock_cohesion_centroids
+
+    pos = np.asarray([[1510.0, 1500.0], [1500.0, 1500.0], [1505.0, 1490.0]],
+                     np.float32)
+    cen, cnt = flock_cohesion_centroids(
+        jnp.asarray(pos), jnp.zeros(3, jnp.int32), jnp.ones(3, bool),
+        cells_r=256, cells_c=256, cell_size=16.0, max_flocks=4)
+    cen, cnt = np.asarray(cen), np.asarray(cnt)
+    assert (cnt == 2.0).all()
+    for i in range(3):
+        mates = [j for j in range(3) if j != i]
+        np.testing.assert_allclose(cen[i], pos[mates].mean(axis=0),
+                                   rtol=0, atol=2e-3)
