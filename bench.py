@@ -1,9 +1,24 @@
 """North-star benchmark: sim frames/sec at a 10k-unit battle.
 
-Scenario (BASELINE config #5 scale): two 5000-unit armies at war on a
-4x4-chunk map, ordered into each other — movement (flow fields + boids +
-ClearPath), combat, projectiles (20% ranged), and fog-of-war all active at
-reference cadences (move 20 Hz, combat 10 Hz, projectiles 30 Hz).
+Scenario (the FULL BASELINE config #5: scripts/test_stress.py:46-50 scaled
+per the BASELINE.md ladder): two 5000-unit COMBINED-ARMS armies at war on
+the 4x4-chunk obstacle map —
+
+  * ground corps (melee + archers + 3x3-footprint siege) ordered via
+    move_in_formation(RANK): Hungarian-style cell assignment, per-layer
+    subformation blocks, cell-seeded arrival fields;
+  * navies (water nav domain) fighting down the river's mid reach;
+  * air squadrons (air domain) overflying walls/river/plateau —
+    together the {ground, water, air} x footprint nav-layer stack is hot
+    for real, not just materialised;
+  * SKINNED entities: cfg.skin_joints=32 — the tick rebuilds the full
+    [N, 32, 4, 4] pose-palette array (ops/skin.py) every frame at 60 Hz
+    inside the measured loop, the anim-texture workload of 10k skinned
+    models (ref: src/anim/anim_texture.c:93-145);
+
+with movement (flow fields + boids + ClearPath), combat, projectiles and
+fog-of-war all active at reference cadences (move 20 Hz, combat 10 Hz,
+projectiles 30 Hz).
 
 The battle is measured in THREE phases, each the median of three 120-frame
 windows (median, not best: the TPU sits behind a shared relay with run-to-
@@ -36,10 +51,16 @@ from permafrost_engine_tpu.core.config import DiplomacyState, EngineConfig
 from permafrost_engine_tpu.game.engine import Engine
 
 
-def build_battle(n_per_side: int = 5000, terrain: bool = False) -> Engine:
+def build_battle(n_per_side: int = 5000, terrain: bool = False,
+                 full: bool = False) -> Engine:
+    """`full=False`: the r1-r4 comparable battle (two plain armies, ground
+    only, no skinning). `full=True`: the complete BASELINE config #5
+    workload — RANK formations, navies on the river, air squadrons, siege
+    footprints, and 32-joint device skinning at 60 Hz."""
     # capacity sized to the workload: 10k fighters + projectile headroom
     # (the arena is dense; dead padding costs real VPU work)
-    cfg = EngineConfig(max_ents=2 * n_per_side + 256)
+    cfg = EngineConfig(max_ents=2 * n_per_side + 256,
+                       skin_joints=32 if full else 0)
     eng = Engine(cfg)
     if terrain:
         # 4x4-chunk battle map: choke walls, a river with bridges, a cliff
@@ -60,24 +81,85 @@ def build_battle(n_per_side: int = 5000, terrain: bool = False) -> Engine:
 
     rng = np.random.default_rng(0)
 
-    def army(x0: float) -> np.ndarray:
-        # block formation: 25 files deep (x), n/25 ranks tall (z), 4u spacing
-        files = 25
-        fx = (np.arange(n_per_side) % files) * 4.0
-        fz = (np.arange(n_per_side) // files) * 3.0
-        x = x0 + fx + (rng.random(n_per_side) - 0.5)
-        z = 212.0 + fz + (rng.random(n_per_side) - 0.5)
+    def block(x0: float, z0: float, n: int, files: int,
+              dx: float = 4.0, dz: float = 3.0) -> np.ndarray:
+        fx = (np.arange(n) % files) * dx
+        fz = (np.arange(n) // files) * dz
+        x = x0 + fx + (rng.random(n) - 0.5)
+        z = z0 + fz + (rng.random(n) - 0.5)
         return np.stack([x, z], 1).astype(np.float32)
 
-    ranged = (rng.random(n_per_side) < 0.2)
-    a = eng.spawn_batch(army(200.0), faction=0, max_speed=20.0,
-                        is_ranged=ranged, attack_range=np.where(ranged, 40.0, 5.0),
-                        vision_range=80.0, hp=200.0)
-    b = eng.spawn_batch(army(820.0), faction=1, max_speed=20.0,
-                        is_ranged=ranged, attack_range=np.where(ranged, 40.0, 5.0),
-                        vision_range=80.0, hp=200.0)
-    eng.move(a, (820.0, 512.0))
-    eng.move(b, (200.0, 512.0))
+    if not full:
+        ranged = (rng.random(n_per_side) < 0.2)
+        a = eng.spawn_batch(block(200.0, 212.0, n_per_side, 25), faction=0,
+                            max_speed=20.0, is_ranged=ranged,
+                            attack_range=np.where(ranged, 40.0, 5.0),
+                            vision_range=80.0, hp=200.0)
+        b = eng.spawn_batch(block(820.0, 212.0, n_per_side, 25), faction=1,
+                            max_speed=20.0, is_ranged=ranged,
+                            attack_range=np.where(ranged, 40.0, 5.0),
+                            vision_range=80.0, hp=200.0)
+        eng.move(a, (820.0, 512.0))
+        eng.move(b, (200.0, 512.0))
+        return eng
+
+    # ---- BASELINE config #5 composition (per side, n=5000) ------------------
+    # ground corps 4360 (melee 3200 + archers 1000 + siege 160 at radius
+    # 2.5 -> the 3x3-footprint nav layer), navy 384 (water domain, fights
+    # down the river's mid reach between the bridges), air squadron 256.
+    from permafrost_engine_tpu.core.config import NavDomain
+    from permafrost_engine_tpu.game.formation import FormationType
+
+    n_melee = int(n_per_side * 0.64)
+    n_arch = int(n_per_side * 0.20)
+    n_siege = int(n_per_side * 0.032)
+    n_navy = int(n_per_side * 0.0768)
+    n_air = n_per_side - n_melee - n_arch - n_siege - n_navy
+
+    def spawn_side(f: int, x_inf: float, x_siege: float, x_air: float,
+                   navy_z0: float) -> dict:
+        mirror = f == 1
+        inf = eng.spawn_batch(
+            block(x_inf, 212.0, n_melee + n_arch, 25), faction=f,
+            max_speed=20.0,
+            is_ranged=np.arange(n_melee + n_arch) >= n_melee,
+            attack_range=np.where(np.arange(n_melee + n_arch) >= n_melee,
+                                  40.0, 5.0),
+            vision_range=80.0, hp=200.0)
+        siege = eng.spawn_batch(
+            block(x_siege, 380.0, n_siege, 8, dx=7.0, dz=7.0), faction=f,
+            radius=2.5, max_speed=10.0, is_ranged=True, attack_range=50.0,
+            base_dmg=30.0, vision_range=90.0, hp=400.0)
+        # navy holds the river's mid reach (world x 452-484 between the
+        # bridges at z 288-384 and 640-736): 8 files of 4u-spaced hulls
+        navy = eng.spawn_batch(
+            block(452.0, navy_z0, n_navy, 8), faction=f,
+            domain=NavDomain.WATER, radius=1.5, max_speed=24.0,
+            is_ranged=True, attack_range=45.0, base_dmg=15.0,
+            vision_range=90.0, hp=300.0)
+        air = eng.spawn_batch(
+            block(x_air, 420.0, n_air, 16), faction=f,
+            domain=NavDomain.AIR, radius=1.2, max_speed=32.0,
+            is_ranged=True, attack_range=30.0, vision_range=100.0,
+            hp=150.0)
+        return {"inf": inf, "siege": siege, "navy": navy, "air": air,
+                "mirror": mirror}
+
+    a = spawn_side(0, x_inf=200.0, x_siege=160.0, x_air=120.0, navy_z0=400.0)
+    b = spawn_side(1, x_inf=820.0, x_siege=930.0, x_air=880.0, navy_z0=560.0)
+
+    # the ground corps march in RANK formation (per-layer subformation
+    # blocks + device cell assignment, ref: formation.c:354,450-980);
+    # navies cross each other inside the mid reach; air squadrons overfly
+    # the map diagonally (the air layer has no obstacles to navigate)
+    eng.move_in_formation(a["inf"] + a["siege"], (820.0, 512.0),
+                          FormationType.RANK)
+    eng.move_in_formation(b["inf"] + b["siege"], (200.0, 512.0),
+                          FormationType.RANK)
+    eng.move(a["navy"], (468.0, 620.0))
+    eng.move(b["navy"], (468.0, 404.0))
+    eng.move(a["air"], (900.0, 512.0))
+    eng.move(b["air"], (140.0, 512.0))
     return eng
 
 
@@ -246,9 +328,9 @@ def fast_forward_until(eng: Engine, pred, chunk: int = 300,
     return total
 
 
-def run_battle(terrain: bool) -> dict:
+def run_battle(terrain: bool, full: bool = False) -> dict:
     """Drive one full battle (flat or obstacle map); returns phase stats."""
-    eng = build_battle(terrain=terrain)
+    eng = build_battle(terrain=terrain, full=full)
     n0 = alive_count(eng)
     # warmup: compile + first second
     eng.step(60)
@@ -305,19 +387,21 @@ def main():
     rtt_start = measure_rtt_floor()
     rebuild_p50, rebuild_batched = measure_rebuild()
 
-    # headline: the battle on the OBSTACLE map (walls/river/cliffs/chokes
-    # + mid-fight structure churn) — the reference's defining workload.
-    # The flat-map battle is reported alongside for round-over-round
-    # comparability.
-    obstacle = run_battle(terrain=True)
+    # headline: the FULL BASELINE config #5 battle on the OBSTACLE map —
+    # RANK formations + water/air domains + 32-joint skinning at 60 Hz on
+    # top of the walls/river/cliffs/chokes + mid-fight structure churn.
+    # The flat-map plain battle is reported alongside for round-over-round
+    # comparability (r1-r4 measured that shape).
+    obstacle = run_battle(terrain=True, full=True)
     flat = run_battle(terrain=False)
     rtt_end = measure_rtt_floor()
 
     fps_min = obstacle["fps_min"]
     out = {
-        "metric": "sim_fps_10k_battle_obstacle_map_worst_phase",
+        "metric": "sim_fps_10k_skinned_formation_battle_worst_phase",
         "value": round(fps_min, 2),
-        "unit": "frames/s (60Hz frames, 10k units, worst phase, "
+        "unit": "frames/s (60Hz frames, 10k skinned units, RANK "
+                "formations, ground+water+air layers, worst phase, "
                 "obstacle map)",
         "vs_baseline": round(fps_min / 60.0, 3),
         "flat_map_worst_phase_fps": round(flat["fps_min"], 2),

@@ -276,6 +276,14 @@ class EngineConfig:
     fog_hz: int = 6                  # vision/fog flush rate (the reference
                                      # flushes lazily/batched per update)
     vision_radius_buckets: int = 4   # distinct vision radii for fog stamps
+    skin_joints: int = 0             # joints per rig for the device skinning
+                                     # stage (ops/skin.py); 0 disables it and
+                                     # the state carries no AnimArena. The
+                                     # reference caps rigs at 96 joints
+                                     # (src/entity.h:50).
+    skin_hz: int = FRAME_HZ          # palette rebuild cadence (the reference
+                                     # re-bakes the anim texture per rendered
+                                     # frame, anim_texture.c:93-145)
 
     # ---- derived geometry -------------------------------------------------
 

@@ -199,7 +199,16 @@ class Engine:
                 (self.cfg.num_layers, self.cfg.field_h, self.cfg.field_w),
                 np.uint8)
         self.nav = NavService(self.cfg, cost_base)
-        self._tick_fn = make_tick(self.cfg)
+        # device skinning (cfg.skin_joints > 0): the tick rebuilds the
+        # full [N, J, 4, 4] palette array at render cadence (ops/skin.py).
+        # Starts on the procedural rig; set_skin_bank() swaps in a real
+        # model's clips (ops/skin.bank_from_pfobj).
+        if self.cfg.skin_joints > 0:
+            from permafrost_engine_tpu.ops.skin import make_procedural_bank
+            self._skin_bank = make_procedural_bank(self.cfg.skin_joints)
+        else:
+            self._skin_bank = None
+        self._tick_fn = make_tick(self.cfg, skin_bank=self._skin_bank)
         self._scan_fn = None
         # micro-batched interactive stepping: step() fuses the frames up to
         # the next host-cadence boundary into ONE device dispatch (k -> fn)
@@ -473,7 +482,24 @@ class Engine:
         else:
             th = None
         self._tile_height = th
-        self._tick_fn = make_tick(self.cfg, th)
+        self._tick_fn = make_tick(self.cfg, th, skin_bank=self._skin_bank)
+        self._scan_fn = None
+        self._micro_fns = {}
+        self._tick_fn_nodonate = None
+
+    def set_skin_bank(self, bank) -> None:
+        """Swap the device-skinning rig (ops/skin.SkinBank built from a
+        pfobj's clips or a procedural one) and rebuild every compiled
+        stepper around it. Requires cfg.skin_joints matching the rig."""
+        if self.cfg.skin_joints <= 0:
+            raise ValueError("cfg.skin_joints is 0: device skinning is off")
+        j = bank.parents.shape[0]
+        if j != self.cfg.skin_joints:
+            raise ValueError(
+                f"bank has {j} joints; cfg.skin_joints={self.cfg.skin_joints}")
+        self._skin_bank = bank
+        self._tick_fn = make_tick(
+            self.cfg, getattr(self, "_tile_height", None), skin_bank=bank)
         self._scan_fn = None
         self._micro_fns = {}
         self._tick_fn_nodonate = None
@@ -1116,7 +1142,7 @@ class Engine:
             if self._tick_fn_nodonate is None:
                 self._tick_fn_nodonate = make_tick(
                     self.cfg, getattr(self, "_tile_height", None),
-                    donate=False)
+                    donate=False, skin_bank=self._skin_bank)
             tick = self._tick_fn_nodonate
 
             @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -1266,7 +1292,8 @@ class Engine:
         self._commit_nav()
         if self._scan_fn is None:
             self._scan_fn = make_tick_scan(
-                self.cfg, getattr(self, "_tile_height", None))
+                self.cfg, getattr(self, "_tile_height", None),
+                skin_bank=self._skin_bank)
         self.flush_deltas()   # per-frame deltas must not arrive out of order
 
         eco = self.economy

@@ -113,7 +113,9 @@ def assign_cells(units_pos: np.ndarray, cells: np.ndarray) -> np.ndarray:
     n, m = len(units_pos), len(cells)
     diff = units_pos[:, None, :] - cells[None, :, :]
     cost = (diff ** 2).sum(-1).astype(np.float32)
-    assign = np.asarray(auction_assign(
+    # np.array (copy): np.asarray of a jax array is a READ-ONLY view and
+    # the straggler fallback below writes into it
+    assign = np.array(auction_assign(
         jnp.asarray(cost),
         jnp.ones(n, bool),
         jnp.ones(m, bool),

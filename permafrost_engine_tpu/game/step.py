@@ -352,7 +352,8 @@ def fog_substep(cfg: EngineConfig, state: GameState,
     return state.replace(fog=state.fog.replace(state=new_fog))
 
 
-def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
+def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True,
+              skin_bank=None):
     """Build the jitted 60 Hz tick: (state, acc) -> (state, acc').
 
     `acc` is the running TickDeltas accumulator: the tick folds this
@@ -363,6 +364,11 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
     boundary.
 
     `tile_height` (f32[tiles_h, tiles_w] or None) enables height-aware fog.
+    `skin_bank` (ops/skin.SkinBank, requires cfg.skin_joints > 0) enables
+    the render-cadence skinning stage: clip FSM clocks + the full
+    [N, J, 4, 4] palette rebuild on device each cfg.skin_hz frame (the
+    reference re-bakes its anim texture per rendered frame,
+    src/anim/anim_texture.c:93-145).
     `donate=False` for callers that re-invoke the tick on the SAME state
     object (compile checks, sharding wrappers); the engine always rebinds,
     so it donates both arguments.
@@ -417,6 +423,14 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True):
             t % fog_period == 0,
             lambda s: fog_substep(cfg, s, tile_height), lambda s: s, state)
 
+        if skin_bank is not None and cfg.skin_joints > 0:
+            from permafrost_engine_tpu.ops.skin import skin_substep
+            skin_period = max(FRAME_HZ // cfg.skin_hz, 1)
+            state = jax.lax.cond(
+                t % skin_period == 0,
+                lambda s: skin_substep(cfg, skin_bank, s), lambda s: s,
+                state)
+
         return state, merge_deltas(acc, deltas)
 
     return tick
@@ -445,13 +459,13 @@ def merge_deltas(a: TickDeltas, b: TickDeltas) -> TickDeltas:
     )
 
 
-def make_tick_scan(cfg: EngineConfig, tile_height=None):
+def make_tick_scan(cfg: EngineConfig, tile_height=None, skin_bank=None):
     """Batched frame stepper: run `n` 60 Hz frames in ONE device dispatch
     via lax.scan, returning the final state and deltas merged across the
     window. This is the production driving mode — the host only syncs with
     the device once per window, the TPU analogue of the reference's
     sim/render pipeline overlap (ref: src/main.c:816-889)."""
-    tick = make_tick(cfg, tile_height)
+    tick = make_tick(cfg, tile_height, skin_bank=skin_bank)
 
     cfg_ref = cfg
 

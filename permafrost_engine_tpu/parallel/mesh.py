@@ -47,6 +47,11 @@ def state_shardings(cfg: EngineConfig, mesh: Mesh, state: GameState,
     ents_sh = jax.tree_util.tree_map(leaf_sharding, state.ents)
     rest = jax.tree_util.tree_map(lambda x: repl, state)
     rest = rest.replace(ents=ents_sh)
+    if state.anim is not None:
+        # anim leaves (clip/start [N], palettes [N, J, 4, 4]) are
+        # entity-axis data like the arena
+        rest = rest.replace(
+            anim=jax.tree_util.tree_map(leaf_sharding, state.anim))
     if map_sharded:
         n_dev = mesh.devices.size
         rows_ok = cfg.field_h % n_dev == 0 and cfg.tiles_h % n_dev == 0

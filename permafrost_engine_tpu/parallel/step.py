@@ -45,7 +45,7 @@ def deltas_shardings(cfg: EngineConfig, mesh):
 
 
 def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None,
-                      map_sharded: bool = False):
+                      map_sharded: bool = False, skin_bank=None):
     """Jit the tick with explicit input shardings over `mesh`. With
     `map_sharded`, nav/fog/global-field grids shard their rows too
     (SURVEY §2.9 chunk sharding for map-heavy configs)."""
@@ -56,7 +56,8 @@ def make_sharded_tick(cfg: EngineConfig, mesh, tile_height=None,
     deltas_sh = deltas_shardings(cfg, mesh)
     # out_shardings pinned so grids STAY row-sharded across ticks (XLA
     # would otherwise replicate rebuilt outputs like the blocker restamp)
-    return jax.jit(make_tick(cfg, tile_height, donate=False),
+    return jax.jit(make_tick(cfg, tile_height, donate=False,
+                             skin_bank=skin_bank),
                    in_shardings=(sh, deltas_sh),
                    out_shardings=(sh, deltas_sh))
 
@@ -67,7 +68,8 @@ def sharded_engine(engine, mesh, map_sharded: bool = False):
 
     engine.state = shard_state(engine.cfg, mesh, engine.state, map_sharded)
     engine._tick_fn = make_sharded_tick(
-        engine.cfg, mesh, getattr(engine, "_tile_height", None), map_sharded)
+        engine.cfg, mesh, getattr(engine, "_tile_height", None), map_sharded,
+        skin_bank=getattr(engine, "_skin_bank", None))
     # the accumulator swapped in at drain boundaries must come out sharded
     # the same way the tick expects it
     engine._make_empty = jax.jit(

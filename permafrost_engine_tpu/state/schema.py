@@ -163,6 +163,22 @@ class ProjectileArena:
 
 
 @flax.struct.dataclass
+class AnimArena:
+    """Device-side skeletal animation state (cfg.skin_joints > 0).
+
+    The reference keeps per-entity clip clocks on the main thread and a
+    shared anim texture of joint palettes on the GPU (ref: src/anim/
+    anim.c A_Update, src/anim/anim_texture.c:93-145); here both live in
+    the state pytree and are advanced by the tick's skinning stage
+    (ops/skin.py) at render cadence."""
+
+    clip: jax.Array          # i32[N] current clip id (ops/skin.CLIP_*)
+    start: jax.Array         # i32[N] 60 Hz tick the clip started
+    palettes: jax.Array      # f32[N, J, 4, 4] skinning palettes — the
+                             # anim-texture contents, read by the renderer
+
+
+@flax.struct.dataclass
 class FactionTable:
     active: jax.Array        # bool[F]
     controllable: jax.Array  # bool[F]
@@ -188,6 +204,7 @@ class GameState:
     projectiles: ProjectileArena
     factions: FactionTable
     rng: jax.Array           # PRNG key
+    anim: AnimArena | None = None  # present iff cfg.skin_joints > 0
 
 
 @flax.struct.dataclass
@@ -320,6 +337,18 @@ def init_factions(cfg: EngineConfig) -> FactionTable:
     )
 
 
+def init_anim(cfg: EngineConfig) -> AnimArena | None:
+    if cfg.skin_joints <= 0:
+        return None
+    n, j = cfg.max_ents, cfg.skin_joints
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n, j, 4, 4))
+    return AnimArena(
+        clip=_z(n, jnp.int32),
+        start=_z(n, jnp.int32),
+        palettes=eye,
+    )
+
+
 def init_state(cfg: EngineConfig, seed: int = 0) -> GameState:
     return GameState(
         tick=jnp.array(0, jnp.int32),
@@ -331,6 +360,7 @@ def init_state(cfg: EngineConfig, seed: int = 0) -> GameState:
         projectiles=init_projectiles(cfg),
         factions=init_factions(cfg),
         rng=jax.random.PRNGKey(seed),
+        anim=init_anim(cfg),
     )
 
 
@@ -361,7 +391,7 @@ def state_mem_accounting(state: GameState) -> dict[str, int]:
     mem_accounting): one entry per top-level state component."""
     out = {}
     for name in ("ents", "flocks", "fields", "nav", "fog", "projectiles",
-                 "factions"):
+                 "factions", "anim"):
         out[name] = int(sum(
             np.prod(x.shape) * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(getattr(state, name))))
