@@ -355,6 +355,61 @@ class HarvesterEntity(MovableEntity):
     def carried(self, name: str) -> int:
         return self._hc.carried.get(name, 0)
 
+    # -- transport missions + strategies (ref: py_entity.c:776-861) --------
+
+    def transport(self, storage: "StorageSiteEntity") -> bool:
+        """Bring resources to the target storage site, using the
+        harvester's strategy and priority list (ref: py_entity.c:776)."""
+        return _ctx().engine.economy.transport_resources(
+            self.uid, storage.uid)
+
+    @property
+    def strategy(self):
+        return self._hc.strategy
+
+    @strategy.setter
+    def strategy(self, value) -> None:
+        from permafrost_engine_tpu.game.economy import GatherStrategy
+        self._hc.strategy = GatherStrategy(value)
+
+    @property
+    def automatic_transport(self) -> bool:
+        return self._hc.transport_automated
+
+    @automatic_transport.setter
+    def automatic_transport(self, value: bool) -> None:
+        self._hc.transport_automated = bool(value)
+
+    @property
+    def transport_priority(self) -> list:
+        return list(self._hc.priority)
+
+    def increase_transport_priority(self, name: str) -> None:
+        p = self._hc.priority
+        if name not in p:
+            p.append(name)
+        i = p.index(name)
+        if i > 0:
+            p[i - 1], p[i] = p[i], p[i - 1]
+
+    def decrease_transport_priority(self, name: str) -> None:
+        p = self._hc.priority
+        if name not in p:
+            p.append(name)
+            return
+        i = p.index(name)
+        if i < len(p) - 1:
+            p[i + 1], p[i] = p[i], p[i + 1]
+
+    def get_do_not_transport(self, name: str) -> bool:
+        return name in self._hc.do_not_transport
+
+    def set_do_not_transport(self, name: str, flag: bool = True) -> None:
+        if flag:
+            self._hc.do_not_transport.add(name)
+        else:
+            self._hc.do_not_transport.discard(name)
+
 
 class StorageSiteEntity(Entity):
     _extra_flags = int(EntityFlags.STORAGE_SITE)
@@ -378,6 +433,25 @@ class StorageSiteEntity(Entity):
 
     def set_desired(self, name: str, amount: int) -> None:
         self._sc.desired[name] = amount
+
+    def get_desired(self, name: str) -> int:
+        return self._sc.desired.get(name, 0)
+
+    @property
+    def do_not_take_land(self) -> bool:
+        return self._sc.do_not_take_land
+
+    @do_not_take_land.setter
+    def do_not_take_land(self, value: bool) -> None:
+        self._sc.do_not_take_land = bool(value)
+
+    @property
+    def do_not_take_water(self) -> bool:
+        return self._sc.do_not_take_water
+
+    @do_not_take_water.setter
+    def do_not_take_water(self, value: bool) -> None:
+        self._sc.do_not_take_water = bool(value)
 
 
 class WaterEntity(MovableEntity):
