@@ -87,6 +87,7 @@ def save_session_bytes(engine, *, script_state=None, extra_tokens=None,
         "next_uid": engine._next_uid,
         "free_slots": list(engine._free_slots),
         "uid_to_slot": dict(engine.uid_to_slot),
+        "unit_type": dict(engine.unit_type),
         "slot_uid": engine._slot_uid,
         "free_flocks": list(engine._free_flocks),
         "gslot_owner": dict(engine._gslot_owner),
@@ -203,6 +204,8 @@ def load_session_bytes(data: bytes, *, extra_resolve=None,
     engine._next_uid = host["next_uid"]
     engine._free_slots = list(host["free_slots"])
     engine.uid_to_slot = dict(host["uid_to_slot"])
+    engine.unit_type = {k: tuple(v)
+                        for k, v in host.get("unit_type", {}).items()}
     engine._slot_uid = np.asarray(host["slot_uid"])
     engine._free_flocks = list(host["free_flocks"])
     engine._gslot_owner = dict(host.get("gslot_owner", {}))

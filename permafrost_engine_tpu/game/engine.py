@@ -218,6 +218,11 @@ class Engine:
         self._next_uid = 1
         self._free_slots = list(range(self.cfg.max_ents - 1, -1, -1))
         self.uid_to_slot: dict[int, int] = {}
+        # per-uid (formation_priority, type_key) for subformation grouping
+        # (ref: Entity_TypeID + S_FormationPriority, py_script.c:4746-4784;
+        # the pf entity layer registers the script class here, engine-level
+        # spawns pass unit_type= to spawn_batch)
+        self.unit_type: dict[int, tuple] = {}
         # host mirror of ents.uid: the drain path must never fetch the uid
         # array from device (each device->host sync drains the dispatch
         # pipeline through the remote transport)
@@ -531,6 +536,8 @@ class Engine:
         attack_period: int | np.ndarray = 10,
         is_ranged: bool | np.ndarray = False,
         stance: int | np.ndarray = 0,
+        unit_type: int | np.ndarray = 0,
+        formation_priority: int | np.ndarray = 0,
     ) -> list[int]:
         """Spawn M entities in one device update; returns their UIDs."""
         m = pos.shape[0]
@@ -542,6 +549,10 @@ class Engine:
         for u, s in zip(uids, slots):
             self.uid_to_slot[int(u)] = int(s)
         self._slot_uid[slots] = uids
+        types = np.broadcast_to(np.asarray(unit_type), (m,))
+        prios = np.broadcast_to(np.asarray(formation_priority), (m,))
+        for u, t, p in zip(uids, types, prios):
+            self.unit_type[int(u)] = (int(p), int(t))
 
         # batch writes pad to pow2 shapes (see _pad_slots): padding rows
         # carry the sentinel slot and are dropped by mode="drop"
@@ -581,6 +592,7 @@ class Engine:
     def despawn(self, uid: int) -> None:
         if uid in self._structures:
             self.set_structure_blocking(uid, False)
+        self.unit_type.pop(uid, None)
         slot = self.uid_to_slot.pop(uid)
         e = self.state.ents
         self.state = self.state.replace(
@@ -743,56 +755,80 @@ class Engine:
         blockers_all = np.asarray(self.state.nav.blockers)
         depth_off = 0.0
         any_cells = False
-        # subformations: smallest footprints front, larger blocks behind
+        slot_uid = {s: u for u, s in zip(uids, slots.tolist())}
+        # subformations: one block per (nav layer, unit type), stacked back
+        # from the goal — the reference chains a subformation per distinct
+        # entity type, sorted by (script formation_priority, type id), each
+        # with its own spacing from that type's radius (ref: formation.c:
+        # 1405-1565 init_subformations + sort_by_type; subformation_target_
+        # pos stacks children behind their parent's back row)
         for layer in sorted(set(int(l) for l in layers)):
-            group = slots[layers == layer]
-            gpos = all_pos[group]
-            grad = all_rad[group]
-            occupancy = blockers_all[layer].copy()
-            occupancy[own_r, own_c] = 0
-            spacing = max(float(grad.max()) * 3.0, ARRIVAL_THRESHOLD + 1.0)
-            isl_map = self.nav.islands(layer)
-            fid = int(flock_of[group[0]])
+            lgroup = slots[layers == layer]
+            fid = int(flock_of[lgroup[0]])
             eff_goal = (flock_dest[fid].astype(np.float32)
                         if fid >= 0 else goal)
+            occupancy = blockers_all[layer].copy()
+            occupancy[own_r, own_c] = 0
+            isl_map = self.nav.islands(layer)
             gr = int(np.clip(eff_goal[1] // NAV_TILE_SIZE, 0,
                              self.cfg.field_h - 1))
             gc = int(np.clip(eff_goal[0] // NAV_TILE_SIZE, 0,
                              self.cfg.field_w - 1))
             island = int(isl_map[gr, gc])
-            cells = layout_cells(
-                len(group), eff_goal - d_unit * depth_off, direction, ftype,
-                spacing=spacing,
-                cost_layer=self.nav.cost_base[layer],
-                occupancy=occupancy,
-                islands=isl_map,
-                island=island if island >= 0 else None)
-            if len(cells) == 0:
-                continue   # this block keeps its ring-slot dests
-            any_cells = True
-            assign = assign_cells(gpos, cells)
-            my_cells = cells[np.clip(assign, 0, len(cells) - 1)]
-            e = self.state.ents
-            sl = jnp.asarray(group)
-            cj = jnp.asarray(my_cells)
-            fl = self.state.flocks
-            self.state = self.state.replace(
-                ents=e.replace(
-                    dest=e.dest.at[sl].set(cj),
-                    formation_cell=e.formation_cell.at[sl].set(cj),
-                    has_formation_cell=e.has_formation_cell.at[sl].set(True),
-                ),
-                # gates the formation keep/drag forces in the tick
-                flocks=fl.replace(
-                    formation=fl.formation.at[fid].set(int(ftype))))
+
+            # split the layer block into per-type subformations
+            tkey = {int(s): self.unit_type.get(slot_uid.get(int(s)), (0, 0))
+                    for s in lgroup}
+            fid_cells: list[np.ndarray] = []
+            for tk in sorted(set(tkey.values())):
+                group = np.asarray([s for s in lgroup if tkey[int(s)] == tk],
+                                   np.int32)
+                gpos = all_pos[group]
+                grad = all_rad[group]
+                spacing = max(float(grad.max()) * 3.0,
+                              ARRIVAL_THRESHOLD + 1.0)
+                cells = layout_cells(
+                    len(group), eff_goal - d_unit * depth_off, direction,
+                    ftype, spacing=spacing,
+                    cost_layer=self.nav.cost_base[layer],
+                    occupancy=occupancy,
+                    islands=isl_map,
+                    island=island if island >= 0 else None)
+                if len(cells) == 0:
+                    continue   # this block keeps its ring-slot dests
+                any_cells = True
+                assign = assign_cells(gpos, cells)
+                my_cells = cells[np.clip(assign, 0, len(cells) - 1)]
+                e = self.state.ents
+                sl = jnp.asarray(group)
+                cj = jnp.asarray(my_cells)
+                fl = self.state.flocks
+                self.state = self.state.replace(
+                    ents=e.replace(
+                        dest=e.dest.at[sl].set(cj),
+                        formation_cell=e.formation_cell.at[sl].set(cj),
+                        has_formation_cell=e.has_formation_cell.at[sl].set(
+                            True),
+                    ),
+                    # gates the formation keep/drag forces in the tick
+                    flocks=fl.replace(
+                        formation=fl.formation.at[fid].set(int(ftype))))
+                # later blocks must not lay cells on top of this one
+                cr = np.clip((my_cells[:, 1] / NAV_TILE_SIZE).astype(int),
+                             0, self.cfg.field_h - 1)
+                cc = np.clip((my_cells[:, 0] / NAV_TILE_SIZE).astype(int),
+                             0, self.cfg.field_w - 1)
+                occupancy[cr, cc] = 1
+                fid_cells.append(my_cells)
+                depth_off += block_depth(cells, direction) + 2.0 * spacing
             # cell-seeded arrival fields: the goal-area chunks flow toward
-            # the formation FOOTPRINT, not the single goal tile, so units
-            # navigate obstacles on the final approach to their own cells
-            # (re-design of per-cell fields built in fiber tasks,
-            # ref: formation.c:354)
-            self.state = self.nav.install_formation_field(
-                self.state, fid, layer, my_cells)
-            depth_off += block_depth(cells, direction) + 2.0 * spacing
+            # the formation FOOTPRINT (all of the layer's type blocks),
+            # not the single goal tile, so units navigate obstacles on the
+            # final approach to their own cells (re-design of per-cell
+            # fields built in fiber tasks, ref: formation.c:354)
+            if fid_cells:
+                self.state = self.nav.install_formation_field(
+                    self.state, fid, layer, np.concatenate(fid_cells))
         return any_cells
 
     def _touch_gslot(self, gslot: int) -> None:

@@ -61,6 +61,15 @@ class Entity:
         self.name = name
         self.pfobj_path = pfobj_path
         self.tags: set[str] = set()
+        # subformation identity: the script class is the unit type, with
+        # an optional class-level `formation_priority` int (ref:
+        # Entity_TypeID + S_FormationPriority, py_script.c:4746-4784).
+        # The qualname hash is stable across processes (save/load).
+        import zlib
+        cls = type(self)
+        eng.unit_type[uid] = (
+            int(getattr(cls, "formation_priority", 0)),
+            zlib.crc32(cls.__qualname__.encode()))
         self._init_components()
         ctx.entities[uid] = weakref.ref(self)
 

@@ -194,3 +194,80 @@ def test_rank_column_holds_through_choke():
     # re-formed: most units on their cells, nobody far adrift
     assert float(np.median(d)) < 8.0, f"median cell error {np.median(d)}"
     assert (d < 30.0).all(), f"formation dissolved: {np.sort(d)[-5:]}"
+
+
+def test_subformation_blocks_per_unit_type():
+    """Same-layer units of different TYPES form separate blocks stacked
+    along the facing, ordered by (formation_priority, type id) and each
+    spaced by its own radius (ref: init_subformations + sort_by_type,
+    formation.c:1405-1565)."""
+    from permafrost_engine_tpu.core.config import EngineConfig
+
+    cfg = EngineConfig(max_ents=64, chunks_r=2, chunks_c=2, num_layers=1,
+                       max_flocks=8, max_projectiles=8,
+                       field_slab_slots=16, los_slab_slots=16)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(3)
+    knights = eng.spawn_batch(
+        (rng.random((6, 2)) * 30 + 60).astype(np.float32),
+        max_speed=60.0, unit_type=1, formation_priority=0)
+    mages = eng.spawn_batch(
+        (rng.random((6, 2)) * 30 + 60).astype(np.float32),
+        max_speed=60.0, unit_type=2, formation_priority=1)
+    goal = np.array([300.0, 300.0])
+    assert eng.move_in_formation(knights + mages, tuple(goal),
+                                 FormationType.RANK)
+    cells = np.asarray(eng.state.ents.formation_cell)
+    pos = np.asarray(eng.state.ents.pos)
+    d = goal - pos[[eng.uid_to_slot[u] for u in knights + mages]].mean(0)
+    d = d / np.linalg.norm(d)
+    proj_k = np.asarray([cells[eng.uid_to_slot[u]] @ d for u in knights])
+    proj_m = np.asarray([cells[eng.uid_to_slot[u]] @ d for u in mages])
+    # lower priority (knights) front block; mages strictly behind
+    assert proj_m.max() < proj_k.min(), (proj_k, proj_m)
+    # both types share ONE flock (same layer, shared fields)
+    fl = np.asarray(eng.state.ents.flock)
+    assert fl[eng.uid_to_slot[knights[0]]] == fl[eng.uid_to_slot[mages[0]]]
+
+
+def test_mixed_type_formation_holds_clusters_through_march():
+    """A Knight+Mage+Berzerker RANK formation keeps its type clusters
+    separated along the march axis after arrival (the verdict's
+    acceptance test for per-unit-type subformations)."""
+    from permafrost_engine_tpu.core.config import EngineConfig
+
+    cfg = EngineConfig(max_ents=64, chunks_r=2, chunks_c=2, num_layers=1,
+                       max_flocks=8, max_projectiles=8,
+                       field_slab_slots=16, los_slab_slots=16)
+    eng = Engine(cfg)
+    rng = np.random.default_rng(4)
+
+    def squad(t):
+        return eng.spawn_batch(
+            (rng.random((5, 2)) * 25 + 60).astype(np.float32),
+            max_speed=80.0, unit_type=t)
+
+    knights, mages, berz = squad(1), squad(2), squad(3)
+    goal = (320.0, 320.0)
+    assert eng.move_in_formation(knights + mages + berz, goal,
+                                 FormationType.RANK)
+    for _ in range(120):
+        eng.step(5)
+        ms = np.asarray(eng.state.ents.movestate)
+        if all(ms[eng.uid_to_slot[u]] == 0
+               for u in knights + mages + berz):
+            break
+    pos = np.asarray(eng.state.ents.pos)
+    d = np.asarray(goal) - pos[[eng.uid_to_slot[u]
+                                for u in knights + mages + berz]].mean(0)
+    # clusters: each type's centroid separated along the original march
+    # axis, in type order, with small within-type spread
+    axis = np.asarray([1.0, 1.0]) / np.sqrt(2)   # spawn->goal diagonal
+    cents = []
+    for grp in (knights, mages, berz):
+        p = pos[[eng.uid_to_slot[u] for u in grp]]
+        cents.append(float((p @ axis).mean()))
+        spread = float((p @ axis).std())
+        assert spread < 12.0, f"type cluster dissolved: spread {spread}"
+    assert cents[0] > cents[1] > cents[2], \
+        f"type blocks out of order along march axis: {cents}"
