@@ -284,6 +284,10 @@ class EngineConfig:
     skin_hz: int = FRAME_HZ          # palette rebuild cadence (the reference
                                      # re-bakes the anim texture per rendered
                                      # frame, anim_texture.c:93-145)
+    clearpath_exact: bool = True     # reference-exact ClearPath candidates
+                                     # (cone-edge intersections + true HRVO
+                                     # apexes, clearpath.c:176-367); False =
+                                     # the cheaper rotated-vdes fan
 
     # ---- derived geometry -------------------------------------------------
 

@@ -225,7 +225,7 @@ def movement_substep(cfg: EngineConfig, state: GameState, deltas: TickDeltas,
             ents.pos, ents.vel, ents.radius, vpref, max_speed_tick,
             ti, jnp.isfinite(neg_d2), sub[..., 5] > 0.5, moving_mask,
             neigh_pos=sub[..., 0:2], neigh_vel=sub[..., 2:4],
-            neigh_rad=sub[..., 4])
+            neigh_rad=sub[..., 4], exact=cfg.clearpath_exact)
 
     # ---- integration + FSM (ref: movement.c:2303-2421) -----------------------
     garrisoned = (ents.flags & jnp.uint32(EntityFlags.GARRISONED)) != 0

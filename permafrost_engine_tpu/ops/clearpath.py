@@ -31,7 +31,7 @@ def _unit(v):
     return v / jnp.maximum(_norm(v), _EPS)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("exact",))
 def new_velocities(
     pos: jax.Array,        # f32[N,2]
     vel: jax.Array,        # f32[N,2]
@@ -46,9 +46,17 @@ def new_velocities(
     neigh_vel: jax.Array | None = None,  # f32[N,K,2] (avoids arena gathers:
     neigh_rad: jax.Array | None = None,  # f32[N,K]   TPU element gathers run
                                          # ~1 elem/cycle)
+    exact: bool = False,   # reference-exact geometry + candidate set
 ) -> jax.Array:
     """Feasible velocity nearest vpref per entity (G_ClearPath_NewVelocity,
     ref: src/game/clearpath.c:694).
+
+    `exact=True` switches to the reference's EXACT construction: tangent-
+    point cone edges (compute_vo_edges, clearpath.c:130-175), true HRVO
+    apexes (the near RVO leg x far VO leg intersection, clearpath.c:
+    176-215), and pairwise cone-edge INTERSECTION candidates + unclamped
+    vdes edge projections (clearpath.c:321-367) — still one dense masked
+    tensor program, [N, R, R] ray pairs over the nearest cones.
 
     Returns f32[N,2] new velocities; inactive entities return vpref.
     """
@@ -58,18 +66,38 @@ def new_velocities(
     nvel = vel[ni] if neigh_vel is None else neigh_vel
     nvel = jnp.where(neigh_static[..., None], 0.0, nvel)
     nrad = radius[ni] if neigh_rad is None else neigh_rad
+    # sanitize INVALID cone rows: grid-payload sentinels can be huge and
+    # overflow f32 through the exact-mode apex-slide/intersection math
+    # (inf - inf = NaN in the decomposed |w|^2) — collapse them onto the
+    # entity itself (zero-extent cone the masks already exclude)
+    npos = jnp.where(neigh_valid[..., None], npos, pos[:, None, :])
+    nvel = jnp.where(neigh_valid[..., None], nvel, 0.0)
+    nrad = jnp.where(neigh_valid, nrad, 0.0)
 
     rel = npos - pos[:, None, :]                    # [N,K,2]
     dist = jnp.linalg.norm(rel, axis=-1)            # [N,K]
-    comb_r = (radius[:, None] + nrad) * 1.05        # small buffer
+    comb_r = (radius[:, None] + nrad) * (1.0 if exact else 1.05)
     colliding = neigh_valid & (dist < comb_r)
 
     p_hat = rel / jnp.maximum(dist, _EPS)[..., None]
-    # cone half-angle: sin(theta) = R / |p| (clamped below 1 when apart)
-    sin_t = jnp.clip(comb_r / jnp.maximum(dist, _EPS), 0.0, 1.0)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
-    # colliding neighbours become half-plane obstacles (cos 0 -> 90deg cone)
-    cos_t = jnp.where(colliding, 0.0, cos_t)
+    if exact:
+        # reference edges pass through (neighb_pos +/- perp * R): the
+        # half-angle is atan(R/d), slightly narrower than the tangent
+        # cone (compute_vo_edges, clearpath.c:130-175)
+        hyp = jnp.sqrt(dist * dist + comb_r * comb_r)
+        sin_t = comb_r / jnp.maximum(hyp, _EPS)
+        cos_t = dist / jnp.maximum(hyp, _EPS)
+    else:
+        # tangent cone: sin(theta) = R / |p| (clamped below 1 when apart)
+        sin_t = jnp.clip(comb_r / jnp.maximum(dist, _EPS), 0.0, 1.0)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+    # colliding neighbours become half-plane obstacles (cos 0 -> 90deg
+    # cone). The exact mode keeps the reference's construction, which
+    # never special-cases overlap (compute_vo_edges works through it);
+    # overlap resolution is the integrator's de-penetration pass.
+    if not exact:
+        cos_t = jnp.where(colliding, 0.0, cos_t)
+        sin_t = jnp.where(colliding, 1.0, sin_t)
 
     # HRVO apex: reciprocal (RVO) apex for mutual avoidance of moving
     # neighbours; plain VO apex (neighbour velocity) for static obstacles
@@ -85,6 +113,39 @@ def new_velocities(
     rot_r = jnp.stack(
         [cos_t * p_hat[..., 0] + sin_t * p_hat[..., 1],
          -sin_t * p_hat[..., 0] + cos_t * p_hat[..., 1]], axis=-1)
+
+    if exact:
+        # true HRVO apex (compute_hrvo, clearpath.c:176-215): when the
+        # entity's velocity is left of the cone centerline, slide the
+        # apex to the intersection of the RVO's LEFT leg with the VO's
+        # RIGHT leg (and mirrored) — batched line-line solves
+        def _x(d):
+            return d[..., 0]
+
+        def _z(d):
+            return d[..., 1]
+
+        # NOTE on conventions: the reference's LEFT edge is p_hat rotated
+        # by -theta (clearpath.c builds it through p_j - perp*R), which is
+        # our rot_r; its RIGHT edge is our rot_l.
+        center = rot_l + rot_r                                # [N,K,2]
+        vdet = (_x(center) * vel[:, None, 1]
+                - _z(center) * vel[:, None, 0])               # [N,K]
+        near = jnp.where(vdet[..., None] > 0, rot_r, rot_l)
+        other = jnp.where(vdet[..., None] > 0, rot_l, rot_r)
+        denom = _x(near) * _z(other) - _z(near) * _x(other)
+        dp = vo_apex - rvo_apex
+        t = jnp.where(jnp.abs(denom) > _EPS,
+                      (_x(dp) * _z(other) - _z(dp) * _x(other))
+                      / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0), 0.0)
+        # near-parallel legs put the intersection arbitrarily far out;
+        # bound it so downstream squares stay inside f32
+        t = jnp.clip(t, -1e4, 1e4)
+        hrvo_apex = rvo_apex + near * t[..., None]
+        slide_ok = (jnp.abs(denom) > _EPS) & (jnp.abs(vdet) > _EPS)
+        apex = jnp.where(
+            neigh_static[..., None], vo_apex,
+            jnp.where(slide_ok[..., None], hrvo_apex, rvo_apex))
 
     # ---- candidate set -----------------------------------------------------
     # vdes, scaled vdes, zero, and vdes projected on cone edges
@@ -114,11 +175,50 @@ def new_velocities(
     rot = jnp.concatenate([rot, rot * 0.5], axis=1)           # [N,2A,2]
     cand = jnp.concatenate([base, rot, proj_l, proj_r], axis=1)  # [N,5+2A+2K,2]
 
+    if exact:
+        # reference-exact candidates (clearpath.c:321-367):
+        #  * pairwise RAY-RAY intersections over the nearest KX cones'
+        #    2KX edges — [N, R, R] masked dense solves (the gap-threading
+        #    points the rotated fan only approximates)
+        #  * vdes projected on each edge as a FREE VECTOR (apex +
+        #    d*dot(d, vdes), no clamp — compute_vdes_proj_points)
+        kx = min(8, k)
+        ra = jnp.concatenate([apex[:, :kx], apex[:, :kx]], axis=1)
+        rd = jnp.concatenate([rot_l[:, :kx], rot_r[:, :kx]], axis=1)
+        rv = jnp.concatenate([neigh_valid[:, :kx]] * 2, axis=1)  # [N,R]
+        p1, d1 = ra[:, :, None, :], rd[:, :, None, :]        # [N,R,1,2]
+        p2, d2 = ra[:, None, :, :], rd[:, None, :, :]        # [N,1,R,2]
+        det = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # [N,R,R]
+        dp2 = p2 - p1
+        safe = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
+        t1 = (dp2[..., 0] * d2[..., 1] - dp2[..., 1] * d2[..., 0]) / safe
+        t2 = (dp2[..., 0] * d1[..., 1] - dp2[..., 1] * d1[..., 0]) / safe
+        xpt = p1 + d1 * t1[..., None]                         # [N,R,R,2]
+        ok = ((jnp.abs(det) > _EPS) & (t1 >= 0.0) & (t2 >= 0.0)
+              & rv[:, :, None] & rv[:, None, :])
+        # upper triangle only: (i, j) and (j, i) are the same point
+        r2 = ra.shape[1]
+        ok &= jnp.triu(jnp.ones((r2, r2), bool), k=1)[None]
+        # invalid pairs collapse onto vpref (a duplicate candidate)
+        xpt = jnp.where(ok[..., None], xpt, vpref[:, None, None, :])
+        xcand = xpt.reshape(n, r2 * r2, 2)
+        # unclamped free-vector projections on every edge
+        wl = jnp.sum(vpref[:, None, :] * rot_l, axis=-1, keepdims=True)
+        wr = jnp.sum(vpref[:, None, :] * rot_r, axis=-1, keepdims=True)
+        free_l = apex + rot_l * wl                            # [N,K,2]
+        free_r = apex + rot_r * wr
+        cand = jnp.concatenate([cand, xcand, free_l, free_r], axis=1)
+
     # clamp candidate speeds
-    cspeed = jnp.linalg.norm(cand, axis=-1)
-    cscale = jnp.where(cspeed > max_speed_tick[:, None],
-                       max_speed_tick[:, None] / jnp.maximum(cspeed, _EPS), 1.0)
-    cand = cand * cscale[..., None]
+    if not exact:
+        cspeed = jnp.linalg.norm(cand, axis=-1)
+        cscale = jnp.where(
+            cspeed > max_speed_tick[:, None],
+            max_speed_tick[:, None] / jnp.maximum(cspeed, _EPS), 1.0)
+        cand = cand * cscale[..., None]
+    # exact mode scores candidates UNCLAMPED (the reference never clamps
+    # its candidate set — a feasible point beyond max speed still beats
+    # an infeasible nearer one) and clamps the winner after the pick
 
     # ---- feasibility: candidate outside every cone --------------------------
     # The [N,C,K] tensors dominate movement bandwidth. Build them DIRECTLY
@@ -139,16 +239,67 @@ def new_velocities(
                       + cz[:, :, None] * az[:, None, :])
              + (ax * ax + az * az)[:, None, :])
     wlen = jnp.sqrt(jnp.maximum(wlen2, 0.0))
-    inside = along > wlen * cos_t[:, None, :] + _EPS
+    if exact:
+        # the reference's inside_pcr wedge test (clearpath.c:249-296):
+        # a point is inside a cone iff it is right of the LEFT edge and
+        # left of the RIGHT edge, with EPSILON=1/1024 angular tolerance
+        # on NORMALIZED dets — so candidates lying exactly ON an edge
+        # (every ray-ray intersection does) robustly count as OUTSIDE
+        # despite f32 noise. Cross products decompose like the dots above.
+        _EPS_REF = 1.0 / 1024
+        # reference-left = our rot_r, reference-right = our rot_l
+        lx, lz = rot_r[..., 0], rot_r[..., 1]                 # [N,K]
+        rx, rz = rot_l[..., 0], rot_l[..., 1]
+        ldet = (cz[:, :, None] * lx[:, None, :]
+                - cx[:, :, None] * lz[:, None, :]
+                - (az * lx - ax * lz)[:, None, :])            # [N,C,K]
+        rdet = (cz[:, :, None] * rx[:, None, :]
+                - cx[:, :, None] * rz[:, None, :]
+                - (az * rx - ax * rz)[:, None, :])
+        tol = _EPS_REF * wlen
+        inside = ((wlen >= _EPS_REF)
+                  & (ldet >= tol) & (rdet <= -tol))
+    else:
+        inside = along > wlen * cos_t[:, None, :] + _EPS
     inside = inside & neigh_valid[:, None, :]
     violation = jnp.where(inside, along - wlen * cos_t[:, None, :], 0.0)
     num_viol = jnp.sum(inside, axis=-1)                       # [N,C]
     total_viol = jnp.sum(violation, axis=-1)
 
-    # ---- pick: feasible nearest vpref; else least-violating -----------------
     d_vpref = jnp.linalg.norm(cand - vpref[:, None, :], axis=-1)
-    score = d_vpref + _BIG * num_viol + total_viol
+    if exact:
+        # remove_furthest retry (clearpath.c:372-390 via the NewVelocity
+        # loop): when NO candidate is feasible against all K cones, the
+        # reference drops the farthest neighbour and re-solves until one
+        # is. Dense equivalent: sort cones near -> far, prefix-sum the
+        # violations, and per entity pick the LONGEST cone prefix that
+        # still admits a feasible candidate — then score against that
+        # prefix only. One cumsum + gather instead of a host loop.
+        order = jnp.argsort(jnp.where(neigh_valid, dist, jnp.inf), axis=1)
+        ins_sorted = jnp.take_along_axis(
+            inside, order[:, None, :], axis=2)                # [N,C,K]
+        cum = jnp.cumsum(ins_sorted.astype(jnp.int32), axis=2)
+        feasible_m = (cum == 0)                               # [N,C,K]
+        any_m = jnp.any(feasible_m, axis=1)                   # [N,K]
+        # largest prefix length with >= 1 feasible candidate (0 if none)
+        m_star = jnp.sum(jnp.cumprod(any_m.astype(jnp.int32),
+                                     axis=1), axis=1)         # [N]
+        mi = jnp.maximum(m_star - 1, 0)[:, None, None]
+        viol_star = jnp.take_along_axis(
+            cum, jnp.broadcast_to(mi, (n, cum.shape[1], 1)), axis=2
+        )[..., 0]                                             # [N,C]
+        viol_star = jnp.where((m_star > 0)[:, None], viol_star, num_viol)
+        score = d_vpref + _BIG * viol_star + total_viol
+    else:
+        # ---- pick: feasible nearest vpref; else least-violating ----------
+        score = d_vpref + _BIG * num_viol + total_viol
     best = jnp.argmin(score, axis=1)
     newv = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
+
+    if exact:
+        speed = jnp.linalg.norm(newv, axis=-1, keepdims=True)
+        newv = jnp.where(speed > max_speed_tick[:, None],
+                         newv * (max_speed_tick[:, None]
+                                 / jnp.maximum(speed, _EPS)), newv)
 
     return jnp.where(active[..., None], newv, vpref)

@@ -144,7 +144,7 @@ def oracle_new_velocity(pos, vel, radius, i, neigh, des_v):
 # harness: run both solvers on randomized crowds
 # ---------------------------------------------------------------------------
 
-def _run_pair(seed, n=24, spread=22.0, speed=1.0, k=8):
+def _run_pair(seed, n=24, spread=22.0, speed=1.0, k=8, exact=False):
     import jax.numpy as jnp
     from permafrost_engine_tpu.ops.clearpath import new_velocities
     rng = np.random.default_rng(seed)
@@ -168,7 +168,7 @@ def _run_pair(seed, n=24, spread=22.0, speed=1.0, k=8):
         jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(radius),
         jnp.asarray(vpref), jnp.asarray(max_speed), jnp.asarray(idx),
         jnp.asarray(valid), jnp.zeros_like(jnp.asarray(valid)),
-        jnp.ones(n, bool)))
+        jnp.ones(n, bool), exact=exact))
 
     oracle = np.stack([
         oracle_new_velocity(pos.astype(np.float64), vel.astype(np.float64),
@@ -269,3 +269,47 @@ def test_fan_solution_feasibility_vs_oracle_cones(seed):
     # allow a modest feasibility gap vs the exact method
     assert ours_ok >= oracle_ok - max(2, int(0.25 * considered)), \
         (ours_ok, oracle_ok, considered)
+
+
+# ---------------------------------------------------------------------------
+# exact mode (cfg.clearpath_exact, the engine default): reference-exact
+# geometry — tangent-point edges, true HRVO apexes, pairwise ray-ray
+# intersection candidates, the inside_pcr wedge test with EPSILON=1/1024,
+# and the remove-furthest retry as a prefix-feasibility cascade
+# ---------------------------------------------------------------------------
+
+
+def _divergence_stats_exact(cases=12, **kw):
+    divs, flips = [], []
+    for seed in range(cases):
+        pos, vel, radius, vpref, ours, oracle, valid = _run_pair(
+            seed, exact=True, **kw)
+        speed = float(np.linalg.norm(vpref, axis=-1).max())
+        d = np.linalg.norm(ours - oracle, axis=-1) / max(speed, EPS)
+        divs.append(d)
+        no = np.linalg.norm(oracle, axis=-1)
+        nu = np.linalg.norm(ours, axis=-1)
+        both = (no > 0.3 * speed) & (nu > 0.3 * speed)
+        cosang = np.sum(ours * oracle, -1) / np.maximum(no * nu, EPS)
+        flips.append((both & (cosang < 0.0)))
+    return np.concatenate(divs), np.concatenate(flips)
+
+
+def test_exact_matches_oracle_moderate_density():
+    """Exact mode reproduces the oracle's picks at moderate density.
+    Measured (2026-08, 12 seeds x 24 ents): median 0.000, p90 0.253,
+    flips 0.0% — vs the fan's median 0.26 / p90 0.91 / 4.2%."""
+    d, flips = _divergence_stats_exact(cases=12, n=24, spread=22.0)
+    assert float(np.median(d)) < 0.05, np.median(d)
+    assert float(np.quantile(d, 0.9)) < 0.4, np.quantile(d, 0.9)
+    assert float(flips.mean()) < 0.02, flips.mean()
+
+
+def test_exact_matches_oracle_saturated():
+    """Saturation density: measured median 0.000, p90 0.233, flips 0.5%
+    (vs the fan's 0.47 / 1.16 / 12.5%) — the verdict's acceptance bar was
+    flips <= 5% and p90 <= 0.4."""
+    d, flips = _divergence_stats_exact(cases=8, n=24, spread=12.0)
+    assert float(np.median(d)) < 0.05, np.median(d)
+    assert float(np.quantile(d, 0.9)) < 0.4, np.quantile(d, 0.9)
+    assert float(flips.mean()) < 0.05, flips.mean()
