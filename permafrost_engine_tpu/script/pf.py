@@ -128,6 +128,41 @@ ANCHOR_Y_CENTER = _ui.ANCHOR_Y_CENTER
 ANCHOR_Y_MASK = ANCHOR_Y_TOP | ANCHOR_Y_BOT | ANCHOR_Y_CENTER
 ANCHOR_DEFAULT = _ui.ANCHOR_DEFAULT
 
+# Per-widget-class UI style mirror (ref: py_ui_style.c:6382-6512): the
+# style classes plus one live module-level instance per widget, exactly
+# the names the reference registers (scripts do
+# `setattr(pf.button_style, ...)` / `with ButtonStyle(...)`).
+from permafrost_engine_tpu.script import ui_style  # noqa: E402
+from permafrost_engine_tpu.script.ui_style import (  # noqa: F401,E402
+    UIButtonStyle,
+    UIComboStyle,
+    UIEditStyle,
+    UIHeaderStyle,
+    UIPropertyStyle,
+    UIProgressStyle,
+    UIScrollbarStyle,
+    UISelectableStyle,
+    UISliderStyle,
+    UIToggleStyle,
+    UIWindowStyle,
+)
+
+button_style = ui_style.STYLES["button_style"]
+contextual_button_style = ui_style.STYLES["contextual_button_style"]
+menu_button_style = ui_style.STYLES["menu_button_style"]
+selectable_style = ui_style.STYLES["selectable_style"]
+combo_style = ui_style.STYLES["combo_style"]
+option_style = ui_style.STYLES["option_style"]
+checkbox_style = ui_style.STYLES["checkbox_style"]
+scrollbar_horizontal_style = ui_style.STYLES["scrollbar_horizontal_style"]
+scrollbar_vertical_style = ui_style.STYLES["scrollbar_vertical_style"]
+edit_style = ui_style.STYLES["edit_style"]
+property_style = ui_style.STYLES["property_style"]
+slider_style = ui_style.STYLES["slider_style"]
+progress_style = ui_style.STYLES["progress_style"]
+window_style = ui_style.STYLES["window_style"]
+window_header_style = ui_style.STYLES["window_header_style"]
+
 
 # ---------------------------------------------------------------------------
 # Context
@@ -1402,6 +1437,7 @@ def _collect_script_state(ctx) -> dict:
         "garrison_ui": ctx.garrison_ui,
         "console_shown": ctx.console_shown,
         "highlight_size": ctx.highlight_size,
+        "ui_styles": ui_style.styles_to_dict(ui_style.STYLES),
         "models": {k: v for k, v in ctx.models.items()
                    if graphpickle.picklable(v)},
     }
@@ -1441,6 +1477,7 @@ def _apply_script_state(ctx, st: dict) -> None:
     ctx.garrison_ui = st["garrison_ui"]
     ctx.console_shown = st["console_shown"]
     ctx.highlight_size = st["highlight_size"]
+    ui_style.styles_from_dict(ui_style.STYLES, st.get("ui_styles"))
     ctx.models.update(st.get("models", {}))
 
 

@@ -104,7 +104,12 @@ class Window:
         self.draw_list.append(("label", text, None))
 
     def button_label(self, label: str) -> bool:
-        self.draw_list.append(("button", label))
+        # nuklear applies the style live as each widget records, so a
+        # scoped `with ButtonStyle(...)` override must be captured AT
+        # CALL TIME (our rasterization is deferred to the compositor)
+        from permafrost_engine_tpu.script.ui_style import STYLES
+        self.draw_list.append(
+            ("button", label, STYLES["button_style"].to_dict()))
         clicked = self._widget_state.pop(("click", label), False)
         return clicked
 

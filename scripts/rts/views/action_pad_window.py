@@ -5,6 +5,7 @@ buttons render but fire nothing (the reference swaps in a no-op action)."""
 
 import permafrost_engine_tpu.script.pf as pf
 
+import scripts.common.button_style_ctx as btc
 from scripts.rts.constants import (
     ACTION_NUM_COLS,
     ACTION_NUM_ROWS,
@@ -16,6 +17,9 @@ class ActionPadWindow(pf.Window):
 
     BUTTON_WIDTH = 75
     BUTTON_PADDING = 6
+    # ref: scripts/rts/views/action_pad_window.py DISABLED_* styling
+    DISABLED_BG_COLOR = (40, 40, 40, 255)
+    DISABLED_TEXT_COLOR = (60, 60, 60, 255)
 
     def __init__(self):
         w = (self.BUTTON_WIDTH * ACTION_NUM_COLS
@@ -34,6 +38,21 @@ class ActionPadWindow(pf.Window):
     def clear_actions(self):
         self.actions = [None] * (ACTION_NUM_ROWS * ACTION_NUM_COLS)
 
+    def _disabled_button_label(self, label):
+        """Empty slots render as greyed-out buttons via a scoped style
+        override (ref: __disabled_button_label,
+        scripts/rts/views/action_pad_window.py:62-71)."""
+        button_style = {
+            "normal": ActionPadWindow.DISABLED_BG_COLOR,
+            "hover": ActionPadWindow.DISABLED_BG_COLOR,
+            "active": ActionPadWindow.DISABLED_BG_COLOR,
+            "text_normal": ActionPadWindow.DISABLED_TEXT_COLOR,
+            "text_hover": ActionPadWindow.DISABLED_TEXT_COLOR,
+            "text_active": ActionPadWindow.DISABLED_TEXT_COLOR,
+        }
+        with btc.ButtonStyle(**button_style):
+            self.button_label(label)
+
     def update(self):
         running = pf.get_simstate() == pf.G_RUNNING
         for r in range(ACTION_NUM_ROWS):
@@ -43,7 +62,7 @@ class ActionPadWindow(pf.Window):
                 idx = r * ACTION_NUM_COLS + c
                 act = self.actions[idx]
                 if act is None:
-                    self.label("")
+                    self._disabled_button_label("")
                     continue
                 self.image(act.icon_normal)
                 if self.button_label(act.label) and running:
