@@ -46,7 +46,9 @@ from permafrost_engine_tpu.state.schema import GameState
 # NavService.prewarm() move every compile to load time — the analogue of
 # the reference baking shaders behind its loading screen.
 CHUNK_BATCH_CAP = 16   # per-chunk [K, 64, 64] integrates
-LOS_BATCH_CAP = 2      # whole-map [U, H, W] LOS builds
+LOS_BATCH_CAP = 8      # whole-map [U, H, W] LOS builds (closed-form
+                       # los_field is ~0.3 ms/batch; cap 8 halves install
+                       # roundtrips in a rebuild storm at negligible cost)
 SEEK_BATCH_CAP = 4     # whole-map [K, H, W] enemy-seek builds
 
 

@@ -150,6 +150,59 @@ def test_los_wall_shadow():
     assert los[16, 12] == 0  # the wall itself
 
 
+def test_los_closed_form_matches_iterative_oracle():
+    """los_field (closed-form quadrant decomposition) must be BIT-IDENTICAL
+    to los_field_iter (the direct transcription of the reference recurrence,
+    ref: src/navigation/field.c:435-537) — random densities, maze corridors,
+    corner goals, impassable goals, batched per-element goals."""
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        h = int(rng.choice([16, 33, 64]))
+        w = int(rng.choice([16, 33, 64]))
+        p = rng.random((h, w)) > rng.uniform(0.0, 0.5)
+        gr, gc = int(rng.integers(0, h)), int(rng.integers(0, w))
+        a = np.asarray(ff.los_field_iter(
+            jnp.asarray(p), gr, gc, max_iters=2 * max(h, w)))
+        b = np.asarray(ff.los_field(jnp.asarray(p), gr, gc))
+        np.testing.assert_array_equal(a, b)
+
+    # maze corridors (long thin shadows stress the straight-run tables)
+    p = np.ones((64, 64), bool)
+    for _ in range(25):
+        r, c = rng.integers(0, 64, 2)
+        n = int(rng.integers(5, 30))
+        if rng.random() < 0.5:
+            p[r, c:c + n] = False
+        else:
+            p[r:r + n, c] = False
+    p[40, 40] = True
+    a = np.asarray(ff.los_field_iter(jnp.asarray(p), 40, 40, max_iters=128))
+    b = np.asarray(ff.los_field(jnp.asarray(p), 40, 40))
+    np.testing.assert_array_equal(a, b)
+
+    # corner goals on an open field
+    for gr, gc in [(0, 0), (63, 63), (0, 63)]:
+        p = np.ones((64, 64), bool)
+        a = np.asarray(ff.los_field_iter(jnp.asarray(p), gr, gc,
+                                         max_iters=128))
+        b = np.asarray(ff.los_field(jnp.asarray(p), gr, gc))
+        np.testing.assert_array_equal(a, b)
+
+    # impassable goal -> no tile has LOS
+    p = np.ones((32, 32), bool)
+    p[5, 5] = False
+    assert np.asarray(ff.los_field(jnp.asarray(p), 5, 5)).sum() == 0
+
+    # batched with per-element goals (the install path's shape)
+    p = rng.random((4, 64, 64)) > 0.25
+    grs = jnp.asarray(rng.integers(0, 64, 4))
+    gcs = jnp.asarray(rng.integers(0, 64, 4))
+    a = np.asarray(ff.los_field_iter(jnp.asarray(p), grs, gcs,
+                                     max_iters=128))
+    b = np.asarray(ff.los_field(jnp.asarray(p), grs, gcs))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dir_code_to_vec():
     vecs = np.asarray(ff.dir_code_to_vec(jnp.arange(9, dtype=jnp.uint8)))
     assert np.allclose(vecs[0], 0)
