@@ -7,14 +7,17 @@ subformations per unit type, and solves the entity->cell assignment with
 the Hungarian algorithm (ref: src/game/formation.c:354 cell fields,
 450-980 placement, 1991-2050 assignment; types in
 src/game/public/game.h:120-125). Here cell layout + terrain/occupancy
-checks are cheap host numpy (event-rate work), subformations are per-layer
-blocks stacked back from the goal (game/engine.py move_in_formation), and
-the assignment runs on device via the parallel auction solver
-(ops/assignment.py).
+checks are cheap host numpy (event-rate work), subformations are
+per-nav-layer blocks each stacked as per-unit-type sub-blocks
+(game/engine.py move_in_formation), and the assignment runs on device via
+the parallel auction solver (ops/assignment.py).
 
-Per-cell arrival flow fields (formation.c:354) are approximated by the
-flock's shared goal fields + exact per-entity cell destinations; the
-movement substep's arrive steering handles the final approach.
+Per-cell arrival flow fields (formation.c:354) are REAL: the chunks
+containing the formation's cells get CELL-SEEDED fields installed
+(nav/service.py install_formation_field — every cell tile seeds at cost 0)
+so the final approach flows toward the formation footprint and around
+nearby obstacles; arrive steering then lands each entity on its exact
+assigned cell.
 """
 
 from __future__ import annotations
