@@ -234,22 +234,19 @@ def raster_gbuffer(xy: jax.Array, z: jax.Array, valid: jax.Array,
     inf = jnp.float32(jnp.inf)
     zbest = jnp.full((tiles, TILE * TILE), inf)
     tbest = jnp.full((tiles, TILE * TILE), -1, jnp.int32)
-    bbest = jnp.zeros((tiles, TILE * TILE, 3), jnp.float32)
+    b0best = jnp.zeros((tiles, TILE * TILE), jnp.float32)
+    b1best = jnp.zeros_like(b0best)
+    b2best = jnp.zeros_like(b0best)
+    carry0 = (zbest, tbest, b0best, b1best, b2best)
 
     def chunk_body(c, carry):
-        zb, tb, bb = carry
         ids = jax.lax.dynamic_slice(table, (0, c * kc), (tiles, kc))
         safe = jnp.maximum(ids, 0)
         vv = v01[safe]                                       # [tiles, kc, 6]
         zz = zrow[safe]                                      # [tiles, kc, 3]
-        zw, tw_, bw = _cover_chunk(vv, zz, ids, pix_x, pix_y)
-        better = zw < zb
-        return (jnp.where(better, zw, zb),
-                jnp.where(better, tw_, tb),
-                jnp.where(better[..., None], bw, bb))
+        return _cover_update(carry, vv, zz, ids, pix_x, pix_y)
 
-    zbest, tbest, bbest = jax.lax.fori_loop(
-        0, k // kc, chunk_body, (zbest, tbest, bbest))
+    carry = jax.lax.fori_loop(0, k // kc, chunk_body, carry0)
 
     # --- big-triangle brute-force path -----------------------------------------
     big_score = jnp.where(big, ZQ - zq, 0)   # nearest-first, 0 = invalid
@@ -258,20 +255,16 @@ def raster_gbuffer(xy: jax.Array, z: jax.Array, valid: jax.Array,
     big_ids = jnp.pad(big_ids, (0, nbig * kc - kbig), constant_values=-1)
 
     def big_body(c, carry):
-        zb, tb, bb = carry
         ids = jax.lax.dynamic_slice(big_ids, (c * kc,), (kc,))
         safe = jnp.maximum(ids, 0)
         vv = jnp.broadcast_to(v01[safe][None], (tiles, kc, 6))
         zz = jnp.broadcast_to(zrow[safe][None], (tiles, kc, 3))
         idt = jnp.broadcast_to(ids[None], (tiles, kc))
-        zw, tw_, bw = _cover_chunk(vv, zz, idt, pix_x, pix_y)
-        better = zw < zb
-        return (jnp.where(better, zw, zb),
-                jnp.where(better, tw_, tb),
-                jnp.where(better[..., None], bw, bb))
+        return _cover_update(carry, vv, zz, idt, pix_x, pix_y)
 
-    zbest, tbest, bbest = jax.lax.fori_loop(
-        0, nbig, big_body, (zbest, tbest, bbest))
+    zbest, tbest, b0best, b1best, b2best = jax.lax.fori_loop(
+        0, nbig, big_body, carry)
+    bbest = jnp.stack([b0best, b1best, b2best], axis=-1)
 
     def untile(a):
         s = a.shape[2:]
@@ -282,9 +275,19 @@ def raster_gbuffer(xy: jax.Array, z: jax.Array, valid: jax.Array,
     return untile(zbest), untile(tbest), untile(bbest)
 
 
-def _cover_chunk(vv, zz, ids, pix_x, pix_y):
-    """Coverage of a [tiles, kc] triangle chunk over [tiles, P] pixels.
-    Returns per-pixel (z, tri, bary) of the nearest covering triangle."""
+def _cover_update(carry, vv, zz, ids, pix_x, pix_y):
+    """Fold a [tiles, kc] triangle chunk into the per-pixel
+    (z, tri, bary-plane) carry.
+
+    The z-min over the chunk's candidates is an UNROLLED incremental
+    update (candidate j beats the carry iff strictly nearer — first-match
+    ties, same as argmin's first-index rule). The previous formulation
+    (argmin over the kc axis + per-pixel take_along_axis of tri id and
+    three bary channels) lowered to ~1M per-element gathers per chunk:
+    measured 16.5 ms per 16-candidate chunk at 640x384 vs 0.6 ms for this
+    pure select form — the element-vs-row gather rule that shaped
+    ops/velocity._slab_fetch applies to the raster too."""
+    zb, tb, b0b, b1b, b2b = carry
     ax, ay = vv[..., 0, None], vv[..., 1, None]              # [tiles,kc,1]
     bx, by = vv[..., 2, None], vv[..., 3, None]
     cx, cy = vv[..., 4, None], vv[..., 5, None]
@@ -299,14 +302,15 @@ def _cover_chunk(vv, zz, ids, pix_x, pix_y):
     zpix = (b0 * zz[..., 0, None] + b1 * zz[..., 1, None]
             + b2 * zz[..., 2, None])
     zpix = jnp.where(inside, zpix, jnp.inf)                  # [tiles,kc,P]
-    win = jnp.argmin(zpix, axis=1)                           # [tiles,P]
-    zw = jnp.min(zpix, axis=1)
-    tw_ = jnp.take_along_axis(ids[..., None],
-                              win[:, None, :], axis=1)[:, 0, :]
-    bw = jnp.stack([
-        jnp.take_along_axis(b, win[:, None, :], axis=1)[:, 0, :]
-        for b in (b0, b1, b2)], axis=-1)
-    return zw, jnp.where(jnp.isfinite(zw), tw_, -1), bw
+    for j in range(vv.shape[1]):
+        zj = zpix[:, j, :]
+        better = zj < zb
+        zb = jnp.where(better, zj, zb)
+        tb = jnp.where(better, ids[:, j:j + 1], tb)
+        b0b = jnp.where(better, b0[:, j, :], b0b)
+        b1b = jnp.where(better, b1[:, j, :], b1b)
+        b2b = jnp.where(better, b2[:, j, :], b2b)
+    return zb, tb, b0b, b1b, b2b
 
 
 # ---------------------------------------------------------------------------

@@ -583,9 +583,28 @@ class SceneRenderer:
         return fog, jnp.asarray([fh / eng.cfg.world_h,
                                  fw / eng.cfg.world_w], jnp.float32)
 
+    def _rays_dev(self, camera, w: int, h: int):
+        """Per-pixel view rays, device-resident, cached per camera
+        ORIENTATION (pos never enters — rays are directions). The rays
+        feed the sky gradient and the water-plane intersection; computing
+        them in NumPy cost [h, w, 3] host math plus a 3-11 MB
+        host->device upload up to three times per frame (main shade,
+        water composite, reflection shade)."""
+        key = (round(float(camera.pitch), 5), round(float(camera.yaw), 5),
+               round(float(camera.fov), 5), round(float(camera.aspect), 5),
+               w, h)
+        cache = getattr(self, "_rays_cache", None)
+        if cache is None:
+            cache = self._rays_cache = {}
+        if key not in cache:
+            if len(cache) > 8:
+                cache.clear()
+            cache[key] = jnp.asarray(raster.camera_rays(camera, w, h))
+        return cache[key]
+
     def _shade(self, camera, tri, bary, inv_w, attrs, shadow_z, fog,
                fog_scale, w, h):
-        rays = jnp.asarray(raster.camera_rays(camera, w, h))
+        rays = self._rays_dev(camera, w, h)
         atlas, table = self._atlas_arrays()
         from permafrost_engine_tpu.render.textures import TEX_SIZE
         return raster.shade_gbuffer(
@@ -698,8 +717,7 @@ class SceneRenderer:
         eng = self.engine
         # the water plane needs no raster: intersect each pixel ray with
         # y = wl analytically and depth-test the hit against the scene
-        rays_np = raster.camera_rays(camera, w, h)
-        rays = jnp.asarray(rays_np)
+        rays = self._rays_dev(camera, w, h)
         cam_pos = jnp.asarray(camera.pos, jnp.float32)
         t = (wl - cam_pos[1]) / jnp.where(
             jnp.abs(rays[..., 1]) < 1e-5, -1e-5, rays[..., 1])
@@ -733,9 +751,8 @@ class SceneRenderer:
         if (h2, w2) != (h, w):
             refl = jax.image.resize(refl, (h, w, 3), method="linear")
 
-        fresnel = jnp.asarray(
-            np.clip(0.25 + 0.6 * (1 + rays_np[..., 1]) ** 2, 0, 0.9)
-            .astype(np.float32))[..., None]
+        fresnel = jnp.clip(
+            0.25 + 0.6 * (1.0 + rays[..., 1]) ** 2, 0.0, 0.9)[..., None]
         deep = jnp.asarray(WATER_DEEP)[None, None]
         if self._setting("pf.video.water_refraction", True):
             # refraction: the shaded underwater scene at the same pixel
