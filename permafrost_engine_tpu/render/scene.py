@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from permafrost_engine_tpu.core.config import EntityFlags, FogState
+from permafrost_engine_tpu.core.config import (EntityFlags, FogState,
+                                               NAV_TILE_SIZE)
 from permafrost_engine_tpu.render import raster
 from permafrost_engine_tpu.render.draw import cull_and_emit
 
@@ -288,6 +289,75 @@ def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None,
     zbuf, tri, bary = raster.raster_gbuffer(xy, z, valid, h=h, w=w,
                                             k=k, kbig=kbig)
     return zbuf, tri, bary, inv_w, attrs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "h2", "w2", "water_on", "refr_on", "world_w", "world_h",
+    "tex_size"))
+def _frame_device(verts, attrs, vp, shadow_z, light_vp, fog, fog_scale,
+                  rays, rays2, atlas, tex_table, heights, cam_pos, wl,
+                  *, h, w, h2, w2, water_on, refr_on, world_w, world_h,
+                  tex_size):
+    """The whole post-soup frame as ONE device program: raster -> deferred
+    shade -> water (mirror re-raster + refraction) -> gamma -> u8.
+
+    The pass-by-pass path (SceneRenderer.render with render_log enabled)
+    dispatches the same math as 5-6 separate jits with host glue between
+    them — per-frame NumPy/upload glue and lost cross-pass fusion. Fusing
+    keeps every intermediate ([h,w] G-buffer, reflection image) inside one
+    XLA program; the host touches the frame exactly once (the final u8
+    fetch). Mirrors the reference's render-thread frame: all passes
+    execute back-to-back on the GPU with no host round trips
+    (ref: src/render/render_gl.c frame pass sequence)."""
+    sun = jnp.asarray(SUN_DIR)
+    sky = jnp.asarray(SKY)
+    zbuf, tri, bary, inv_w, pattrs = _raster_pass(verts, attrs, vp, h=h, w=w)
+    col = raster.shade_gbuffer(
+        tri, bary, inv_w, pattrs, sun, shadow_z, light_vp, fog, fog_scale,
+        sky, rays, atlas=atlas, tex_table=tex_table, tex_size=tex_size)
+
+    if water_on:
+        t = (wl - cam_pos[1]) / jnp.where(
+            jnp.abs(rays[..., 1]) < 1e-5, -1e-5, rays[..., 1])
+        wpt = cam_pos[None, None] + rays * t[..., None]
+        hom = jnp.concatenate([wpt, jnp.ones(wpt.shape[:2] + (1,))], -1)
+        clip = jnp.einsum("ij,hwj->hwi", vp, hom)
+        z_ndc = clip[..., 2] / jnp.maximum(clip[..., 3], 1e-6)
+        inb = ((wpt[..., 0] >= 0) & (wpt[..., 0] <= world_w)
+               & (wpt[..., 2] >= 0) & (wpt[..., 2] <= world_h))
+        water_vis = (t > 0) & (clip[..., 3] > 1e-4) & inb & (z_ndc < zbuf)
+
+        mirror = (jnp.eye(4, dtype=jnp.float32)
+                  .at[1, 1].set(-1.0).at[1, 3].set(2.0 * wl))
+        vp_r = vp @ mirror
+        above = jnp.any(verts[..., 1] > wl - 0.25, axis=1)
+        _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r,
+                                                 h=h2, w=w2, keep=above)
+        refl = raster.shade_gbuffer(
+            tri2, bary2, iw2, a2, sun, shadow_z, light_vp, fog, fog_scale,
+            sky, rays2, atlas=atlas, tex_table=tex_table, tex_size=tex_size)
+        if (h2, w2) != (h, w):
+            refl = jax.image.resize(refl, (h, w, 3), method="linear")
+
+        fresnel = jnp.clip(
+            0.25 + 0.6 * (1.0 + rays[..., 1]) ** 2, 0.0, 0.9)[..., None]
+        deep = jnp.asarray(WATER_DEEP)[None, None]
+        if refr_on:
+            ri = jnp.clip((wpt[..., 2] / NAV_TILE_SIZE).astype(jnp.int32),
+                          0, heights.shape[0] - 1)
+            ci = jnp.clip((wpt[..., 0] / NAV_TILE_SIZE).astype(jnp.int32),
+                          0, heights.shape[1] - 1)
+            depth = jnp.maximum(wl - heights[ri, ci], 0.0)[..., None]
+            refr = deep + (col - deep) * jnp.exp(-0.55 * depth)
+            water_col = refr * (1 - fresnel) + refl * fresnel
+            edge = jnp.clip(depth / 0.75, 0.0, 1.0)
+            water_col = col + (water_col - col) * edge
+        else:
+            water_col = deep * (1 - fresnel) + refl * fresnel
+        col = jnp.where(water_vis[..., None], water_col, col)
+
+    col = jnp.clip(col, 0.0, 1.0) ** (1.0 / 2.2)     # linear -> sRGB-ish
+    return jnp.clip(col * 255.0, 0, 255).astype(jnp.uint8)
 
 
 class SceneRenderer:
@@ -602,6 +672,16 @@ class SceneRenderer:
             cache[key] = jnp.asarray(raster.camera_rays(camera, w, h))
         return cache[key]
 
+    def _heights_dev(self):
+        """Device-resident terrain heights, refreshed with the terrain key
+        (the water refraction's depth lookup; re-uploading per frame cost
+        a host->device transfer every frame)."""
+        key = self._terrain_key
+        cached = getattr(self, "_heights_cache", None)
+        if cached is None or cached[0] != key:
+            self._heights_cache = (key, jnp.asarray(self.engine.heights))
+        return self._heights_cache[1]
+
     def _shade(self, camera, tri, bary, inv_w, attrs, shadow_z, fog,
                fog_scale, w, h):
         rays = self._rays_dev(camera, w, h)
@@ -668,6 +748,44 @@ class SceneRenderer:
 
         _t = _mark(rec, "shadow_ms", _t, shadow_z)
         fog, fog_scale = self._fog_grid(faction_pov)
+
+        water_on = bool(self.reflections
+                        and self._setting("pf.video.water_reflection", True))
+        if not log_mask:
+            # fused frame: raster -> shade -> water -> gamma -> u8 as one
+            # device program, one host fetch (render_log falls back to the
+            # pass-by-pass path below so per-pass timings stay observable)
+            refr_on = bool(self._setting("pf.video.water_refraction", True))
+            rt_scale = float(self._setting("pf.video.water_rt_scale", 1.0))
+            if rt_scale < 0.999:
+                h2, w2 = max(int(h * rt_scale), 8), max(int(w * rt_scale), 8)
+            else:
+                h2, w2 = h, w
+            atlas, table = self._atlas_arrays()
+            from permafrost_engine_tpu.render.textures import TEX_SIZE
+            eng = self.engine
+            img_dev = _frame_device(
+                verts, attrs, vp, shadow_z, self._light_vp, fog, fog_scale,
+                self._rays_dev(camera, w, h),
+                self._rays_dev(camera, w2, h2) if water_on else
+                jnp.zeros((1, 1, 3), jnp.float32),
+                atlas, table, self._heights_dev(),
+                jnp.asarray(camera.pos, jnp.float32),
+                jnp.float32(self.water_level),
+                h=h, w=w, h2=h2, w2=w2, water_on=water_on,
+                refr_on=refr_on, world_w=float(eng.cfg.world_w),
+                world_h=float(eng.cfg.world_h), tex_size=TEX_SIZE)
+            img = np.asarray(img_dev)
+            if overlays:
+                img = self._overlays(img, camera, alpha)
+                from permafrost_engine_tpu.render.debug_overlays import (
+                    apply_debug_overlays)
+                from permafrost_engine_tpu.render.hud import compose_hud
+                img = apply_debug_overlays(img, self.engine, camera, w, h)
+                img = compose_hud(img, self.engine, camera)
+                img = self._compose_ui(img)
+            return img
+
         zbuf, tri, bary, inv_w, pattrs = _raster_pass(
             verts, attrs, vp, h=h, w=w)
         _t = _mark(rec, "raster_ms", _t, zbuf)
@@ -675,8 +793,7 @@ class SceneRenderer:
                           fog, fog_scale, w, h)
         _t = _mark(rec, "shade_ms", _t, col)
 
-        if self.reflections and self._setting("pf.video.water_reflection",
-                                              True):
+        if water_on:
             col = self._water_composite(camera, verts, attrs, vp, zbuf,
                                         col, shadow_z, fog, fog_scale)
             _t = _mark(rec, "water_ms", _t, col)
