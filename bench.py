@@ -383,9 +383,81 @@ def run_battle(terrain: bool, full: bool = False) -> dict:
     }
 
 
+def measure_render(w: int = 1280, h: int = 720, n_ents: int = 1000,
+                   frames: int = 12) -> dict:
+    """Render-path bench (ref: src/render/, 18.6k LoC + 40 shaders): the
+    TPU rasterizer's ms/frame at WxH on the battle-map demo scene —
+    terrain splats + foliage + ~1k entity instances + water reflection/
+    refraction (mirror re-raster) + light-ortho shadow pass + HUD/overlay
+    compositing. render() ends in a synchronous u8 image fetch, so each
+    call is a true wall-clock frame (enqueue-only timing is impossible).
+    Also measures sim+render co-residency: the 60 Hz sim loop with a
+    render every 4th frame (15 Hz presentation, the decimated-cadence
+    mode demos use)."""
+    from permafrost_engine_tpu.render.camera import Camera
+    from permafrost_engine_tpu.render.scene import SceneRenderer
+
+    sys.path.insert(0, "/root/repo/tools")
+    from mapgen import make_battle_map
+
+    cfg = EngineConfig(max_ents=n_ents + 64, skin_joints=32)
+    eng = Engine(cfg)
+    eng.load_map_data(make_battle_map())
+    eng.add_faction(0)
+    eng.add_faction(1)
+    eng.set_diplomacy(0, 1, DiplomacyState.WAR)
+    rng = np.random.default_rng(0)
+    half = n_ents // 2
+    for f, x0 in ((0, 250.0), (1, 600.0)):
+        pos = np.stack([rng.uniform(x0, x0 + 160, half),
+                        rng.uniform(300, 700, half)], 1).astype(np.float32)
+        uids = eng.spawn_batch(pos, faction=f, max_speed=20.0,
+                               vision_range=80.0, hp=200.0)
+        eng.move(uids, (850.0 - x0, 512.0))
+
+    cam = Camera()
+    cam.pos = np.array([eng.cfg.world_w / 2, 220.0,
+                        eng.cfg.world_h / 2 + 180.0])
+    cam.pitch, cam.yaw = -50.0, 90.0
+    eng.step(30)
+    r = SceneRenderer(eng, w=w, h=h, maxi=n_ents,
+                      shadows=True, reflections=True)
+    t0 = time.perf_counter()
+    r.render(cam, faction_pov=0)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(frames):
+        eng._frame += 1          # shadow cache keys on the frame counter
+        t0 = time.perf_counter()
+        r.render(cam, faction_pov=0)
+        times.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.median(times))
+
+    t0 = time.perf_counter()
+    sim_frames = 60
+    for _ in range(sim_frames // 4):
+        eng.step(4)
+        r.render(cam, faction_pov=0)
+    jax.block_until_ready(eng.state.ents.pos)
+    combined_fps = sim_frames / (time.perf_counter() - t0)
+
+    return {
+        "resolution": f"{w}x{h}",
+        "render_ms_p50": round(p50, 1),
+        "render_fps": round(1000.0 / p50, 2),
+        "render_ms_p90": round(float(np.percentile(times, 90)), 1),
+        "sim_plus_render_fps_dec4": round(combined_fps, 2),
+        "first_frame_compile_s": round(compile_s, 1),
+        "scene": f"battle map, {n_ents} entities, water refl+refr, "
+                 "shadows, HUD",
+    }
+
+
 def main():
     rtt_start = measure_rtt_floor()
     rebuild_p50, rebuild_batched = measure_rebuild()
+    render = measure_render()
 
     # headline: the FULL BASELINE config #5 battle on the OBSTACLE map —
     # RANK formations + water/air domains + 32-joint skinning at 60 Hz on
@@ -416,6 +488,7 @@ def main():
         "flow_field_rebuild_ms_p50": round(rebuild_p50, 3),
         "flow_field_rebuild_ms_per_chunk_batched": round(rebuild_batched, 3),
         "rebuild_vs_2ms_target": round(2.0 / max(rebuild_p50, 1e-6), 1),
+        "render": render,
     }
     print(json.dumps(out))
 

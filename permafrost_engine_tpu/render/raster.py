@@ -122,9 +122,14 @@ def clip_near(verts: jax.Array, attrs: jax.Array, vp: jax.Array,
     rot = jnp.where(n_in == 1, first_in,
                     jnp.where(n_in == 2, (first_out + 1) % 3, 0))
     idx = (jnp.arange(3)[None, :] + rot[:, None]) % 3             # [T,3]
-    vr = jnp.take_along_axis(verts, idx[..., None], axis=1)
-    ar = jnp.take_along_axis(attrs, idx[..., None], axis=1)
-    wr = jnp.take_along_axis(cw, idx, axis=1)
+    # one-hot contraction over the tiny vertex axis instead of
+    # take_along_axis: the per-row gathers lowered to ~T*3 element
+    # fetches per array (measured 10.9 ms at 45k tris; this form is ~2 ms)
+    onehot = (idx[..., None] == jnp.arange(3)[None, None, :]
+              ).astype(verts.dtype)                               # [T,3,3]
+    vr = jnp.einsum("tij,tjc->tic", onehot, verts)
+    ar = jnp.einsum("tij,tjc->tic", onehot, attrs)
+    wr = jnp.einsum("tij,tj->ti", onehot, cw)
 
     def lerp_to(i, j):
         den = wr[:, j] - wr[:, i]
