@@ -384,7 +384,7 @@ def make_tick(cfg: EngineConfig, tile_height=None, donate: bool = True,
     corpse_period = FRAME_HZ  # 1 Hz
 
     from permafrost_engine_tpu.ops.crowd_pallas import select_crowd_backend
-    crowd_kernel = select_crowd_backend()
+    crowd_kernel = select_crowd_backend(exact=cfg.clearpath_exact)
 
     def move_fn(c, s, d):
         return movement_substep(c, s, d, crowd_kernel)

@@ -44,7 +44,7 @@ def build_scene(n=128, c2=256, seed=0):
             cand_pos, cand_vel, cand_rad, cand_valid, cand_static), cand_idx
 
 
-def xla_reference(scene, cand_idx):
+def xla_reference(scene, cand_idx, exact=False):
     """Exact top-k + ops/clearpath on the same candidate set. Candidates
     are arena entities, so the selected arena indices drive clearpath's
     own vel/radius gathers."""
@@ -64,6 +64,7 @@ def xla_reference(scene, cand_idx):
         jnp.asarray(cand_static[rows, order]),
         jnp.ones(n, bool),
         neigh_pos=jnp.asarray(cand_pos[rows, order]),
+        exact=exact,
     ))
 
 
@@ -121,6 +122,36 @@ def test_fused_kernel_matches_xla_reference():
     # chosen velocity is as close to vpref (small slack for the scorer's
     # own fp boundary sensitivity)
     assert (gv <= wv).all(), f"worse feasibility on {np.nonzero(gv > wv)[0]}"
+    ties = gv == wv
+    assert (gd[ties] <= wd[ties] + 0.05).all(), \
+        f"worse picks at {np.nonzero(gd > wd + 0.05)[0]}"
+
+
+def test_fused_kernel_exact_mode_matches_xla_exact():
+    """exact=True: the kernel's reference-exact construction (tangent-point
+    edges, HRVO apex slide, pairwise edge intersections, inside_pcr test,
+    remove-furthest cascade) against ops/clearpath exact mode on the same
+    cones. Same structure as the fan-mode test: most rows identical,
+    near-tie rows at least as good under the reference scorer."""
+    scene, cand_idx = build_scene(seed=3)
+    (pos, vel, radius, vpref, max_speed,
+     cand_pos, cand_vel, cand_rad, cand_valid, cand_static) = scene
+    got = np.asarray(hrvo_select_pallas(
+        *[jnp.asarray(a) for a in scene], interpret=True, exact=True))
+    want = xla_reference(scene, cand_idx, exact=True)
+    err = np.linalg.norm(got - want, axis=1)
+    assert np.median(err) == 0.0
+    assert (err < 1e-4).mean() > 0.5, (err < 1e-4).mean()
+
+    d2 = ((cand_pos - pos[:, None, :]) ** 2).sum(-1)
+    d2 = np.where(cand_valid, d2, np.inf)
+    gv, gd = hrvo_score(got, pos, vel, radius, vpref, cand_pos, cand_vel,
+                        cand_rad, cand_valid, cand_static, d2)
+    wv, wd = hrvo_score(want, pos, vel, radius, vpref, cand_pos, cand_vel,
+                        cand_rad, cand_valid, cand_static, d2)
+    # the scorer uses the fan-mode cone geometry, so allow one cone of
+    # disagreement on rows where the exact edge test sits on the boundary
+    assert (gv <= wv + 1).all(), f"worse feasibility: {np.nonzero(gv > wv + 1)[0]}"
     ties = gv == wv
     assert (gd[ties] <= wd[ties] + 0.05).all(), \
         f"worse picks at {np.nonzero(gd > wd + 0.05)[0]}"
