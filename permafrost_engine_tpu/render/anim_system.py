@@ -104,19 +104,30 @@ class AnimSystem:
         if not uids:
             return None
 
-        locals_list = []
-        for u in uids:
+        # batch sample_clip per CLIP, not per entity: instances of a model
+        # share a handful of clips, so this is len(clips) device dispatches
+        # per frame instead of len(uids) (the reference's anim texture
+        # likewise fills all instances of a clip in one pass,
+        # ref: src/anim/anim_texture.c:93-145)
+        groups: dict[str, list[int]] = {}
+        for row, u in enumerate(uids):
             st = self.states[u]
-            clip = model.clips.get(st.clip)
-            if clip is None:
-                clip = next(iter(model.clips.values()))
-            times = jnp.asarray([st.t % (clip.frames / ANIM_FPS)])
+            cname = st.clip if st.clip in model.clips else next(
+                iter(model.clips))
+            groups.setdefault(cname, []).append(row)
+        local_rows = [None] * len(uids)
+        for cname, rows in groups.items():
+            clip = model.clips[cname]
+            dur = clip.frames / ANIM_FPS
+            times = jnp.asarray([self.states[uids[r]].t % dur
+                                 for r in rows])
             key_t = jnp.asarray(np.arange(clip.frames) / ANIM_FPS)
             local = pose_ops.sample_clip(
                 key_t, jnp.asarray(clip.trans), jnp.asarray(clip.rots),
-                jnp.asarray(clip.scales), times)
-            locals_list.append(local[0])
-        local_mats = jnp.stack(locals_list)
+                jnp.asarray(clip.scales), times)       # [len(rows), J, ...]
+            for i, r in enumerate(rows):
+                local_rows[r] = local[i]
+        local_mats = jnp.stack(local_rows)
 
         bind = pose_ops.trs_to_mat(
             jnp.asarray(model.bind_trans), jnp.asarray(model.bind_rots),
