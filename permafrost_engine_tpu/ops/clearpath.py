@@ -178,30 +178,31 @@ def new_velocities(
     if exact:
         # reference-exact candidates (clearpath.c:321-367):
         #  * pairwise RAY-RAY intersections over the nearest KX cones'
-        #    2KX edges — [N, R, R] masked dense solves (the gap-threading
-        #    points the rotated fan only approximates)
+        #    2KX edges — STATIC upper-triangle pair list (each unordered
+        #    pair once; the old [N,R,R] square carried 136 masked
+        #    duplicates per entity straight into the [N,C,K] cone test,
+        #    the movement tick's dominant tensor)
         #  * vdes projected on each edge as a FREE VECTOR (apex +
         #    d*dot(d, vdes), no clamp — compute_vdes_proj_points)
+        import numpy as _np
         kx = min(8, k)
         ra = jnp.concatenate([apex[:, :kx], apex[:, :kx]], axis=1)
         rd = jnp.concatenate([rot_l[:, :kx], rot_r[:, :kx]], axis=1)
         rv = jnp.concatenate([neigh_valid[:, :kx]] * 2, axis=1)  # [N,R]
-        p1, d1 = ra[:, :, None, :], rd[:, :, None, :]        # [N,R,1,2]
-        p2, d2 = ra[:, None, :, :], rd[:, None, :, :]        # [N,1,R,2]
-        det = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # [N,R,R]
+        r2 = 2 * kx
+        iu, ju = _np.triu_indices(r2, k=1)                   # static [P]
+        p1, d1 = ra[:, iu], rd[:, iu]                        # [N,P,2]
+        p2, d2 = ra[:, ju], rd[:, ju]
+        det = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]  # [N,P]
         dp2 = p2 - p1
         safe = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
         t1 = (dp2[..., 0] * d2[..., 1] - dp2[..., 1] * d2[..., 0]) / safe
         t2 = (dp2[..., 0] * d1[..., 1] - dp2[..., 1] * d1[..., 0]) / safe
-        xpt = p1 + d1 * t1[..., None]                         # [N,R,R,2]
+        xpt = p1 + d1 * t1[..., None]                        # [N,P,2]
         ok = ((jnp.abs(det) > _EPS) & (t1 >= 0.0) & (t2 >= 0.0)
-              & rv[:, :, None] & rv[:, None, :])
-        # upper triangle only: (i, j) and (j, i) are the same point
-        r2 = ra.shape[1]
-        ok &= jnp.triu(jnp.ones((r2, r2), bool), k=1)[None]
+              & rv[:, iu] & rv[:, ju])
         # invalid pairs collapse onto vpref (a duplicate candidate)
-        xpt = jnp.where(ok[..., None], xpt, vpref[:, None, None, :])
-        xcand = xpt.reshape(n, r2 * r2, 2)
+        xcand = jnp.where(ok[..., None], xpt, vpref[:, None, :])
         # unclamped free-vector projections on every edge
         wl = jnp.sum(vpref[:, None, :] * rot_l, axis=-1, keepdims=True)
         wr = jnp.sum(vpref[:, None, :] * rot_r, axis=-1, keepdims=True)
@@ -221,76 +222,102 @@ def new_velocities(
     # an infeasible nearer one) and clamps the winner after the pick
 
     # ---- feasibility: candidate outside every cone --------------------------
-    # The [N,C,K] tensors dominate movement bandwidth. Build them DIRECTLY
-    # from [N,C] x [N,K] broadcast products — decomposing
+    # The cone-test tensors dominate movement bandwidth. Build them
+    # DIRECTLY from [N,C] x [N,K] broadcast products — decomposing
     #   w.p_hat = cand.p_hat - apex.p_hat
     #   |w|^2   = |cand|^2 - 2 cand.apex + |apex|^2
-    # skips the [N,C,K,2] difference tensor entirely, so the whole cone
+    # skips the [.,.,.,2] difference tensor entirely, so the whole cone
     # test fuses into the per-[N,C] violation reductions (f32: the
     # cancellation in |w|^2 near the apex is below f32 noise, not bf16's).
+    #
+    # LAYOUT: the exact mode's big candidate set (C ~ 241) uses
+    # [N, K, C] — C on the LANE dim (241 -> 2 full 128-lane registers vs
+    # K=32 = 25% lane occupancy), and the cascade below then indexes
+    # along the K (sublane) axis with whole-[C] rows. Measured 82.6 ->
+    # 8.2 ms at N=10k: the [N,C,K] form's cascade gather
+    # (take_along_axis on the minor axis) was ~124M element fetches.
+    # The fan mode keeps the small-C [N,C,K] form.
     cx, cz = cand[..., 0], cand[..., 1]                       # [N,C]
     ax, az = apex[..., 0], apex[..., 1]                       # [N,K]
     px, pz = p_hat[..., 0], p_hat[..., 1]                     # [N,K]
-    along = (cx[:, :, None] * px[:, None, :]
-             + cz[:, :, None] * pz[:, None, :]
-             - (ax * px + az * pz)[:, None, :])               # [N,C,K]
-    wlen2 = ((cx * cx + cz * cz)[:, :, None]
-             - 2.0 * (cx[:, :, None] * ax[:, None, :]
-                      + cz[:, :, None] * az[:, None, :])
-             + (ax * ax + az * az)[:, None, :])
-    wlen = jnp.sqrt(jnp.maximum(wlen2, 0.0))
+    d_vpref = jnp.linalg.norm(cand - vpref[:, None, :], axis=-1)
     if exact:
+        along = (px[:, :, None] * cx[:, None, :]
+                 + pz[:, :, None] * cz[:, None, :]
+                 - (ax * px + az * pz)[:, :, None])           # [N,K,C]
+        wlen2 = ((cx * cx + cz * cz)[:, None, :]
+                 - 2.0 * (ax[:, :, None] * cx[:, None, :]
+                          + az[:, :, None] * cz[:, None, :])
+                 + (ax * ax + az * az)[:, :, None])
+        wlen = jnp.sqrt(jnp.maximum(wlen2, 0.0))
         # the reference's inside_pcr wedge test (clearpath.c:249-296):
         # a point is inside a cone iff it is right of the LEFT edge and
         # left of the RIGHT edge, with EPSILON=1/1024 angular tolerance
         # on NORMALIZED dets — so candidates lying exactly ON an edge
         # (every ray-ray intersection does) robustly count as OUTSIDE
-        # despite f32 noise. Cross products decompose like the dots above.
+        # despite f32 noise. reference-left = our rot_r.
         _EPS_REF = 1.0 / 1024
-        # reference-left = our rot_r, reference-right = our rot_l
         lx, lz = rot_r[..., 0], rot_r[..., 1]                 # [N,K]
         rx, rz = rot_l[..., 0], rot_l[..., 1]
-        ldet = (cz[:, :, None] * lx[:, None, :]
-                - cx[:, :, None] * lz[:, None, :]
-                - (az * lx - ax * lz)[:, None, :])            # [N,C,K]
-        rdet = (cz[:, :, None] * rx[:, None, :]
-                - cx[:, :, None] * rz[:, None, :]
-                - (az * rx - ax * rz)[:, None, :])
+        ldet = (lx[:, :, None] * cz[:, None, :]
+                - lz[:, :, None] * cx[:, None, :]
+                - (az * lx - ax * lz)[:, :, None])            # [N,K,C]
+        rdet = (rx[:, :, None] * cz[:, None, :]
+                - rz[:, :, None] * cx[:, None, :]
+                - (az * rx - ax * rz)[:, :, None])
         tol = _EPS_REF * wlen
-        inside = ((wlen >= _EPS_REF)
-                  & (ldet >= tol) & (rdet <= -tol))
-    else:
-        inside = along > wlen * cos_t[:, None, :] + _EPS
-    inside = inside & neigh_valid[:, None, :]
-    violation = jnp.where(inside, along - wlen * cos_t[:, None, :], 0.0)
-    num_viol = jnp.sum(inside, axis=-1)                       # [N,C]
-    total_viol = jnp.sum(violation, axis=-1)
-
-    d_vpref = jnp.linalg.norm(cand - vpref[:, None, :], axis=-1)
-    if exact:
+        inside = ((wlen >= _EPS_REF) & (ldet >= tol) & (rdet <= -tol)
+                  & neigh_valid[:, :, None])
+        violation = jnp.where(
+            inside, along - wlen * cos_t[:, :, None], 0.0)
+        num_viol = jnp.sum(inside, axis=1)                    # [N,C]
+        total_viol = jnp.sum(violation, axis=1)
         # remove_furthest retry (clearpath.c:372-390 via the NewVelocity
         # loop): when NO candidate is feasible against all K cones, the
         # reference drops the farthest neighbour and re-solves until one
-        # is. Dense equivalent: sort cones near -> far, prefix-sum the
-        # violations, and per entity pick the LONGEST cone prefix that
-        # still admits a feasible candidate — then score against that
-        # prefix only. One cumsum + gather instead of a host loop.
-        order = jnp.argsort(jnp.where(neigh_valid, dist, jnp.inf), axis=1)
-        ins_sorted = jnp.take_along_axis(
-            inside, order[:, None, :], axis=2)                # [N,C,K]
-        cum = jnp.cumsum(ins_sorted.astype(jnp.int32), axis=2)
-        feasible_m = (cum == 0)                               # [N,C,K]
-        any_m = jnp.any(feasible_m, axis=1)                   # [N,K]
+        # is. Dense equivalent: per entity pick the LONGEST near->far
+        # cone prefix that still admits a feasible candidate, then score
+        # against that prefix only. The prefix violation counts come from
+        # ONE MXU contraction — cum[n,j,c] = sum_k inside[n,k,c] *
+        # (rank[n,k] <= j) — instead of sort + minor-axis gather +
+        # cumsum (rank from a [N,K,K] stable comparison; counts <= K are
+        # exact in bf16, accumulated f32).
+        dsort = jnp.where(neigh_valid, dist, jnp.inf)
+        kio = jnp.arange(k, dtype=jnp.int32)
+        lower = (dsort[:, :, None] > dsort[:, None, :]) | (
+            (dsort[:, :, None] == dsort[:, None, :])
+            & (kio[:, None] > kio[None, :])[None])
+        rank = jnp.sum(lower, axis=2)                         # [N,K]
+        pref = (rank[:, :, None] <= kio[None, None, :])       # [N,K,J]
+        cum = jnp.einsum(
+            "nkc,nkj->njc", inside.astype(jnp.bfloat16),
+            pref.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)               # [N,J,C]
+        any_m = jnp.any(cum < 0.5, axis=2)                    # [N,J]
         # largest prefix length with >= 1 feasible candidate (0 if none)
         m_star = jnp.sum(jnp.cumprod(any_m.astype(jnp.int32),
                                      axis=1), axis=1)         # [N]
-        mi = jnp.maximum(m_star - 1, 0)[:, None, None]
-        viol_star = jnp.take_along_axis(
-            cum, jnp.broadcast_to(mi, (n, cum.shape[1], 1)), axis=2
-        )[..., 0]                                             # [N,C]
-        viol_star = jnp.where((m_star > 0)[:, None], viol_star, num_viol)
+        mi = jnp.maximum(m_star - 1, 0)
+        sel = (kio[None, :, None] == mi[:, None, None])
+        viol_star = jnp.sum(jnp.where(sel, cum, 0.0), axis=1)  # [N,C]
+        viol_star = jnp.where((m_star > 0)[:, None], viol_star,
+                              num_viol.astype(jnp.float32))
         score = d_vpref + _BIG * viol_star + total_viol
     else:
+        along = (cx[:, :, None] * px[:, None, :]
+                 + cz[:, :, None] * pz[:, None, :]
+                 - (ax * px + az * pz)[:, None, :])           # [N,C,K]
+        wlen2 = ((cx * cx + cz * cz)[:, :, None]
+                 - 2.0 * (cx[:, :, None] * ax[:, None, :]
+                          + cz[:, :, None] * az[:, None, :])
+                 + (ax * ax + az * az)[:, None, :])
+        wlen = jnp.sqrt(jnp.maximum(wlen2, 0.0))
+        inside = ((along > wlen * cos_t[:, None, :] + _EPS)
+                  & neigh_valid[:, None, :])
+        violation = jnp.where(
+            inside, along - wlen * cos_t[:, None, :], 0.0)
+        num_viol = jnp.sum(inside, axis=-1)                   # [N,C]
+        total_viol = jnp.sum(violation, axis=-1)
         # ---- pick: feasible nearest vpref; else least-violating ----------
         score = d_vpref + _BIG * num_viol + total_viol
     best = jnp.argmin(score, axis=1)
