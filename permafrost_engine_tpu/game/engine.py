@@ -498,7 +498,7 @@ class Engine:
         stepper around it. Requires cfg.skin_joints matching the rig."""
         if self.cfg.skin_joints <= 0:
             raise ValueError("cfg.skin_joints is 0: device skinning is off")
-        j = bank.parents.shape[0]
+        j = len(bank.parents)
         if j != self.cfg.skin_joints:
             raise ValueError(
                 f"bank has {j} joints; cfg.skin_joints={self.cfg.skin_joints}")

@@ -50,10 +50,13 @@ class SkinBank:
     pack: jax.Array        # f32[C*F, J, 10]
     frames: jax.Array      # i32[C] real keyframe count per clip
     loop: jax.Array        # bool[C] LOOP (wrap) vs ONCE (hold last frame)
-    parents: jax.Array     # i32[J]
     inv_bind: jax.Array    # f32[J, 4, 4]
     max_frames: int = flax.struct.field(pytree_node=False)
     levels: tuple = flax.struct.field(pytree_node=False)
+    # STATIC hierarchy (compile-time structure: pose_palette indexes
+    # parents with numpy, so the tick's traced SkinBank must carry them
+    # as concrete values, not device arrays)
+    parents: tuple = flax.struct.field(pytree_node=False, default=())
 
 
 def make_bank(clips: list[tuple[np.ndarray, np.ndarray, np.ndarray, bool]],
@@ -90,7 +93,7 @@ def make_bank(clips: list[tuple[np.ndarray, np.ndarray, np.ndarray, bool]],
         pack=jnp.asarray(pack),
         frames=jnp.asarray(frames, jnp.int32),
         loop=jnp.asarray(loops, jnp.bool_),
-        parents=jnp.asarray(parents, jnp.int32),
+        parents=tuple(int(p) for p in np.asarray(parents)),
         inv_bind=inv_bind,
         max_frames=f_max,
         levels=levels,
