@@ -234,22 +234,26 @@ class NavService:
             # warm them exactly as the install sites dispatch them
             sl = jnp.asarray(np.full((kk,), flow_slab.shape[0], np.int64))
             last = flow_slab.at[sl].set(dirs, mode="drop")
-            sll = jnp.asarray(np.full((kk,), los_slab.shape[0], np.int64))
-            last = los_slab.at[sll].set(
-                jnp.asarray(np.zeros((kk, FIELD_RES, FIELD_RES),
-                                     los_slab.dtype)),
-                mode="drop")
             kk *= 2
-        uu = 1
-        while uu <= LOS_BATCH_CAP:
-            # mirror the install's passable-stack glue (layer slice + !=)
-            passable = jnp.stack([
-                state.nav.cost_base[0] != COST_IMPASSABLE
-                for _ in range(uu)])
-            zi = jnp.asarray([0] * uu)
-            last = ff.los_field(passable, zi, zi,
-                                max_iters=2 * max(cfg.field_h, cfg.field_w))
-            uu *= 2
+        # whole-map LOS installs always dispatch at exactly LOS_BATCH_CAP
+        # (stages pad to the cap) and extract chunk tiles on device
+        lay = jnp.zeros((LOS_BATCH_CAP,), jnp.int32)
+        passable = state.nav.cost_base[lay] != COST_IMPASSABLE
+        zi = jnp.asarray([0] * LOS_BATCH_CAP)
+        maps = ff.los_field(passable, zi, zi,
+                            max_iters=2 * max(cfg.field_h, cfg.field_w))
+        tiles_dev = (
+            maps.reshape(LOS_BATCH_CAP, cfg.chunks_r, FIELD_RES,
+                         cfg.chunks_c, FIELD_RES)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(LOS_BATCH_CAP * cfg.chunks_r * cfg.chunks_c,
+                     FIELD_RES, FIELD_RES).astype(los_slab.dtype))
+        kk = 1
+        while kk <= CHUNK_BATCH_CAP:
+            fi = jnp.zeros((kk,), jnp.int64)
+            sll = jnp.asarray(np.full((kk,), los_slab.shape[0], np.int64))
+            last = los_slab.at[sll].set(tiles_dev[fi], mode="drop")
+            kk *= 2
         if self.sharded_integrate is None:
             e = state.ents
             kk = 1
@@ -1143,39 +1147,53 @@ class NavService:
                 if key not in uidx:
                     uidx[key] = len(uniq)
                     uniq.append(key)
-            # capped buckets: whole-map LOS builds are heavy, so the
-            # bucket cap is small and big invalidation storms chunk
-            parts = []
-            for s0, cnt, padn in batch_buckets(len(uniq), LOS_BATCH_CAP):
-                padded = uniq[s0:s0 + cnt] + [uniq[s0]] * (padn - cnt)
-                passable = jnp.stack([
-                    state.nav.cost_base[layer] != COST_IMPASSABLE
-                    for layer, _gr, _gc in padded])
+            # whole-map LOS builds staged at ONE fixed shape (always pad
+            # to LOS_BATCH_CAP: the closed-form build is ~0.3 ms/batch,
+            # so padded rows are cheaper than extra compiled shapes) and
+            # the per-chunk tile extraction + slab scatter stay ON
+            # DEVICE: the previous path np.asarray'd each [U, H, W]
+            # batch (a ~30 ms SYNC fetch through the relay), sliced
+            # tiles on host and re-uploaded them — obstacle-bench
+            # install_los_ms 1.6 s; this path never syncs.
+            cr, cc = cfg.chunks_r, cfg.chunks_c
+            los = state.fields.los
+            drop_l = los.shape[0]
+            job_u = np.asarray(
+                [uidx[(j["layer"], j["gr"], j["gc"])] for j in ljobs])
+            slots_np = np.asarray([j["slot"] for j in ljobs])
+            jr0 = np.asarray([j["chunk"][0] for j in ljobs])
+            jc0 = np.asarray([j["chunk"][1] for j in ljobs])
+            for u0 in range(0, len(uniq), LOS_BATCH_CAP):
+                stage = uniq[u0:u0 + LOS_BATCH_CAP]
+                padded = stage + [stage[0]] * (LOS_BATCH_CAP - len(stage))
+                lay = jnp.asarray([l for l, _g, _c in padded])
+                passable = state.nav.cost_base[lay] != COST_IMPASSABLE
                 grs = jnp.asarray([g for _l, g, _c in padded])
                 gcs = jnp.asarray([c for _l, _g, c in padded])
-                parts.append(np.asarray(ff.los_field(
+                maps = ff.los_field(
                     passable, grs, gcs,
-                    max_iters=2 * max(cfg.field_h, cfg.field_w)))[:cnt])
-            los_maps = np.concatenate(parts, axis=0)
-            tiles = np.stack([
-                los_maps[uidx[(j["layer"], j["gr"], j["gc"])]]
-                [j["chunk"][0] * FIELD_RES:(j["chunk"][0] + 1) * FIELD_RES,
-                 j["chunk"][1] * FIELD_RES:(j["chunk"][1] + 1) * FIELD_RES]
-                for j in ljobs])
-            slots_np = np.asarray([j["slot"] for j in ljobs])
-            # bucketed slab scatter: the eager .at[].set compiles per
-            # BATCH SHAPE through the relay (~0.45 s per tiny glue op —
-            # a storm of new job counts cost ~3 s per novel count), so
-            # the install pads to the same fixed shape set as the builds
-            drop_l = state.fields.los.shape[0]
-            los = state.fields.los
-            for s0, cnt, padn in batch_buckets(len(ljobs), CHUNK_BATCH_CAP):
-                tl = np.zeros((padn, FIELD_RES, FIELD_RES), tiles.dtype)
-                sl = np.full((padn,), drop_l, np.int64)
-                tl[:cnt] = tiles[s0:s0 + cnt]
-                sl[:cnt] = slots_np[s0:s0 + cnt]
-                los = los.at[jnp.asarray(sl)].set(
-                    jnp.asarray(tl), mode="drop")
+                    max_iters=2 * max(cfg.field_h, cfg.field_w))
+                # [U, H, W] -> [U*CR*CC, 64, 64] contiguous chunk tiles
+                tiles_dev = (
+                    maps.reshape(LOS_BATCH_CAP, cr, FIELD_RES, cc,
+                                 FIELD_RES)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(LOS_BATCH_CAP * cr * cc, FIELD_RES,
+                             FIELD_RES).astype(los.dtype))
+                sel = np.nonzero(
+                    (job_u >= u0) & (job_u < u0 + LOS_BATCH_CAP))[0]
+                flat = ((job_u[sel] - u0) * cr * cc
+                        + jr0[sel] * cc + jc0[sel]).astype(np.int64)
+                ssl = slots_np[sel]
+                for s0, cnt, padn in batch_buckets(len(sel),
+                                                   CHUNK_BATCH_CAP):
+                    fi = np.zeros((padn,), np.int64)
+                    sl = np.full((padn,), drop_l, np.int64)
+                    fi[:cnt] = flat[s0:s0 + cnt]
+                    sl[:cnt] = ssl[s0:s0 + cnt]
+                    # row gather of whole tiles + bucketed slab scatter
+                    los = los.at[jnp.asarray(sl)].set(
+                        tiles_dev[jnp.asarray(fi)], mode="drop")
             state = state.replace(fields=state.fields.replace(los=los))
 
         self.stats["install_los_ms"] = self.stats.get(
