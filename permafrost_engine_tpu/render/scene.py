@@ -274,9 +274,10 @@ def _ortho_vp(lo, hi, light_dir):
     return proj @ view
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig", "clip"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "kbig", "clip",
+                                              "budget"))
 def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None,
-                 clip=True):
+                 clip=True, budget=0):
     if clip:
         # split near-plane-crossing triangles instead of rejecting them
         # (shadow pass skips this: the light ortho has w==1 everywhere)
@@ -286,6 +287,24 @@ def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None,
     if keep is not None:
         valid = valid & keep                  # reflection clip plane analogue
     attrs = jnp.where(flip[:, None, None], attrs[:, ::-1], attrs)
+    if budget and budget < xy.shape[0]:
+        # COMPACT live triangles before binning: the static soup is mostly
+        # dead rows (capacity padding, culled/off-screen geometry, the
+        # [2T] near-clip doubling — measured ~90% invalid on the demo
+        # scene), and the binning sort otherwise carries every dead row
+        # as a sentinel key THREE times per frame (main/mirror/shadow).
+        # Stable cumsum scatter of source indices + row gathers; overflow
+        # beyond the budget drops back-of-soup-order (sprites last),
+        # degrading like the per-tile K cap.
+        t2 = xy.shape[0]
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        pos = jnp.where(valid, jnp.minimum(pos, budget), budget)
+        src = (jnp.zeros((budget + 1,), jnp.int32)
+               .at[pos].set(jnp.arange(t2, dtype=jnp.int32),
+                            mode="drop")[:budget])
+        valid = (jnp.zeros((budget + 1,), bool)
+                 .at[pos].set(valid, mode="drop")[:budget])
+        xy, z, inv_w, attrs = xy[src], z[src], inv_w[src], attrs[src]
     zbuf, tri, bary = raster.raster_gbuffer(xy, z, valid, h=h, w=w,
                                             k=k, kbig=kbig)
     return zbuf, tri, bary, inv_w, attrs
@@ -293,11 +312,11 @@ def _raster_pass(verts, attrs, vp, *, h, w, k=96, kbig=64, keep=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "h2", "w2", "water_on", "refr_on", "world_w", "world_h",
-    "tex_size"))
+    "tex_size", "budget"))
 def _frame_device(verts, attrs, vp, shadow_z, light_vp, fog, fog_scale,
                   rays, rays2, atlas, tex_table, heights, cam_pos, wl,
                   *, h, w, h2, w2, water_on, refr_on, world_w, world_h,
-                  tex_size):
+                  tex_size, budget=0):
     """The whole post-soup frame as ONE device program: raster -> deferred
     shade -> water (mirror re-raster + refraction) -> gamma -> u8.
 
@@ -311,7 +330,8 @@ def _frame_device(verts, attrs, vp, shadow_z, light_vp, fog, fog_scale,
     (ref: src/render/render_gl.c frame pass sequence)."""
     sun = jnp.asarray(SUN_DIR)
     sky = jnp.asarray(SKY)
-    zbuf, tri, bary, inv_w, pattrs = _raster_pass(verts, attrs, vp, h=h, w=w)
+    zbuf, tri, bary, inv_w, pattrs = _raster_pass(verts, attrs, vp, h=h, w=w,
+                                                  budget=budget)
     col = raster.shade_gbuffer(
         tri, bary, inv_w, pattrs, sun, shadow_z, light_vp, fog, fog_scale,
         sky, rays, atlas=atlas, tex_table=tex_table, tex_size=tex_size)
@@ -332,7 +352,8 @@ def _frame_device(verts, attrs, vp, shadow_z, light_vp, fog, fog_scale,
         vp_r = vp @ mirror
         above = jnp.any(verts[..., 1] > wl - 0.25, axis=1)
         _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r,
-                                                 h=h2, w=w2, keep=above)
+                                                 h=h2, w=w2, keep=above,
+                                                 budget=budget)
         refl = raster.shade_gbuffer(
             tri2, bary2, iw2, a2, sun, shadow_z, light_vp, fog, fog_scale,
             sky, rays2, atlas=atlas, tex_table=tex_table, tex_size=tex_size)
@@ -368,9 +389,12 @@ class SceneRenderer:
                  shadows: bool = True, reflections: bool = True,
                  terrain_step: int = 2, model_cap: int = 32,
                  quilt_textures: bool = False, foliage_blades: int = 4096,
-                 sprite_cap: int = 64):
+                 sprite_cap: int = 64, raster_budget: int = 24576):
         self.foliage_blades = foliage_blades
         self.sprite_cap = sprite_cap
+        # live-triangle compaction budget for the binning passes (the
+        # static soup is mostly dead rows; see _raster_pass). 0 disables.
+        self.raster_budget = raster_budget
         from permafrost_engine_tpu.render.textures import (TextureAtlas,
                                                            detail_map)
         self.engine = engine
@@ -639,7 +663,7 @@ class SceneRenderer:
         zbuf, _t, _b, _iw, _a = _raster_pass(
             verts, jnp.zeros(verts.shape[:2] + (9,), verts.dtype),
             self._light_vp, h=self.shadow_res, w=self.shadow_res,
-            k=160, kbig=64)
+            k=160, kbig=64, budget=self.raster_budget)
         return zbuf
 
     def _fog_grid(self, faction_pov):
@@ -758,7 +782,10 @@ class SceneRenderer:
             refr_on = bool(self._setting("pf.video.water_refraction", True))
             rt_scale = float(self._setting("pf.video.water_rt_scale", 1.0))
             if rt_scale < 0.999:
-                h2, w2 = max(int(h * rt_scale), 8), max(int(w * rt_scale), 8)
+                # raster tiles are 16x16: snap the reflection target to
+                # tile multiples (720 * 0.5 = 360 would break binning)
+                h2 = max(int(h * rt_scale) // 16 * 16, 16)
+                w2 = max(int(w * rt_scale) // 16 * 16, 16)
             else:
                 h2, w2 = h, w
             atlas, table = self._atlas_arrays()
@@ -774,7 +801,8 @@ class SceneRenderer:
                 jnp.float32(self.water_level),
                 h=h, w=w, h2=h2, w2=w2, water_on=water_on,
                 refr_on=refr_on, world_w=float(eng.cfg.world_w),
-                world_h=float(eng.cfg.world_h), tex_size=TEX_SIZE)
+                world_h=float(eng.cfg.world_h), tex_size=TEX_SIZE,
+                budget=self.raster_budget)
             img = np.asarray(img_dev)
             if overlays:
                 img = self._overlays(img, camera, alpha)
@@ -787,7 +815,7 @@ class SceneRenderer:
             return img
 
         zbuf, tri, bary, inv_w, pattrs = _raster_pass(
-            verts, attrs, vp, h=h, w=w)
+            verts, attrs, vp, h=h, w=w, budget=self.raster_budget)
         _t = _mark(rec, "raster_ms", _t, zbuf)
         col = self._shade(camera, tri, bary, inv_w, pattrs, shadow_z,
                           fog, fog_scale, w, h)
@@ -857,12 +885,13 @@ class SceneRenderer:
         # (ref: gl_water.c render-target scale setting)
         rt_scale = float(self._setting("pf.video.water_rt_scale", 1.0))
         if rt_scale < 0.999:
-            h2 = max(int(h * rt_scale), 8)
-            w2 = max(int(w * rt_scale), 8)
+            h2 = max(int(h * rt_scale) // 16 * 16, 16)
+            w2 = max(int(w * rt_scale) // 16 * 16, 16)
         else:
             h2, w2 = h, w
         _z2, tri2, bary2, iw2, a2 = _raster_pass(verts, attrs, vp_r,
-                                                 h=h2, w=w2, keep=above)
+                                                 h=h2, w=w2, keep=above,
+                                                 budget=self.raster_budget)
         refl = self._shade(camera, tri2, bary2, iw2, a2, shadow_z,
                            fog, fog_scale, w2, h2)
         if (h2, w2) != (h, w):
